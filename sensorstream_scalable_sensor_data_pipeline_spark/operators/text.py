@@ -1,0 +1,107 @@
+"""Text-analysis column operators (SURVEY §2.12: language-ID, quality
+scoring, token counting, fingerprinting).
+
+Everything here is a pure Catalyst column expression — regex splits
+and higher-order array functions (``filter``/``transform``/
+``aggregate``), no Python UDFs — so the operators run inside
+whole-stage codegen at scan speed with zero shuffles. This is the
+fast path for per-document scoring over a 100 TB corpus; anything
+model-based (real langid, perplexity filters) would slot in as an
+Arrow-batched Pandas UDF downstream of these cheap gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword anchors for the heuristic langid. Order
+#: matters only for documentation; tie-breaks are by language code.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"]
+
+CJK_RANGE = "[一-鿿]"
+
+
+def _strip_ws(c: Column) -> Column:
+    """Leading/trailing-whitespace strip via regexp.
+
+    Deliberately NOT ``F.trim``: in Spark 4.1 an expression chain that
+    composes ``lower`` and ``trim`` falls off the fast path (collation-
+    aware trim; measured 20-30 s for 500 rows vs 0.3 s for the regexp
+    form). Semantics are identical for whitespace trimming.
+    """
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenizer: trim + split on runs of whitespace."""
+    return F.split(_strip_ws(text), r"\s+")
+
+
+def tokenize_lower(text: Column) -> Column:
+    return F.split(_strip_ws(F.lower(text)), r"\s+")
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style quality gates as column math: token count,
+    stopword ratio, mean token length, and a combined boolean gate."""
+    toks = tokenize_lower(F.col(text_col))
+    df = df.withColumn("_toks", toks)
+    n = F.size(F.col("_toks"))
+    stop_ratio = _stopword_hits(F.col("_toks"), QUALITY_STOPWORDS).cast("double") / n
+    mean_len = F.length(F.concat_ws("", F.col("_toks"))).cast("double") / n
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn(
+            "quality_ok",
+            F.when(
+                (F.col("n_tokens") >= 10)
+                & (F.col("stopword_ratio") >= 0.05)
+                & (F.col("mean_token_len").between(2, 12)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_toks")
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic langid: CJK codepoint presence → zh; otherwise argmax
+    of per-language stopword hits with a deterministic tie-break
+    (highest language code wins, mirroring struct-max ordering)."""
+    toks = tokenize_lower(text)
+    scored = F.array(
+        *[
+            F.struct(
+                _stopword_hits(toks, words).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, words in STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)  # struct ordering: (hits, lang) lexicographic
+    return F.when(text.rlike(CJK_RANGE), F.lit("zh")).otherwise(best["lang"])
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprints: md5 of whitespace-normalized lowercase
+    text (exact-dup key) + min token md5 (a 1-permutation MinHash —
+    the primitive operators/dedup_fuzzy.py generalizes to k perms)."""
+    norm = F.regexp_replace(F.regexp_replace(F.lower(text), r"\s+", " "), r"^ | $", "")
+    toks = tokenize_lower(text)
+    return F.struct(
+        F.md5(norm).alias("norm_md5"),
+        F.array_min(F.transform(toks, F.md5)).alias("min_token_md5"),
+    )

@@ -1,0 +1,180 @@
+"""Benchmark-head analytical queries (SURVEY §6 targets; bench.py heads).
+
+TPC-H-shaped queries over the synthetic star schema — these are the
+scale stress tests: wide aggregations, multi-way joins with one large
+fact side, grouped top-k. Aggregates use exact decimal accumulation
+(functions/aggfns.py) so results are bit-stable across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.aggfns import davg, dsum
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import enrich
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.topk import topk_per_group
+from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import (
+    davg_sql,
+    dsum_sql,
+    query,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. Plan: pruned
+    parquet scan (3 filters pushed) → partial hash agg (map-side) →
+    4-group exchange → final agg. The shuffle carries ~4 rows —
+    scan-bound at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered multi-way join + grouped top-N.
+    customer and orders are broadcast-joined against the lineitem fact
+    (fact never shuffles pre-aggregation); the ORDER BY ... LIMIT is a
+    TakeOrdered, not a global sort. Tie-broken by l_orderkey so the
+    LIMIT frontier is deterministic."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    co = enrich(orders, cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+    col = li.join(
+        F.broadcast(co), li["l_orderkey"] == co["o_orderkey"], "inner"
+    )
+    return (
+        col.groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join chain around one fact. All dims
+    broadcast; orders↔lineitem is the only big-big join — Catalyst
+    (with AQE) picks broadcast when orders' filtered side fits, else
+    sort-merge on the co-partitioned orderkey."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    dims = enrich(
+        supplier,
+        enrich(nation, region, nation["n_regionkey"] == region["r_regionkey"], "inner"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "inner",
+    )
+    fact = li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"], "inner")
+    fact = fact.join(orders, fact["l_orderkey"] == orders["o_orderkey"], "inner")
+    return fact.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (engine extension, SURVEY §2.12/§4): window +
+    row_number + filter compiles to WindowGroupLimit — each task keeps
+    only k rows per key, so this survives 100× scale-up unlike a
+    global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        rank_col="rank",
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")

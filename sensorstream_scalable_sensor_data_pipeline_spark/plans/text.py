@@ -1,0 +1,124 @@
+"""Text-analysis operators over ``documents`` (SURVEY §2.12 north-star).
+
+Language-ID, quality scoring, token counting, and fingerprinting —
+the per-document stages of a training-data pipeline. All are pure
+column expressions (no UDFs): tokenization via regex split, scoring
+via higher-order array functions — whole-stage-codegen'd, embarrassingly
+parallel, no shuffles at all. At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    tokenize,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): per-doc token count and
+    chars/token — the basic sizing stats every data pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
+           CASE WHEN n_tokens >= 10 AND stopword_ratio >= 0.05 AND mean_token_len BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','a','of','and','to','in','is','it','you','that'], t))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+             CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks) AS mean_token_len
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / token-shape gates
+    (Gopher-style rules) as pure column math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "stopword_ratio", "mean_token_len", "quality_ok"
+    )
+
+
+@query(
+    "text_language_id",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             ELSE (
+               SELECT lang FROM (
+                 SELECT unnest(['en','de','es','fr']) AS lang,
+                        unnest([
+                          len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))),
+                          len(list_filter(toks, t -> list_contains(['der','und','die','das','ist'], t))),
+                          len(list_filter(toks, t -> list_contains(['el','la','de','que','es'], t))),
+                          len(list_filter(toks, t -> list_contains(['le','la','et','les','est'], t)))
+                        ]) AS hits
+               ) ORDER BY hits DESC, lang DESC LIMIT 1
+             )
+           END AS lang_pred
+    FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: CJK codepoint check, else argmax of per-language
+    stopword hits (deterministic tie-break by language code). A
+    shuffle-free heuristic langid running at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5,
+           list_aggregate(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                                         t -> md5(t)), 'min') AS min_token_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a normalization-invariant content hash
+    (md5 of whitespace-collapsed lowercased text) plus a 1-perm
+    MinHash (min token md5) — the building block the dedup family
+    composes."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = doc_fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp["norm_md5"].alias("norm_md5"),
+        fp["min_token_md5"].alias("min_token_md5"),
+    )

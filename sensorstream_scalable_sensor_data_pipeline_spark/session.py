@@ -1,0 +1,92 @@
+"""SparkSession construction and session hygiene.
+
+The reference builds its session at main_pipeline.py:245-260 with AQE,
+skew-join handling and dynamic allocation enabled; we keep those (they
+are pure Catalyst/runtime wins) and add the confs this engine needs:
+
+* ``spark.sql.session.timeZone=UTC`` — the reference's prototype pins
+  timezone semantics explicitly (Initial pipeline with pandas.txt:179);
+  we pin UTC so timestamp values are stable across engines (DuckDB
+  oracle comparisons are tz-naive UTC).
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the synthetic
+  ``events`` table stores TIMESTAMP(NANOS) which Spark has no native
+  type for; we read the raw int64 nanoseconds and convert with
+  ``timestamp_micros(ns div 1000)`` (exact: the data is µs-aligned,
+  and integer ``div`` avoids double-precision loss above 2^53).
+* AQE + coalescePartitions + skewJoin — at 100 TB these replace all
+  hand-tuning of shuffle partition counts and hot-key splitting.
+
+``prepare_session`` applies the *runtime-settable* subset to a session
+we did not build (the correctness driver hands us its own session);
+every query entry point calls it defensively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and necessary) to set on an already-running
+#: session. Everything here is a runtime SQL conf.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: pushdown + pruning are on by default; stated
+    # explicitly because the engine's plans depend on them (SURVEY §4
+    # X8/X10).
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be rejected (e.g. marked static in a future
+            # Spark); the engine degrades gracefully rather than dying.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "sensorstream-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine's tuned SparkSession.
+
+    ``master`` defaults to ``local[N]`` with N from $SPARK_GRAFT_CPUS
+    (falling back to all cores). ``shuffle_partitions`` defaults to the
+    core count — the right size for local mode; on a real cluster pass
+    ~2-3× total executor cores instead (or rely on AQE coalescing,
+    which shrinks the default at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prepare_session(spark)

@@ -1,0 +1,108 @@
+"""Typed readers: parquet-with-schema, path fallback, CSV, JDBC (S1-S3, S8).
+
+Re-expresses the reference's DataLoader (main_pipeline.py:100-169):
+
+* S1 — parquet scan with an explicit schema and a local→s3a path
+  fallback chain (main_pipeline.py:108-134). We keep the explicit
+  schema (skips footer merging across 10^5 files at 100 TB) and the
+  fallback chain, but drop the reference's ``coalesce(1)``
+  (main_pipeline.py:116-117) — collapsing to one partition kills read
+  parallelism; AQE coalescing already right-sizes small inputs
+  (SURVEY §4 X6).
+* S2/S3 — JDBC scan with range partitioning
+  (main_pipeline.py:147-169). Kept as a thin declarative wrapper; the
+  container has no Postgres, so this is exercised only by unit tests
+  of the option dict it builds.
+* S8 — CSV scan with explicit schema (prototype ``load_data``,
+  Initial pipeline with pandas.txt:23-35).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sensorstream_scalable_sensor_data_pipeline_spark.schemas import enforce_schema
+
+
+def read_parquet(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S1: parquet scan, first readable path wins.
+
+    The reference tries a local path then an ``s3a://`` remap
+    (main_pipeline.py:108-120, 126-134); here the caller passes the
+    candidate chain explicitly. The read stays lazy — only path
+    resolution (cheap driver-side listing) happens eagerly.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    last_err: Exception | None = None
+    for p in paths:
+        try:
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(p)
+            df.schema  # force plan resolution so a bad path fails here
+            return enforce_schema(df, schema) if schema is not None else df
+        except Exception as e:  # try the next candidate (AnalysisException etc.)
+            last_err = e
+    raise last_err if last_err else FileNotFoundError(str(paths))
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, header: bool = True
+) -> DataFrame:
+    """S8: CSV scan with explicit schema (never inferSchema in prod —
+    inference is a full extra pass over the data)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def jdbc_read_options(
+    url: str,
+    query: str,
+    user: str,
+    password: str,
+    *,
+    fetch_size: int = 10_000,
+    partition_column: str | None = "tagid",
+    lower_bound: int = 1,
+    upper_bound: int = 100_000,
+    num_partitions: int = 8,
+) -> dict[str, str]:
+    """S2/S3: the option dict for a range-partitioned JDBC scan.
+
+    Mirrors main_pipeline.py:147-169: the full SQL string is pushed to
+    the database; executors open ``num_partitions`` parallel cursors
+    split on ``partition_column`` ∈ [lower, upper). At scale, size
+    ``num_partitions`` to the database's connection budget, not to
+    Spark's parallelism — the DB is the bottleneck.
+    """
+    opts = {
+        "url": url,
+        "query": query,
+        "user": user,
+        "password": password,
+        "fetchsize": str(fetch_size),
+    }
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def read_jdbc(spark: SparkSession, **options: str) -> DataFrame:
+    """Execute a JDBC scan from ``jdbc_read_options`` output."""
+    return spark.read.format("jdbc").options(**options).load()
