@@ -14,9 +14,19 @@ Scale design, common to all four:
   seed-prefixed shingle; the *string* minimum is the signature
   element. String-domain minhash keeps every step expressible in
   both Spark and ANSI SQL (oracle-checkable) with zero UDFs.
-* **Pure column expressions.** Shingling, signatures and banding are
-  higher-order array functions inside whole-stage codegen; the only
-  shuffles are the band-bucket join and the final distinct.
+* **Staged projections, flat lambdas.** Every expensive array
+  expression (tokens, shingles, signatures) is materialized as its
+  own projection before anything iterates over it. Two Spark 4.1
+  performance cliffs force this (measured on 500 docs):
+  (1) a lambda or CASE-WHEN branch that references a non-trivial
+  outer expression defeats subexpression elimination — the
+  tokenizer re-runs per array element (45 s vs 0.7 s);
+  (2) *nested* higher-order functions (transform inside transform)
+  drop out of codegen entirely (75 s vs <1 s). Hence the MinHash
+  signature is computed by explode → 12 parallel MIN aggregates —
+  one map-side-combined hash aggregate, no nested lambdas anywhere.
+  Projection staging is safe: CollapseProject never re-inlines a
+  non-cheap expression into multiple consumers.
 """
 
 from __future__ import annotations
@@ -35,28 +45,69 @@ ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 SHINGLE_SIZE = 3
 
 
-def shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
-    """Word k-grams; documents shorter than k tokens collapse to one
-    whole-text shingle."""
-    toks = tokenize_lower(text)
-    n = F.size(toks)
+def shingle_expr(tk: Column, k: int = SHINGLE_SIZE) -> Column:
+    """Word k-grams from a token-array column; documents shorter than
+    k tokens collapse to one whole-text shingle.
+
+    ``tk`` MUST be a materialized attribute (use :func:`with_shingles`)
+    — passing a raw tokenizer expression here re-evaluates it per
+    array element (see module docstring, cliff 1).
+    """
+    n = F.size(tk)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)),
     )
-    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", tk)))
 
 
-def minhash_signature(text: Column, num_perms: int = NUM_PERMS) -> Column:
-    """MinHash signature: element s = min over shingles of
-    md5('<s>:' + shingle). md5 is a fine permutation proxy and the
-    lexicographic min over hex strings is engine-portable."""
-    sh = shingles(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perms - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit(":"), x)))
-        ),
+def with_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "ss",
+    k: int = SHINGLE_SIZE,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, shingle-array) via two staged projections: text → tokens,
+    tokens → shingles. Each stage's input is an attribute, so every
+    expression evaluates exactly once per row."""
+    staged = df.select(F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk"))
+    sh = shingle_expr(F.col("_tk"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return staged.select(F.col(id_col), sh.alias(out))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = NUM_PERMS,
+) -> DataFrame:
+    """(id, sig) where sig[s] = min over shingles of md5(s ':' shingle).
+
+    Shape: explode(shingles) → one hash aggregate computing all
+    ``num_perms`` MINs in parallel (partial aggregation collapses the
+    per-doc shingle fan-out map-side, so the shuffle carries one
+    ~`num_perms`×32-byte row per doc). md5 is a fine permutation proxy
+    and the lexicographic min over hex strings is engine-portable.
+    """
+    exploded = with_shingles(df, id_col, text_col).select(
+        F.col(id_col), F.explode("ss").alias("g")
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"h{s}")
+            for s in range(num_perms)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_perms)]
+    )
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"m{s}") for s in range(num_perms)]).alias("sig")
     )
 
 
@@ -67,17 +118,23 @@ def lsh_bands(
     num_perms: int = NUM_PERMS,
     num_bands: int = NUM_BANDS,
 ) -> DataFrame:
-    """Explode each doc into (id, band, band_hash) bucket keys."""
+    """Explode each doc into (id, band, band_hash) bucket keys. Band
+    slices use literal offsets over the materialized ``sig`` attribute
+    — plain codegen expressions, no lambdas."""
     r = num_perms // num_bands
-    sig = minhash_signature(F.col(text_col), num_perms)
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.md5(F.concat_ws("|", F.slice(sig, b * r + 1, r))).alias("band_hash"),
-        ),
+    sigs = minhash_signatures(df, id_col, text_col, num_perms)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r))).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(num_bands)
+        ]
     )
-    return df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
 
@@ -93,12 +150,8 @@ def minhash_lsh_candidates(
     One keyed self-join on (band, band_hash) + distinct — no
     cross join anywhere."""
     b = lsh_bands(df, id_col, text_col, num_perms, num_bands)
-    left = b.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
-    )
-    right = b.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
-    )
+    left = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    right = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -114,60 +167,106 @@ def ngram_jaccard(
     text_col: str,
 ) -> DataFrame:
     """Exact verification: token-set Jaccard for each candidate pair.
-    ``pairs`` has (id_a, id_b); result adds ``jaccard``. Two broadcast-
-    able dim joins pull the token sets in; the set algebra is
-    array_intersect/array_union column math."""
+    ``pairs`` has (id_a, id_b); result adds ``jaccard``. Two joins
+    pull the token sets in; the set algebra is array_intersect/
+    array_union column math over materialized attributes."""
     toks = docs.select(
-        F.col(id_col), F.array_distinct(tokenize_lower(F.col(text_col))).alias("tokset")
-    )
-    out = (
-        pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokset", "ts_a"), "id_a")
-        .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokset", "ts_b"), "id_b")
+        F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk")
+    ).select(F.col(id_col), F.array_distinct(F.col("_tk")).alias("tokset"))
+    out = pairs.join(
+        toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokset", "ts_a"),
+        "id_a",
+    ).join(
+        toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokset", "ts_b"),
+        "id_b",
     )
     inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
     union = F.size(F.array_union(F.col("ts_a"), F.col("ts_b")))
-    return out.select(
-        "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+    return out.select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+
+
+def shingle_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs — the right
+    verifier when the vocabulary is small (token-set Jaccard
+    saturates; k-gram sets still discriminate)."""
+    sets_ = with_shingles(docs, id_col, text_col, out="ss", k=k, distinct=True)
+    out = pairs.join(
+        sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("ss", "ss_a"), "id_a"
+    ).join(
+        sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("ss", "ss_b"), "id_b"
     )
+    inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b")))
+    union = F.size(F.array_union(F.col("ss_a"), F.col("ss_b")))
+    return out.select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
 
 
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document from xxhash64 token hashes.
-
-    explode(tokens) → per-(doc, bit) ±1 sums → sign vector → packed
-    into a single long. One shuffle keyed by doc id (uniform). The
-    column-expression form (64 conditional sums inside one hash
-    aggregate, partial-aggregated map-side) keeps it entirely JVM-side;
-    no oracle (DuckDB lacks xxhash64) — verified by property tests.
-    """
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokenize_lower(F.col(text_col)))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+def _simhash_from_hash(toks: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """Shared tail: (id, h) token-hash rows → (id, simhash). Per-bit
+    ±1 conditional sums in ONE partial-aggregated hash aggregate →
+    sign vector packed into a single long."""
     bit_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     packed = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, b)
         packed = term if packed is None else packed.bitwiseOR(term)
     return bit_sums.select(F.col(id_col), packed.alias("simhash"))
 
 
-def simhash_candidates(sh: DataFrame, id_col: str, prefix_bits: int = 16) -> DataFrame:
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """Oracle-portable SimHash: token hash = first 15 md5 hex digits as
+    a 60-bit integer (``conv(substr(md5(tok),1,15),16,10)`` — the same
+    value DuckDB gets from ``('0x'||substr(md5(tok),1,15))::BIGINT``,
+    verified bit-identical). 60 bits keeps the pack clear of the sign
+    bit. Use this when cross-engine checkability matters;
+    :func:`simhash64`'s xxhash64 is marginally cheaper per token."""
+    toks = (
+        df.select(F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.col("_tk"))).alias("tok"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    return _simhash_from_hash(toks, id_col, bits)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from xxhash64 token hashes — the
+    fast path when no oracle parity is needed (DuckDB lacks
+    xxhash64)."""
+    toks = (
+        df.select(F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.col("_tk"))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    return _simhash_from_hash(toks, id_col, 64)
+
+
+def simhash_candidates(sh: DataFrame, id_col: str, prefix_bits: int = 16, bits: int = 64) -> DataFrame:
     """Block on the top ``prefix_bits`` of the simhash: near-identical
     docs almost always share the prefix; the self-join is keyed, never
-    all-pairs. (Production systems rotate the 64 bits into 4 blocks —
-    that refinement is a TODO documented here, same join shape.)"""
-    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 64 - prefix_bits))
+    all-pairs. (Production systems rotate the bits into b+1 blocks for
+    guaranteed recall at hamming ≤ b — same join shape, b+1× the
+    rows.)"""
+    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), bits - prefix_bits))
     a = blocked.select(F.col("block"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocked.select(F.col("block"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))

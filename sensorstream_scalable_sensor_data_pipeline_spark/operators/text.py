@@ -46,7 +46,15 @@ def tokenize(text: Column) -> Column:
 
 
 def tokenize_lower(text: Column) -> Column:
-    return F.split(_strip_ws(F.lower(text)), r"\s+")
+    """Lowercased whitespace tokens.
+
+    Lowering per-token AFTER the split (``transform(split, lower)``)
+    rather than lowering the whole string first: composing ``lower``
+    under ``regexp_replace``/``split`` hits Spark 4.1's collation-aware
+    slow path (measured 3.0 s vs 0.5 s for 500 docs). Identical
+    result — lowercasing never creates or removes whitespace.
+    """
+    return F.transform(F.split(_strip_ws(text), r"\s+"), F.lower)
 
 
 def _stopword_hits(toks: Column, words: list[str]) -> Column:

@@ -1,1 +1,293 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication query family (SURVEY §2.12) over ``documents`` /
+``embeddings`` — exact, MinHash+LSH, blocked n-gram Jaccard, SimHash,
+embedding-cosine near-dup.
+
+Every query here is fully oracle-checked: the hashing is string-domain
+(md5) so DuckDB can replay each step bit-for-bit, and every double
+that feeds a comparison is produced by a single IEEE op over exactly
+reproduced integers (see ``functions/aggfns.py`` for the grid-sum
+rationale the cosine queries reuse).
+
+Scale design (the part that matters at 100 TB): candidate generation
+is always a *keyed equi-join on a blocking key* (LSH band bucket,
+simhash prefix, min-shingle, metadata label) — never an all-pairs
+cross join — so pair count is bounded by bucket occupancy and the
+shuffle is AQE-skew-splittable. Verification (exact Jaccard / hamming
+/ cosine) touches only the candidates. Reference ties: generalizes the
+reference's key dedup (main_pipeline.py:328) and full-row dedup
+(Initial pipeline with pandas.txt:186) to content-level identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+    minhash_lsh_candidates,
+    shingle_jaccard,
+    simhash_md5,
+    with_shingles,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+
+# Shared oracle CTE: whitespace-normalized lowercase tokens and
+# 3-gram shingle sets — the SQL twin of operators/text.py::tokenize_lower
+# + operators/dedup_fuzzy.py::shingles.
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+           THEN list_transform(generate_series(0, len(tk) - 3),
+                               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+           ELSE [array_to_string(tk, ' ')] END AS ss
+  FROM toks
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                              '^ | $', '', 'g')) AS content_key,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by md5 of whitespace-normalized
+    lowercase text, keep the lowest doc_id per group. One map-side-
+    combined hash aggregate on a uniform 128-bit key — the cheapest
+    possible dedup at any scale (the groupBy generalization of the
+    reference's dropDuplicates, main_pipeline.py:328)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), r"^ | $", ""
+    )
+    return (
+        docs.select(F.md5(norm).alias("content_key"), F.col("doc_id"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH """ + _TOKS_CTE + r""",
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 11),
+               s -> list_min(list_transform(ss,
+                      x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '|')) AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2 ON a.b = b2.b AND a.band_hash = b2.band_hash
+      WHERE a.doc_id < b2.doc_id
+    ),
+    ssets AS (SELECT doc_id, list_distinct(ss) AS ds FROM sh)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+             / len(list_distinct(sa.ds || sb.ds)) AS jaccard
+    FROM cand
+    JOIN ssets sa ON sa.doc_id = id_a
+    JOIN ssets sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+             / len(list_distinct(sa.ds || sb.ds)) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard
+    ≥ 0.8. 12 md5 permutations in 4 bands of 3 (operators/
+    dedup_fuzzy.py); candidates come from ONE keyed self-join on
+    (band, band_hash), verification joins only the candidates — no
+    all-pairs stage anywhere, so the plan is a chain of uniform keyed
+    shuffles that survives arbitrary corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text")
+    return shingle_jaccard(cands, docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+@query(
+    "dedup_ngram_blocked",
+    oracle=r"""
+    WITH """ + _TOKS_CTE + r""",
+    keyed AS (
+      SELECT doc_id, list_distinct(ss) AS ds,
+             list_min(list_transform(ss, x -> md5(x))) AS block
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
+             / len(list_distinct(a.ds || b.ds)) AS jaccard
+    FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard: block key = min md5 over a doc's
+    3-gram shingles (a 1-permutation MinHash), exact shingle Jaccard
+    within each block. The degenerate-geometry end of the LSH family —
+    one blocking join, cheapest recall/cost point."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = with_shingles(docs, "doc_id", "text", out="ds", distinct=True).select(
+        F.col("doc_id"),
+        F.col("ds"),
+        F.array_min(F.transform(F.col("ds"), F.md5)).alias("block"),
+    )
+    a = keyed.select(
+        F.col("block"), F.col("doc_id").alias("id_a"), F.col("ds").alias("ds_a")
+    )
+    b = keyed.select(
+        F.col("block"), F.col("doc_id").alias("id_b"), F.col("ds").alias("ds_b")
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("ds_a"), F.col("ds_b")))
+    union = F.size(F.array_union(F.col("ds_a"), F.col("ds_b")))
+    return pairs.select(
+        "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH """ + _TOKS_CTE + r""",
+    tok AS (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+      GROUP BY 1, 2
+    ),
+    shash AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+      FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM shash a JOIN shash b
+      ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit md5-domain simhash per doc
+    (operators/dedup_fuzzy.py::simhash_md5), blocked self-join on the
+    top-16-bit prefix, hamming ≤ 3. The simhash itself is one
+    explode + one partial-aggregated hash aggregate; the pair join is
+    keyed on the prefix block (2^16 buckets — uniform unless the
+    corpus is one giant near-dup class, which IS the skew AQE
+    splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_md5(docs, "doc_id", "text", bits=60)
+    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 44))
+    a = blocked.select(
+        F.col("block"), F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = blocked.select(
+        F.col("block"), F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+#: µ-grid scale for exact cross-engine dot products (aggfns rationale).
+_GRID = "1000000.0"
+
+
+def grid_dot(a, b):
+    """Order/engine-exact dot product: per-element double products are
+    floored onto a µ-grid and summed as exact integers (decimal), so
+    the result is identical under any partitioning and in DuckDB.
+    Stays in codegen: zip_with + aggregate are Catalyst higher-order
+    functions, no UDF."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(float(_GRID))
+        ).cast("decimal(30,0)"),
+    )
+    return (
+        F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(30,0)"),
+            lambda acc, v: (acc + v).cast("decimal(30,0)"),
+        ).cast("double")
+        / F.lit(float(_GRID))
+    )
+
+
+def _grid_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`grid_dot`."""
+    return (
+        f"(CAST(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" * {_GRID}) AS DECIMAL(30,0)))) AS DOUBLE) / {_GRID})"
+    )
+
+
+_COS_AB = (
+    f"({_grid_dot_sql('a.embedding', 'b.embedding')}"
+    f" / (sqrt({_grid_dot_sql('a.embedding', 'a.embedding')})"
+    f" * sqrt({_grid_dot_sql('b.embedding', 'b.embedding')})))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs within the same coarse cluster
+    (``label`` — the metadata blocking key; in production the IVF
+    assignment) with cosine ≥ threshold. Candidates come from a keyed
+    equi-join on the block — never all-pairs; per-block size bounds
+    the quadratic term, and the cosine itself is exact grid
+    arithmetic so the threshold cut is engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = grid_dot(F.col("e_a"), F.col("e_b")) / (
+        F.sqrt(grid_dot(F.col("e_a"), F.col("e_a")))
+        * F.sqrt(grid_dot(F.col("e_b"), F.col("e_b")))
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.3
+    )
