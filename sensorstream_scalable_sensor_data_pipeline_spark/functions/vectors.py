@@ -1,0 +1,67 @@
+"""Engine-portable vector math over ``array<float>`` embedding columns.
+
+Dot products feed similarity *comparisons* (thresholds, top-k ranks),
+so they must be bit-identical across partitionings and engines — the
+same problem ``functions/aggfns.py`` solves for aggregates, solved the
+same way: per-element double products are floored onto a µ-grid and
+summed as exact integers, then one IEEE divide restores the scale.
+float→double widening, the double multiply, ``floor``, and the final
+divide are each single IEEE ops with identical results in Spark and
+DuckDB; the decimal sum is exact integer arithmetic.
+
+Everything is Catalyst ``zip_with``/``aggregate`` higher-order
+expressions over attributes — no UDFs, stays in codegen. (Per the
+dedup_fuzzy module's measured cliffs: callers must pass materialized
+attribute columns, and these expressions must not be nested inside
+another lambda.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: µ-grid: 6 fractional digits, ample for unit-normed embedding sims.
+GRID = 1_000_000.0
+_ACC = "decimal(30,0)"
+
+
+def grid_dot(a: Column, b: Column) -> Column:
+    """Order/engine-exact dot product of two float-array columns."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(GRID)).cast(
+            _ACC
+        ),
+    )
+    return (
+        F.aggregate(
+            prods, F.lit(0).cast(_ACC), lambda acc, v: (acc + v).cast(_ACC)
+        ).cast("double")
+        / F.lit(GRID)
+    )
+
+
+def grid_cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a grid dot product and *precomputed* grid norms
+    (compute norms once per row, not once per pair)."""
+    return grid_dot(a, b) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+
+
+def grid_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`grid_dot` (same grid, same ops)."""
+    return (
+        f"(CAST(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" * {GRID}) AS DECIMAL(30,0)))) AS DOUBLE) / {GRID})"
+    )
+
+
+def grid_cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin of pairwise cosine (inline norms — fine for oracle
+    scale; the Spark side precomputes norms per row instead)."""
+    return (
+        f"({grid_dot_sql(a, b)}"
+        f" / (sqrt({grid_dot_sql(a, a)}) * sqrt({grid_dot_sql(b, b)})))"
+    )

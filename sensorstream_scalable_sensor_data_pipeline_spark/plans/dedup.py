@@ -217,47 +217,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- embedding near-dup
 
-#: µ-grid scale for exact cross-engine dot products (aggfns rationale).
-_GRID = "1000000.0"
-
-
-def grid_dot(a, b):
-    """Order/engine-exact dot product: per-element double products are
-    floored onto a µ-grid and summed as exact integers (decimal), so
-    the result is identical under any partitioning and in DuckDB.
-    Stays in codegen: zip_with + aggregate are Catalyst higher-order
-    functions, no UDF."""
-    prods = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.floor(
-            x.cast("double") * y.cast("double") * F.lit(float(_GRID))
-        ).cast("decimal(30,0)"),
-    )
-    return (
-        F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(30,0)"),
-            lambda acc, v: (acc + v).cast("decimal(30,0)"),
-        ).cast("double")
-        / F.lit(float(_GRID))
-    )
-
-
-def _grid_dot_sql(a: str, b: str) -> str:
-    """DuckDB twin of :func:`grid_dot`."""
-    return (
-        f"(CAST(list_sum(list_transform(generate_series(1, len({a})),"
-        f" i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
-        f" * {_GRID}) AS DECIMAL(30,0)))) AS DOUBLE) / {_GRID})"
-    )
-
-
-_COS_AB = (
-    f"({_grid_dot_sql('a.embedding', 'b.embedding')}"
-    f" / (sqrt({_grid_dot_sql('a.embedding', 'a.embedding')})"
-    f" * sqrt({_grid_dot_sql('b.embedding', 'b.embedding')})))"
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (  # noqa: E402
+    grid_cosine_sql,
+    grid_dot,
 )
+
+_COS_AB = grid_cosine_sql("a.embedding", "b.embedding")
 
 
 @query(

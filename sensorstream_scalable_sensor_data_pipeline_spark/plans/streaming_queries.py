@@ -1,1 +1,114 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Streaming queries (SURVEY §2.10/M5), oracle-checked.
+
+Each query runs a *bounded* Structured Stream (``availableNow``) to
+completion and returns the drained result, which must equal the batch
+SQL over the same files — that equivalence is exactly the streaming/
+batch unification Structured Streaming promises (SIGMOD'18, PAPERS.md)
+and it is what lets the correctness driver hash-check a streaming
+engine against DuckDB.
+
+The three queries cover the reference's hand-rolled streaming triad
+(SURVEY §2.10): windowed rollup (the scheduled daily aggregation),
+stateful dedup (idempotent re-ingest), and the end-to-end incremental
+pipeline with a checkpointed ``foreachBatch`` parquet sink (the S3
+writer role).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.aggfns import dsum
+from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import dsum_sql, query
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+    drain_to_memory,
+    drain_to_parquet,
+    stream_events,
+)
+
+#: A watermark delay far beyond the data's time range: nothing is ever
+#: late, so the drained stream equals the batch query. Production
+#: deployments shrink this to bound state (the reference's analog is
+#: its 30-day lookback, main_pipeline.py:36).
+_NEVER_LATE = "3650 days"
+
+
+@query(
+    "stream_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup on the event stream: watermark + 1-hour
+    windows per event_type, complete-mode drain. State is one row per
+    (window, type) — bounded by the watermark; partial aggregation
+    collapses the stream map-side exactly like the batch rollup."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", _NEVER_LATE)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    drained = drain_to_memory(agg, output_mode="complete")
+    return drained.select(
+        F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+    )
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, ts FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    the event-time key — the native replacement for the reference's
+    dropDuplicates-before-write idempotency (main_pipeline.py:328),
+    with state bounded by the watermark instead of growing forever."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", _NEVER_LATE)
+    deduped = ev.select("user_id", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "ts"]
+    )
+    return drain_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "stream_sensor_pipeline",
+    oracle="""
+    SELECT DISTINCT c.c_mktsegment AS tagpath, e.ts AS datetime,
+           e.value AS sensor_value, e.user_id AS sensor_id
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value <> 0
+    """,
+)
+def stream_sensor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full flow as a native stream: file source →
+    integrity filter → stream-static broadcast enrichment → stateful
+    dedup on (sensor, time, value) → checkpointed ``foreachBatch``
+    parquet sink → read-back. Dedup includes ``value`` so the kept row
+    is well-defined regardless of arrival order (the batch flagship
+    instead keeps max-value; both are deterministic policies).
+    Exactly-once via the checkpoint — the streaming form of the
+    reference's idempotent re-ingest."""
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("tagpath")
+    )
+    clean = ev.filter(F.col("value") != 0).withWatermark("ts", _NEVER_LATE)
+    enriched = clean.join(F.broadcast(dim), "user_id", "left")
+    deduped = enriched.dropDuplicatesWithinWatermark(["user_id", "ts", "value"])
+    series = deduped.select(
+        F.col("tagpath"),
+        F.col("ts").alias("datetime"),
+        F.col("value").alias("sensor_value"),
+        F.col("user_id").alias("sensor_id"),
+    )
+    out = drain_to_parquet(series)
+    return spark.read.parquet(out)

@@ -52,6 +52,18 @@ def prepare_session(spark: SparkSession) -> SparkSession:
             # A conf may be rejected (e.g. marked static in a future
             # Spark); the engine degrades gracefully rather than dying.
             pass
+    # Right-size shuffle parallelism if the session still has Spark's
+    # 200 default: AQE coalesces oversized *batch* shuffles at runtime,
+    # but a streaming aggregation materializes one state store per
+    # shuffle partition up front (200 stores ≈ 40 s of checkpoint I/O
+    # per micro-batch on local disk). On a cluster, size to ~2-3×
+    # total executor cores instead.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+            spark.conf.set("spark.sql.shuffle.partitions", str(int(cpus)))
+    except Exception:
+        pass
     return spark
 
 
