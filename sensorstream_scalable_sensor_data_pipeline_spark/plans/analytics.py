@@ -151,6 +151,106 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_idx
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY user_id, session_idx
+"""
+
+
+@query("w2_sessionize", oracle=_SESSIONIZE_ORACLE)
+def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as gaps-and-islands window math (an analytic
+    capability the reference lacks entirely — SURVEY §2.5 notes zero
+    window functions). lag → new-session flag → running sum = session
+    index → per-session aggregate. One shuffle on user_id serves both
+    window passes and the final aggregate (same key); ties broken by
+    event_id so session boundaries are deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    ) <= _SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    sessioned = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "w3_session_window",
+    oracle=f"""
+    SELECT user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_idx
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                    ) < INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_idx
+    """,
+)
+def w3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessions via Spark's native ``session_window``
+    aggregation — the streaming-ready form (works identically under a
+    watermarked stream). Note the boundary semantics: session_window
+    merges events strictly closer than the gap (lag < gap), where the
+    window-math variant uses lag <= gap; the oracle mirrors each.
+    One shuffle on user_id, sessions merged by the agg operator."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 @query(
     "topk_per_group",
     oracle="""

@@ -120,10 +120,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs stage anywhere, so the plan is a chain of uniform keyed
     shuffles that survives arbitrary corpus growth."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, "doc_id", "text")
-    return shingle_jaccard(cands, docs, "doc_id", "text").filter(
-        F.col("jaccard") >= 0.8
+    # Tokenize/shingle ONCE; every downstream branch (both band-join
+    # sides, both verify sides) reads the persisted (doc_id, ss) table
+    # instead of re-running the string pipeline. At 100 TB this is a
+    # MEMORY_AND_DISK dataset ~the size of the token stream — still
+    # far cheaper than 5 recomputations of the tokenizer.
+    from pyspark import StorageLevel
+
+    sh = with_shingles(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", shingle_df=sh)
+    return shingle_jaccard(
+        cands, docs, "doc_id", "text", shingle_df=sh
+    ).filter(F.col("jaccard") >= 0.8)
 
 
 @query(
@@ -147,10 +157,14 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each block. The degenerate-geometry end of the LSH family —
     one blocking join, cheapest recall/cost point."""
     docs = load_table(spark, sf_dir, "documents")
-    keyed = with_shingles(docs, "doc_id", "text", out="ds", distinct=True).select(
-        F.col("doc_id"),
-        F.col("ds"),
-        F.array_min(F.transform(F.col("ds"), F.md5)).alias("block"),
+    keyed = (
+        with_shingles(docs, "doc_id", "text", out="ds", distinct=True)
+        .select(
+            F.col("doc_id"),
+            F.col("ds"),
+            F.array_min(F.transform(F.col("ds"), F.md5)).alias("block"),
+        )
+        .persist()  # feeds both self-join sides
     )
     a = keyed.select(
         F.col("block"), F.col("doc_id").alias("id_a"), F.col("ds").alias("ds_a")
@@ -199,7 +213,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_md5(docs, "doc_id", "text", bits=60)
-    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 44))
+    # (doc_id, simhash) is 16 bytes/doc; persist so the hash pipeline
+    # runs once, not once per self-join side.
+    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 44)).persist()
     a = blocked.select(
         F.col("block"), F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
     )

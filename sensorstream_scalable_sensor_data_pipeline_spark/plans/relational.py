@@ -116,13 +116,20 @@ def p5_eq_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p6_range_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/X8: cutoff range predicate, pushed to the parquet scan
-    (t_stamp >= cutoff, main_pipeline.py:296-300)."""
+    (t_stamp >= cutoff, main_pipeline.py:296-300). Uses the raw-column
+    range loader so the bounds reach parquet row-group pruning —
+    filtering the *converted* timestamp would leave only IsNotNull
+    pushable (sources/tables.py::load_events_range)."""
     import datetime as dt
 
-    ev = load_table(spark, sf_dir, "events")
-    return range_filter(
-        ev, "ts", low=dt.datetime(2024, 1, 15), high=dt.datetime(2024, 1, 22)
-    ).select("event_id", "ts")
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_events_range,
+    )
+
+    ev = load_events_range(
+        spark, sf_dir, low=dt.datetime(2024, 1, 15), high=dt.datetime(2024, 1, 22)
+    )
+    return ev.select("event_id", "ts")
 
 
 @query(

@@ -112,3 +112,38 @@ def stream_sensor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = drain_to_parquet(series)
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_stateful_counts",
+    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY 1",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running counter whose state survives micro-batches (the
+    building block for custom sessionization, gap-fill, CDC merge —
+    anything groupBy/agg can't express). Each batch updates GroupState
+    and emits the running total; the last emission per key equals the
+    batch GROUP BY count, which is what the oracle checks. State is
+    one int per key — O(keys), watermark-expirable in production."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [total]})
+
+    ev = stream_events(spark, sf_dir).select("event_type", "ts")
+    running = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_events long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_memory(running, output_mode="update")
+    # Last emission per key = final running total.
+    return drained.groupBy("event_type").agg(F.max("n_events").alias("n_events"))

@@ -56,3 +56,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns-epoch int64 → TIMESTAMP, exact for µs-aligned data.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    low=None,
+    high=None,
+) -> DataFrame:
+    """Events with a time-range predicate applied to the RAW int64
+    nanosecond column *before* the timestamp conversion.
+
+    Filtering after the conversion wraps ``ts`` in
+    ``timestamp_micros(...)`` and Catalyst can then push only
+    ``IsNotNull`` into the scan (verified via .explain — the range
+    comparison stays in a post-scan Filter). Comparing the raw long
+    against a pre-converted nanosecond literal pushes the real
+    bounds into parquet row-group min/max pruning — at 100 TB with
+    time-sorted row groups that is the difference between scanning a
+    week and scanning years. [low, high): same bounds semantics as
+    ``operators/filters.py::range_filter``.
+    """
+    import datetime as dt
+
+    prepare_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = dict(df.dtypes).get("ts") == "bigint"
+
+    def _ns(t: dt.datetime) -> int:
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1_000
+
+    if raw:
+        if low is not None:
+            df = df.filter(F.col("ts") >= F.lit(_ns(low)))
+        if high is not None:
+            df = df.filter(F.col("ts") < F.lit(_ns(high)))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if low is not None:
+        df = df.filter(F.col("ts") >= F.lit(low))
+    if high is not None:
+        df = df.filter(F.col("ts") < F.lit(high))
+    return df
