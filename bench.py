@@ -47,6 +47,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "w2_sessionize",
+    "sensor_sliding_rollup",
+    "stream_hourly_rollup",
 ]
 
 

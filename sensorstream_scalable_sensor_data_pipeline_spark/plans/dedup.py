@@ -69,12 +69,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined hash aggregate on a uniform 128-bit key — the cheapest
     possible dedup at any scale (the groupBy generalization of the
     reference's dropDuplicates, main_pipeline.py:328)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        tokenize_lower,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), r"^ | $", ""
+    # Normalized text = lowercase tokens re-joined with single spaces —
+    # identical string to regexp-collapsing whitespace, but avoids the
+    # regexp_replace∘lower composition slow path (5.2 s → ~2 s at
+    # sf0.1). Staged so the tokenizer runs once per row.
+    staged = docs.select(
+        F.col("doc_id"), tokenize_lower(F.col("text")).alias("_tk")
     )
     return (
-        docs.select(F.md5(norm).alias("content_key"), F.col("doc_id"))
+        staged.select(
+            F.md5(F.concat_ws(" ", F.col("_tk"))).alias("content_key"),
+            F.col("doc_id"),
+        )
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )

@@ -69,6 +69,43 @@ query("sensor_pipeline_e2e", oracle=SENSOR_SERIES_ORACLE)(sensor_series)
 from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import dsum_sql
 
 
+# Sliding windows: size 1 h, slide 30 min → every event falls in
+# exactly 2 windows. The oracle replays Spark's window assignment with
+# integer epoch math (identical in both engines): for offset k ∈ {0,1},
+# start = floor((epoch_s(ts) - k·1800) / 3600)·3600 + k·1800.
+_SLIDING_ORACLE = f"""
+SELECT to_timestamp(CAST(floor((epoch(ts) - k * 1800) / 3600) * 3600 + k * 1800 AS BIGINT))
+         AT TIME ZONE 'UTC' AS window_start,
+       count(*) AS n_readings,
+       {dsum_sql('value')} AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+WHERE value <> 0
+GROUP BY 1
+"""
+
+
+@query("sensor_sliding_rollup", oracle=_SLIDING_ORACLE)
+def sensor_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h windows every 30 min) — the
+    overlapping-window form of the hourly rollup, and the same
+    operator a watermarked stream would run. Spark's window()
+    replicates each row into its 2 windows before one partial-
+    aggregated shuffle on window_start — fan-out is bounded by
+    size/slide, keys stay time-uniform at any scale."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.aggfns import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    clean = integrity_filter(ev, "value")
+    return (
+        clean.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_readings", "sum_value")
+    )
+
+
 @query(
     "sensor_hourly_rollup",
     oracle=f"""

@@ -122,3 +122,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp["norm_md5"].alias("norm_md5"),
         fp["min_token_md5"].alias("min_token_md5"),
     )
+
+
+@query(
+    "text_vocab_topk",
+    oracle=r"""
+    SELECT token, n, rank FROM (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+      FROM (
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(
+                   regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+          FROM documents
+        ) GROUP BY token
+      )
+    ) WHERE rank <= 20
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode tokens → one partial-aggregated
+    count shuffle on the token → global top-20 (ORDER BY + LIMIT is a
+    TakeOrdered, no full sort). The canonical n-gram-stats shape from
+    SURVEY §2.12; at 100 TB the token count shuffle carries one row
+    per distinct token after map-side combine, and hot tokens ('the')
+    are exactly the AQE-splittable skew case."""
+    from pyspark.sql import Window
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import tokenize_lower
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize_lower(F.col("text")).alias("_tk")).select(
+        F.explode("_tk").alias("token")
+    )
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    # rank over the already-20-row result — the window sorts 20 rows,
+    # not the vocabulary
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )

@@ -151,3 +151,38 @@ def test_decode_image_stub_contract():
     assert feats["n_bytes"] == 512
     assert feats["n_frames"] == 2
     assert feats["byte_sum"] == (ord("a") + ord("b") + ord("c") + ord("d")) * 128
+
+
+# ------------------------------------------------------------ skew
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "seg")
+    salted = salted_join(ev, dim, "user_id").select("event_id", "seg")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the join key visible to the shuffle includes the salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+# ----------------------------------------------- numeric determinism
+
+
+def test_dsum_invariant_under_partitioning(spark, sf_dir):
+    """The engine's aggregation contract: dsum is bit-identical under
+    any physical partitioning (plain SUM(double) is not — addend
+    order differs)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.aggfns import dsum
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    results = {
+        ev.repartition(n).agg(dsum("value").alias("s")).collect()[0]["s"]
+        for n in (1, 3, 17)
+    }
+    assert len(results) == 1, results
