@@ -50,6 +50,8 @@ HEADLINE = [
     "w2_sessionize",
     "sensor_sliding_rollup",
     "stream_hourly_rollup",
+    "q6_forecast_revenue",
+    "docs_curate_corpus",
 ]
 
 

@@ -162,3 +162,85 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
     )
+
+
+# Corpus curation: the end-to-end training-data flow — quality gate →
+# language-ID → exact dedup → per-language corpus stats. The oracle
+# re-composes the (already individually oracle-matched) quality,
+# langid, and fingerprint expressions in one CTE chain.
+_CURATE_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','in','is','it','you','that'], t))) AS DOUBLE)
+           / len(toks) AS stopword_ratio,
+         CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE)
+           / len(toks) AS mean_token_len
+  FROM tk
+), gated AS (
+  SELECT doc_id, text, toks, n_tokens FROM q
+  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05
+    AND mean_token_len BETWEEN 2 AND 12
+), keyed AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+              ELSE (
+                SELECT lang FROM (
+                  SELECT unnest(['en','de','es','fr']) AS lang,
+                         unnest([
+                           len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))),
+                           len(list_filter(toks, t -> list_contains(['der','und','die','das','ist'], t))),
+                           len(list_filter(toks, t -> list_contains(['el','la','de','que','es'], t))),
+                           len(list_filter(toks, t -> list_contains(['le','la','et','les','est'], t)))
+                         ]) AS hits
+                ) ORDER BY hits DESC, lang DESC LIMIT 1
+              )
+         END AS lang_pred,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5
+  FROM gated
+), uniq AS (
+  SELECT norm_md5,
+         min(lang_pred) AS lang_pred,
+         min(n_tokens) AS n_tokens
+  FROM keyed GROUP BY norm_md5
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM uniq GROUP BY lang_pred
+"""
+
+
+@query("docs_curate_corpus", oracle=_CURATE_ORACLE)
+def docs_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs: Gopher-style quality gate (pure column
+    math, scan-speed) → heuristic language-ID → exact dedup on the
+    normalization-invariant content hash → per-language doc/token
+    totals. Plan shape: zero shuffles until the dedup groupBy on the
+    uniform 128-bit key, then a tiny per-language aggregate — the
+    filters cut the corpus BEFORE the only data-sized shuffle, which
+    is the order you want at 100 TB. All stages reuse the individually
+    oracle-matched operators (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = quality_score(docs, "text").filter(F.col("quality_ok") == 1)
+    fp = doc_fingerprint(F.col("text"))
+    keyed = gated.select(
+        "doc_id",
+        "n_tokens",
+        language_id(F.col("text")).alias("lang_pred"),
+        fp["norm_md5"].alias("norm_md5"),
+    )
+    uniq = keyed.groupBy("norm_md5").agg(
+        F.min("lang_pred").alias("lang_pred"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return uniq.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
