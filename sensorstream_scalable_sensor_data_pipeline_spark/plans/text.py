@@ -225,16 +225,49 @@ def docs_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals. Plan shape: zero shuffles until the dedup groupBy on the
     uniform 128-bit key, then a tiny per-language aggregate — the
     filters cut the corpus BEFORE the only data-sized shuffle, which
-    is the order you want at 100 TB. All stages reuse the individually
-    oracle-matched operators (operators/text.py)."""
+    is the order you want at 100 TB.
+
+    The stages share ONE staged token array rather than composing
+    quality_score/language_id/doc_fingerprint directly: each of those
+    re-tokenizes, and the resulting expression tree (3 regex splits ×
+    nested lambda filters) overwhelms codegen — measured 6.8 s cold
+    and *degrading* to 42 s on re-run in one JVM, vs 5.1 s cold /
+    1.8 s warm staged. Semantics are identical (tokens are
+    whitespace-split lowercase; md5(concat_ws(' ', toks)) equals the
+    md5 of whitespace-collapsed lowered text, as in dedup_exact)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        CJK_RANGE,
+        QUALITY_STOPWORDS,
+        STOPWORDS,
+        _stopword_hits,
+        tokenize_lower,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    gated = quality_score(docs, "text").filter(F.col("quality_ok") == 1)
-    fp = doc_fingerprint(F.col("text"))
+    staged = docs.select("doc_id", "text", tokenize_lower(F.col("text")).alias("_tk"))
+    n = F.size(F.col("_tk"))
+    stop_ratio = _stopword_hits(F.col("_tk"), QUALITY_STOPWORDS).cast("double") / n
+    mean_len = F.length(F.concat_ws("", F.col("_tk"))).cast("double") / n
+    gated = staged.withColumn("n_tokens", n).filter(
+        (n >= 10) & (stop_ratio >= 0.05) & mean_len.between(2, 12)
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                _stopword_hits(F.col("_tk"), words).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in STOPWORDS.items()
+        ]
+    )
+    lang = F.when(F.col("text").rlike(CJK_RANGE), F.lit("zh")).otherwise(
+        F.array_max(scored)["lang"]
+    )
     keyed = gated.select(
         "doc_id",
         "n_tokens",
-        language_id(F.col("text")).alias("lang_pred"),
-        fp["norm_md5"].alias("norm_md5"),
+        lang.alias("lang_pred"),
+        F.md5(F.concat_ws(" ", F.col("_tk"))).alias("norm_md5"),
     )
     uniq = keyed.groupBy("norm_md5").agg(
         F.min("lang_pred").alias("lang_pred"),
