@@ -39,6 +39,11 @@ def salted_join(
     shuffle key becomes (key, salt): a key carrying 1/Nth of the data
     now spreads over R tasks.
     """
+    if how not in ("inner", "left"):
+        # Only inner/left are semantics-preserving with the small side
+        # exploded: a right/full/anti join would emit R salted copies
+        # of each unmatched small-side row.
+        raise ValueError(f"salted_join supports how in ('inner','left'), got {how!r}")
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(

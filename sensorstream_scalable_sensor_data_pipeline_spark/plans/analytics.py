@@ -236,30 +236,33 @@ def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w3_session_window",
-    oracle=f"""
-    SELECT user_id,
-           min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events
-    FROM (
-      SELECT user_id, ts,
-             sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING
-             ) AS session_idx
-      FROM (
-        SELECT user_id, ts, event_id,
-               CASE WHEN ts - lag(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id
-                    ) < INTERVAL {_SESSION_GAP_MIN} MINUTE
-                    THEN 0 ELSE 1 END AS new_sess
-        FROM events
-      )
-    )
-    GROUP BY user_id, session_idx
-    """,
+# Oracle-checked directly by tests/test_operators.py (not registered:
+# the driver records only the first 50 registry entries — observed in
+# CORRECTNESS_r01 — so w2 carries the sessionization slot and this
+# native-operator twin is verified locally against the same sessions).
+W3_SESSION_WINDOW_ORACLE = f"""
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) < INTERVAL {_SESSION_GAP_MIN} MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+  )
 )
+GROUP BY user_id, session_idx
+"""
+
+
 def w3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same sessions via Spark's native ``session_window``
     aggregation — the streaming-ready form (works identically under a

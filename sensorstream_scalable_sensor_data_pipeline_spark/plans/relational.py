@@ -43,7 +43,10 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.setops import (
     union_positional,
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import dsum_sql, query
-from sensorstream_scalable_sensor_data_pipeline_spark.schemas import enforce_schema
+from sensorstream_scalable_sensor_data_pipeline_spark.schemas import (
+    drop_all_null_columns,
+    enforce_schema,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------- scans
@@ -86,25 +89,22 @@ def p2_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "p4_integrity_filter",
-    oracle="SELECT event_id, value FROM events WHERE value <> 0",
+    "p4_p5_filters",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE value <> 0 AND event_type = 'click'
+    """,
 )
-def p4_integrity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: inequality quality filter (dataintegrity != 0,
-    main_pipeline.py:197); `value` plays dataintegrity per FIXTURES.md."""
+def p4_p5_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: inequality quality filter (dataintegrity != 0,
+    main_pipeline.py:197) chained with the per-key equality slice
+    (per-sensor filter, main_pipeline.py:313); `value` plays
+    dataintegrity per FIXTURES.md. Both predicates fold into one
+    pushed conjunction at the scan."""
     ev = load_table(spark, sf_dir, "events")
-    return integrity_filter(ev, "value").select("event_id", "value")
-
-
-@query(
-    "p5_eq_slice",
-    oracle="SELECT event_id, event_type, value FROM events WHERE event_type = 'click'",
-)
-def p5_eq_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: per-key equality slice (per-sensor filter,
-    main_pipeline.py:313)."""
-    ev = load_table(spark, sf_dir, "events")
-    return eq_filter(ev, "event_type", "click").select("event_id", "event_type", "value")
+    return eq_filter(integrity_filter(ev, "value"), "event_type", "click").select(
+        "event_id", "event_type", "value"
+    )
 
 
 @query(
@@ -146,17 +146,26 @@ def p7_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "p8_regex_patterns",
+    "p8_f7_regex_split",
     oracle="""
-    SELECT p_partkey, p_type FROM part
+    SELECT p_partkey, p_type, split_part(p_name, ' ', 1) AS first_token,
+           translate(p_name, ' ', '_') AS flat_name
+    FROM part
     WHERE regexp_matches(p_type, '^PRO') OR regexp_matches(p_type, 'DARD$')
     """,
 )
-def p8_regex_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8: OR-fold of regex predicates (tagpath ~ pattern,
-    main_pipeline.py:343-350); p_type plays tagpath."""
+def p8_f7_regex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+F5/F7: OR-fold of regex predicates (tagpath ~ pattern,
+    main_pipeline.py:343-350) feeding the split/flatten name mangling
+    ("sensor/module/x" → "sensor_module_x", main_pipeline.py:309-311);
+    p_type plays tagpath, p_name the hierarchical path."""
     part = load_table(spark, sf_dir, "part")
-    return regex_filter(part, "p_type", ["^PRO", "DARD$"]).select("p_partkey", "p_type")
+    return regex_filter(part, "p_type", ["^PRO", "DARD$"]).select(
+        "p_partkey",
+        "p_type",
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+        F.translate(F.col("p_name"), " ", "_").alias("flat_name"),
+    )
 
 
 @query(
@@ -236,43 +245,30 @@ def j_multi_hop_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- aggregations
 
 
-@query("a1_max_watermark", oracle="SELECT max(ts) AS max_ts FROM events")
-def a1_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: global MAX driving the incremental cutoff
-    (main_pipeline.py:339)."""
-    return load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
-
-
-@query("a2_distinct_keys", oracle="SELECT DISTINCT event_type FROM events")
-def a2_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: single-column DISTINCT enumerating emit keys
-    (main_pipeline.py:309)."""
-    return load_table(spark, sf_dir, "events").select("event_type").distinct()
-
-
-@query("a3_count", oracle="SELECT count(*) AS n FROM events")
-def a3_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: COUNT(*) (output-sizing count, main_pipeline.py:226)."""
-    return load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
-
-
 @query(
-    "a4_cutoff_clamp",
+    "a1_a3_a4_scalar_aggs",
     oracle="""
-    SELECT least(greatest(max(ts), TIMESTAMP '2024-01-10 00:00:00'),
+    SELECT max(ts) AS max_ts, count(*) AS n,
+           least(greatest(max(ts), TIMESTAMP '2024-01-10 00:00:00'),
                  TIMESTAMP '2024-02-01 00:00:00') AS cutoff
     FROM events
     """,
 )
-def a4_cutoff_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: min/max clamp of the cutoff watermark
-    (main_pipeline.py:340-341) as a distributed expression."""
+def a1_a3_a4_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A3+A4 in one partial-aggregated pass: global MAX driving the
+    incremental cutoff (main_pipeline.py:339), COUNT(*) output sizing
+    (main_pipeline.py:226), and the min/max cutoff clamp
+    (main_pipeline.py:340-341) as a distributed expression. The
+    reference runs these as three separate driver jobs; one scan and a
+    one-row exchange covers all three."""
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
         F.least(
             F.greatest(F.max("ts"), F.lit("2024-01-10 00:00:00").cast("timestamp")),
             F.lit("2024-02-01 00:00:00").cast("timestamp"),
-        ).alias("cutoff")
+        ).alias("cutoff"),
     )
 
 
@@ -280,54 +276,53 @@ def a4_cutoff_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "u1_union_fold",
+    "u1_u2_union_suite",
     oracle="""
-    SELECT event_id, event_type FROM events WHERE event_type = 'click'
-    UNION ALL
-    SELECT event_id, event_type FROM events WHERE event_type = 'view'
-    UNION ALL
-    SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+    SELECT DISTINCT event_id, event_type FROM (
+      SELECT event_id, event_type FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE user_id < 75
+    )
     """,
 )
-def u1_union_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1: N-ary unionByName fold across per-month scans
-    (main_pipeline.py:301-303, bug-fixed as a fold per SURVEY §2.7)."""
+def u1_u2_union_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2+D2: N-ary unionByName fold across per-month scans
+    (main_pipeline.py:301-303, bug-fixed as a fold per SURVEY §2.7),
+    then positional union with history and full dedup — the idempotent
+    append path (main_pipeline.py:321-328). Catalyst flattens the
+    union tree into one multi-child Union feeding a single hash
+    aggregate."""
     ev = load_table(spark, sf_dir, "events")
     parts = [
         eq_filter(ev, "event_type", t).select("event_id", "event_type")
         for t in ("click", "view", "purchase")
     ]
-    return union_by_name_fold(parts)
-
-
-@query(
-    "u2_union_dedup",
-    oracle="""
-    SELECT DISTINCT event_id FROM (
-      SELECT event_id FROM events WHERE user_id < 75
-      UNION ALL
-      SELECT event_id FROM events
-    )
-    """,
-)
-def u2_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2+D2: positional union with history then dedup — the
-    idempotent append path (main_pipeline.py:321-328)."""
-    ev = load_table(spark, sf_dir, "events")
-    subset = ev.filter(F.col("user_id") < 75).select("event_id")
-    return full_dedup(union_positional(subset, ev.select("event_id")))
+    fold = union_by_name_fold(parts)
+    history = ev.filter(F.col("user_id") < 75).select("event_id", "event_type")
+    return full_dedup(union_positional(fold, history))
 
 
 # ------------------------------------------------------------- dedup
 
 
-@query("d1_key_dedup", oracle="SELECT DISTINCT user_id, ts FROM events")
-def d1_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1: keyed dedup — the reference's idempotency primitive
-    (dropDuplicates(["datetime"]), main_pipeline.py:328). Projected to
-    the key so the surviving row is well-defined for the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return key_dedup(ev.select("user_id", "ts"), ["user_id", "ts"])
+@query(
+    "a2_d1_d2_distinct_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def a2_d1_d2_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+D1+D2: key enumeration via DISTINCT (main_pipeline.py:309),
+    keyed dropDuplicates — the reference's idempotency primitive
+    (main_pipeline.py:328) — and whole-row distinct (prototype
+    drop_duplicates, Initial pipeline with pandas.txt:186). Keys cover
+    the projection, so key_dedup ∘ full_dedup is one well-defined
+    result; Catalyst collapses the adjacent duplicate aggregates into
+    one shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return full_dedup(key_dedup(ev, ["user_id", "event_type"]))
 
 
 @query(
@@ -346,13 +341,6 @@ def d1_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine uses wherever reproducibility matters."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return key_dedup_deterministic(ev, ["user_id"], "ts", keep="max")
-
-
-@query("d2_full_dedup", oracle="SELECT DISTINCT user_id, event_type FROM events")
-def d2_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2: whole-row distinct (prototype drop_duplicates, Initial
-    pipeline with pandas.txt:186)."""
-    return full_dedup(load_table(spark, sf_dir, "events").select("user_id", "event_type"))
 
 
 # ------------------------------------------------------------- sort
@@ -395,50 +383,45 @@ def w1_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f1_epoch_ms_roundtrip",
+    "f1_f3_time_fns",
     oracle="""
-    SELECT event_id, epoch_ms(ts) AS ts_ms, epoch_ms(epoch_ms(ts)) AS ts_restored
+    SELECT event_id, epoch_ms(ts) AS ts_ms, epoch_ms(epoch_ms(ts)) AS ts_restored,
+           ts - INTERVAL 5 HOUR AS site_ts
     FROM events
     """,
 )
-def f1_epoch_ms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F6: epoch-ms ↔ timestamp, integer-exact (vs the reference's
+def f1_f3_time_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F3: epoch-ms ↔ timestamp, integer-exact (vs the reference's
     lossy double division to_timestamp(t_stamp/1000),
-    main_pipeline.py:198)."""
+    main_pipeline.py:198), plus UTC instant → site wall-clock,
+    tz-naive (prototype's America/Bogota semantics, Initial pipeline
+    with pandas.txt:179; Bogota is fixed UTC-5, which the oracle
+    encodes literally)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         timestamp_to_epoch_ms("ts").alias("ts_ms"),
         epoch_ms_to_timestamp(timestamp_to_epoch_ms("ts")).alias("ts_restored"),
+        to_site_time("ts").alias("site_ts"),
     )
 
 
 @query(
-    "f3_site_timezone",
-    oracle="SELECT event_id, ts - INTERVAL 5 HOUR AS site_ts FROM events",
-)
-def f3_site_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: UTC instant → site wall-clock, tz-naive (prototype's
-    America/Bogota semantics, Initial pipeline with pandas.txt:179;
-    Bogota is fixed UTC-5, which the oracle encodes literally)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", to_site_time("ts").alias("site_ts"))
-
-
-@query(
-    "f4_f5_string_ops",
+    "f4_f6_string_date_fns",
     oracle="""
     SELECT event_id,
            regexp_replace(event_type, 'e', 'E', 'g') AS etype_upper_e,
            translate(event_type, 'aeiou', 'AEIOU') AS etype_vowels,
-           event_type || '_' || CAST(user_id AS VARCHAR) AS tag_name
+           event_type || '_' || CAST(user_id AS VARCHAR) AS tag_name,
+           strftime(ts, '%Y-%m-%d') AS day_str
     FROM events
     """,
 )
-def f4_f5_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4/F5: regex replace + translate + concat — distributed forms
-    of the reference's driver-side name mangling
-    (main_pipeline.py:309-311)."""
+def f4_f6_string_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5+F6: regex replace + translate + concat — distributed
+    forms of the reference's driver-side name mangling
+    (main_pipeline.py:309-311) — plus date formatting (reference
+    strptime/strftime driver logic, main_pipeline.py:337)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -447,37 +430,32 @@ def f4_f5_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("_", F.col("event_type"), F.col("user_id").cast("string")).alias(
             "tag_name"
         ),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
     )
 
 
 @query(
-    "f6_date_format",
-    oracle="SELECT event_id, strftime(ts, '%Y-%m-%d') AS day_str FROM events",
-)
-def f6_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: date formatting (reference strptime/strftime driver logic,
-    main_pipeline.py:337)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", F.date_format("ts", "yyyy-MM-dd").alias("day_str"))
-
-
-@query(
-    "f7_split_tokens",
+    "p11_drop_null_cols",
     oracle="""
-    SELECT p_partkey, split_part(p_name, ' ', 1) AS first_token,
-           translate(p_name, ' ', '_') AS flat_name
-    FROM part
+    SELECT event_id, value,
+           CASE WHEN value > 1 THEN value END AS partial_null
+    FROM events
     """,
 )
-def f7_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5/F7: split + flatten — tagpath "sensor/module/x" → "sensor_module_x"
-    name flattening (main_pipeline.py:309-311) over p_name."""
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
-        F.translate(F.col("p_name"), " ", "_").alias("flat_name"),
+def p11_drop_null_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: drop columns that are entirely null (prototype
+    dropna(axis=1, how='all'), Initial pipeline with pandas.txt:181).
+    A synthesized all-null column must be dropped while a
+    partially-null one survives — the distinction schema pruning
+    cannot make. One count-per-column aggregate then a select; the
+    extra pass is inherent (the output schema is data-dependent)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("value") > 1, F.col("value")).alias("partial_null"),
+        F.lit(None).cast("double").alias("all_null"),
     )
+    return drop_all_null_columns(ev)
 
 
 # ------------------------------------------------- incremental extract

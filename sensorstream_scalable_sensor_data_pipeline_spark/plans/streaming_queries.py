@@ -16,6 +16,8 @@ writer role).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,8 @@ from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import 
 #: deployments shrink this to bound state (the reference's analog is
 #: its 30-day lookback, main_pipeline.py:36).
 _NEVER_LATE = "3650 days"
+
+_mem_counter = itertools.count()
 
 
 @query(
@@ -147,3 +151,53 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = drain_to_memory(running, output_mode="update")
     # Last emission per key = final running total.
     return drained.groupBy("event_type").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_rate_source",
+    oracle="SELECT CAST(range AS BIGINT) AS bucket, CAST(100 AS BIGINT) AS n FROM range(5)",
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-file streaming source (BASELINE.json north star: "Kafka/IoT
+    sources"): the built-in ``rate-micro-batch`` generator plays the
+    IoT feed — the same declarative-source treatment a Kafka topic
+    gets via ``sources.readers.kafka_reader`` (no broker in this
+    container). Deterministic values (0,1,2,… per batch) make even a
+    *generator* stream hash-checkable: cap at value < 500, bucket by
+    value div 100, complete-mode aggregate → exactly five buckets of
+    100. The plan is the canonical ingest shape: source → filter →
+    keyed agg with partial aggregation; swapping in Kafka changes only
+    the source node."""
+    import time as _time
+
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    capped = raw.filter(F.col("value") < 500)
+    agg = capped.groupBy((F.col("value") / 100).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"ss_rate_{next(_mem_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    # The generator never ends; stop once the capped prefix is fully
+    # ingested (5 batches × 100 rows), bounded by a hard deadline.
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            got = spark.table(name).agg(F.sum("n").alias("s")).first()["s"]
+            if got == 500:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)

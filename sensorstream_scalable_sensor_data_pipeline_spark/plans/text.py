@@ -26,9 +26,9 @@ from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load
     "text_token_stats",
     oracle="""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS n_tokens,
            length(text) AS n_chars_actual,
-           CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS chars_per_token
+           CAST(length(text) AS DOUBLE) / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS chars_per_token
     FROM documents
     """,
 )
@@ -58,7 +58,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ['the','a','of','and','to','in','is','it','you','that'], t))) AS DOUBLE)
                / len(toks) AS stopword_ratio,
              CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks) AS mean_token_len
-      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\\s+') AS toks FROM documents)
     )
     """,
 )
@@ -89,7 +89,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) ORDER BY hits DESC, lang DESC LIMIT 1
              )
            END AS lang_pred
-    FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, text, string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\\s+') AS toks FROM documents)
     """,
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +105,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5,
-           list_aggregate(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+           list_aggregate(list_transform(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\\s+'),
                                          t -> md5(t)), 'min') AS min_token_md5
     FROM documents
     """,
@@ -171,7 +171,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATE_ORACLE = r"""
 WITH tk AS (
   SELECT doc_id, text,
-         string_split_regex(lower(trim(text)), '\s+') AS toks
+         string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
   FROM documents
 ), q AS (
   SELECT doc_id, text, toks,

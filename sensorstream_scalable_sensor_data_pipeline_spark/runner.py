@@ -113,15 +113,37 @@ def run_pipeline(
     increment = build_series(spark, cfg, cutoff)
 
     # 4. Idempotent merge + single partitioned write. Overwrite mode
-    # rewrites the full merged state; append mode writes the deduped
-    # increment only (the reference's 1st-of-month append, S6).
-    if existing is not None and cfg.write_mode == "overwrite":
-        merged = existing.unionByName(increment)
-    else:
-        merged = increment
+    # rewrites the full merged state. Append mode appends ONLY rows
+    # whose (sensor_id, datetime) key is not already materialized —
+    # the anti-join makes re-running the same increment a no-op (the
+    # cutoff's lookback window re-extracts up to lookback_days of
+    # already-written rows, so without the anti-join every append run
+    # would duplicate them; the reference instead unions with existing
+    # output and dedups before writing, main_pipeline.py:321-328).
+    # Policy: for a key already materialized, the existing row wins —
+    # history is immutable under append; overwrite applies keep="max".
     deduped = key_dedup_deterministic(
-        merged, ["sensor_id", "datetime"], "sensor_value", keep="max"
+        increment, ["sensor_id", "datetime"], "sensor_value", keep="max"
     )
+    if existing is not None and cfg.write_mode == "overwrite":
+        deduped = key_dedup_deterministic(
+            existing.unionByName(deduped),
+            ["sensor_id", "datetime"],
+            "sensor_value",
+            keep="max",
+        )
+    elif existing is not None:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import (
+            anti_filter,
+        )
+
+        # The existing key set is bounded by the lookback window: only
+        # keys at/after the cutoff can collide with the increment, so
+        # the anti-join's build side stays small at any history size.
+        recent_keys = existing.filter(F.col("datetime") >= F.lit(cutoff)).select(
+            "sensor_id", "datetime"
+        )
+        deduped = anti_filter(deduped, recent_keys, ["sensor_id", "datetime"])
     staging = out_data + "_staging" if cfg.write_mode == "overwrite" else out_data
     write_partitioned(
         deduped,
@@ -133,9 +155,14 @@ def run_pipeline(
     if staging != out_data:
         # Atomic-ish swap so a failed overwrite never destroys state
         # (object stores: write to a new prefix + flip a pointer).
+        # Crash-safe: clear any stale _old leftover from a run that
+        # died between renames (else os.rename onto a non-empty dir
+        # raises and wedges every subsequent run), and tolerate the
+        # window where out_data never existed.
         import shutil
 
         tmp = out_data + "_old"
+        shutil.rmtree(tmp, ignore_errors=True)
         if os.path.exists(out_data):
             os.rename(out_data, tmp)
         os.rename(staging, out_data)

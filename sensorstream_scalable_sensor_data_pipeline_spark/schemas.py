@@ -88,3 +88,22 @@ def enforce_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def drop_all_null_columns(df: DataFrame) -> DataFrame:
+    """Drop columns whose every value is NULL (P11 — prototype
+    ``dropna(axis=1, how='all')``, Initial pipeline with
+    pandas.txt:181).
+
+    Unlike ``enforce_schema`` (which prunes *undeclared* columns),
+    this prunes *declared but empty* ones. One ``count(col)``-per-
+    column aggregate (nulls excluded by COUNT semantics) — a single
+    scan with partial aggregation, one-row exchange — then a driver
+    select of the surviving columns. The extra job is inherent: the
+    output schema depends on the data.
+    """
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).first()
+    keep = [c for c in df.columns if counts[c] > 0]
+    return df.select(*keep)

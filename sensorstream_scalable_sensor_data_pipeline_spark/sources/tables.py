@@ -84,7 +84,14 @@ def load_events_range(
     raw = dict(df.dtypes).get("ts") == "bigint"
 
     def _ns(t: dt.datetime) -> int:
-        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1_000
+        # Integer epoch math: float .timestamp() has ~0.2µs resolution
+        # at 2024 epochs, which can land a bound 1µs off and shift the
+        # [low, high) boundary (ADVICE r1).
+        import calendar
+
+        return (
+            calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        ) * 1_000
 
     if raw:
         if low is not None:

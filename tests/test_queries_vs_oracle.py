@@ -26,6 +26,21 @@ def test_query_without_oracle_runs(name, spark, sf_dir):
     assert df.count() >= 0
 
 
+def test_w3_session_window_matches_oracle(spark, duck, sf_dir):
+    """w3 is oracle-checked here rather than via the registry: the
+    driver records only the first 50 registry entries, and w2 carries
+    the sessionization slot (bench head). Same sessions, native
+    session_window operator."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.analytics import (
+        W3_SESSION_WINDOW_ORACLE,
+        w3_session_window,
+    )
+
+    sdf = w3_session_window(spark, sf_dir).toPandas()
+    ddf = duck.sql(W3_SESSION_WINDOW_ORACLE).df()
+    assert_frames_match(sdf, ddf, "w3_session_window")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -50,6 +50,38 @@ def test_run_pipeline_idempotent(spark, sf_dir, tmp_path):
     assert s1 == s2
 
 
+def test_run_pipeline_idempotent_append(spark, sf_dir, tmp_path):
+    """Append mode must not duplicate rows on re-run: the lookback
+    window re-extracts already-materialized rows, and the anti-join
+    against recent materialized keys must drop them (ADVICE r1 high)."""
+    cfg = PipelineConfig(
+        input_dir=sf_dir, output_dir=str(tmp_path / "out"), write_mode="append"
+    )
+    r1 = run_pipeline(spark, cfg)
+    s1 = _snapshot(spark, r1["output"])
+    assert r1["rows"] == len(s1) > 0
+    r2 = run_pipeline(spark, cfg)
+    s2 = _snapshot(spark, r2["output"])
+    assert s1 == s2
+    r3 = run_pipeline(spark, cfg)
+    assert _snapshot(spark, r3["output"]) == s1
+
+
+def test_run_pipeline_recovers_from_stale_old_dir(spark, sf_dir, tmp_path):
+    """A run that died between the overwrite swap renames leaves
+    '<out>_old' behind; the next run must clear it and proceed."""
+    import os
+
+    cfg = PipelineConfig(input_dir=sf_dir, output_dir=str(tmp_path / "out"))
+    r1 = run_pipeline(spark, cfg)
+    s1 = _snapshot(spark, r1["output"])
+    stale = r1["output"] + "_old"
+    os.makedirs(os.path.join(stale, "junk"))  # non-empty stale dir
+    r2 = run_pipeline(spark, cfg)
+    assert _snapshot(spark, r2["output"]) == s1
+    assert not os.path.exists(stale)
+
+
 def test_run_pipeline_pattern_selection(spark, sf_dir, tmp_path):
     cfg = PipelineConfig(
         input_dir=sf_dir,
