@@ -1,0 +1,131 @@
+"""Scheduling analog of the reference's Airflow DAG (SURVEY §3.2).
+
+The reference's daily ``sensor_data_pipeline`` DAG (Airflow Dags.docx)
+contributes three orchestration behaviors the engine itself does not
+have:
+
+* ``max_active_runs=1`` — at most one pipeline run at a time;
+* ``retries=3`` with a delay — transient-failure tolerance;
+* ``write_mode='append'`` on the 1st of the month, else
+  ``'overwrite'`` (the ``get_config`` task's date switch).
+
+This module provides those behaviors as a minimal, dependency-free
+layer driving :func:`runner.run_pipeline`. It is NOT a scheduler —
+cron/Airflow/Dagster owns *when*; this owns the per-run contract
+(lock, retry, mode selection), which is exactly what the DAG's task
+code does around ``main_with_config``.
+
+Scale note: the run lock is a filesystem lock directory (atomic
+``mkdir``) next to the output — on an object store, replace with a
+conditional-put object; the semantics (acquire-or-fail, stale-age
+takeover) are the same.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+from collections.abc import Callable
+from dataclasses import replace
+from typing import Any
+
+from sensorstream_scalable_sensor_data_pipeline_spark.config import PipelineConfig
+
+
+class RunLockHeld(RuntimeError):
+    """Another active run holds the lock (``max_active_runs=1``)."""
+
+
+class RunLock:
+    """Filesystem run lock: atomic ``mkdir`` acquire, stale takeover.
+
+    Mirrors ``max_active_runs=1`` (Airflow Dags.docx DAG args): a
+    second concurrent run fails fast instead of racing the writer. A
+    lock older than ``stale_after_s`` is presumed dead (the DAG's
+    2-hour ``execution_timeout``) and is taken over.
+    """
+
+    def __init__(self, lock_dir: str, stale_after_s: float = 2 * 3600) -> None:
+        self.lock_dir = lock_dir
+        self.stale_after_s = stale_after_s
+
+    def __enter__(self) -> "RunLock":
+        try:
+            os.makedirs(self.lock_dir, exist_ok=False)
+        except FileExistsError:
+            age = time.time() - os.path.getmtime(self.lock_dir)
+            if age < self.stale_after_s:
+                raise RunLockHeld(
+                    f"lock {self.lock_dir} held (age {age:.0f}s); "
+                    "max_active_runs=1"
+                ) from None
+            # Stale: previous run exceeded its timeout — take over.
+            os.utime(self.lock_dir)
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        try:
+            os.rmdir(self.lock_dir)
+        except OSError:
+            pass
+
+
+def write_mode_for(run_date: dt.date) -> str:
+    """The DAG's date switch (Airflow Dags.docx ``get_config``):
+    append on the 1st of the month, overwrite otherwise."""
+    return "append" if run_date.day == 1 else "overwrite"
+
+
+def retry(
+    fn: Callable[[], Any],
+    retries: int = 3,
+    delay_s: float = 0.0,
+    backoff: float = 2.0,
+) -> Any:
+    """Run ``fn`` with up to ``retries`` retries and exponential
+    backoff (DAG ``retries=3`` / ``retry_delay``). Re-raises the last
+    error. A held run lock is NOT retried — a concurrent run is not a
+    transient fault."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except RunLockHeld:
+            raise
+        except Exception:
+            attempt += 1
+            if attempt > retries:
+                raise
+            if delay_s:
+                time.sleep(delay_s * backoff ** (attempt - 1))
+
+
+def scheduled_run(
+    spark,
+    cfg: PipelineConfig,
+    run_date: dt.date | None = None,
+    retries: int = 3,
+    retry_delay_s: float = 0.0,
+    run_fn: Callable[..., dict] | None = None,
+) -> dict:
+    """One scheduled pipeline execution with the DAG's contract:
+    lock → date-based write mode → retried run → stats.
+
+    ``run_fn`` is injectable for tests; defaults to
+    :func:`runner.run_pipeline`.
+    """
+    if run_fn is None:
+        from sensorstream_scalable_sensor_data_pipeline_spark.runner import run_pipeline
+
+        run_fn = run_pipeline
+    run_date = run_date or dt.date.today()
+    cfg = replace(cfg, write_mode=write_mode_for(run_date))
+    lock = RunLock(os.path.join(cfg.output_dir, "_run_lock"))
+    with lock:
+        stats = retry(
+            lambda: run_fn(spark, cfg),
+            retries=retries,
+            delay_s=retry_delay_s,
+        )
+    return {**stats, "write_mode": cfg.write_mode, "run_date": run_date.isoformat()}

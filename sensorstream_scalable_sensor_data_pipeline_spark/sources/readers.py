@@ -106,3 +106,50 @@ def jdbc_read_options(
 def read_jdbc(spark: SparkSession, **options: str) -> DataFrame:
     """Execute a JDBC scan from ``jdbc_read_options`` output."""
     return spark.read.format("jdbc").options(**options).load()
+
+
+def kafka_read_options(
+    bootstrap_servers: str,
+    topics: str | Sequence[str],
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Streaming-source option dict for a Kafka topic subscription —
+    the ingestion edge of the reference's architecture
+    (Architecture.png; BASELINE.json north star "Kafka/IoT sources"),
+    given the same declarative treatment as ``jdbc_read_options``: the
+    dict is unit-testable without a broker, and the read itself is one
+    ``readStream.format("kafka")`` away.
+
+    ``max_offsets_per_trigger`` bounds micro-batch size — the
+    streaming analog of JDBC ``fetchsize``: at 100 TB/day topics it is
+    what keeps a recovering stream from pulling an unbounded backlog
+    into one batch.
+    """
+    if not isinstance(topics, str):
+        topics = ",".join(topics)
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_kafka_stream(spark: SparkSession, **options: str) -> DataFrame:
+    """Open the Kafka stream from ``kafka_read_options`` output.
+
+    Returns the raw Kafka frame (key/value binary + topic/partition/
+    offset/timestamp); callers parse ``value`` with ``from_json`` /
+    ``from_csv`` against an explicit schema and continue through the
+    same watermark → dedup → ``foreachBatch`` path as the file source
+    (streaming/pipeline.py). Requires the spark-sql-kafka package on
+    the classpath; no broker ships in this container, so only the
+    option dict is exercised by tests here.
+    """
+    return spark.readStream.format("kafka").options(**options).load()

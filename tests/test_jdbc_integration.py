@@ -1,0 +1,139 @@
+"""S2/S3 executed-path integration test: the engine's JDBC face
+against an embedded DuckDB database over the public
+``org.duckdb:duckdb_jdbc`` driver.
+
+Covers the reference's live-database path end-to-end
+(main_pipeline.py:147-169, 283-286): information_schema catalog scan →
+driver-side month-table pruning → per-table pushed-query JDBC scans →
+``unionByName`` fold → range-partitioned parallel read.
+
+Runs in a subprocess because the driver jar must be on the JVM
+classpath at session creation, and the shared test session is already
+running. Skips (with reason) when no cached driver jar is present —
+the option-dict unit tests still cover the declarative surface.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+
+def _find_driver_jar() -> str | None:
+    for root in ("~/.cache/coursier", "~/.m2", "~/.ivy2"):
+        hits = glob.glob(
+            os.path.join(os.path.expanduser(root), "**", "duckdb_jdbc*.jar"),
+            recursive=True,
+        )
+        if hits:
+            return hits[0]
+    return None
+
+
+_CHILD = textwrap.dedent(
+    """
+    import datetime as dt, json, os, sys
+    sys.path.insert(0, sys.argv[1])
+    jar, db = sys.argv[2], sys.argv[3]
+
+    import duckdb
+    con = duckdb.connect(db)
+    for ym, n in (("2023_12", 40), ("2024_01", 100), ("2024_02", 50)):
+        con.execute(
+            f"CREATE TABLE sensor_raw_{ym} AS "
+            f"SELECT range AS tagid, range * 1000 AS t_stamp, "
+            f"range * 1.5 AS value, 1 AS dataintegrity FROM range({n})"
+        )
+    con.close()
+
+    from pyspark.sql import SparkSession
+    spark = (
+        SparkSession.builder.master("local[4]").appName("jdbc-it")
+        .config("spark.jars", jar)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.catalog import (
+        prune_month_tables, union_month_tables,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
+        jdbc_read_options, read_jdbc,
+    )
+
+    url = f"jdbc:duckdb:{db}"
+
+    def jdbc(query, **kw):
+        opts = jdbc_read_options(url, query, user="", password="",
+                                 partition_column=None, **kw)
+        opts["driver"] = "org.duckdb.DuckDBDriver"
+        return read_jdbc(spark, **opts)
+
+    # S4 over JDBC: catalog scan exactly like main_pipeline.py:283-286.
+    names = [
+        r[0] for r in jdbc(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    ]
+    # F7: prune by cutoff month (2024-01-15 keeps 2024_01 + 2024_02).
+    keep = prune_month_tables(names, "sensor_raw", dt.datetime(2024, 1, 15))
+    # S2 + U1: pushed per-table query, fold of unionByName.
+    scans = [
+        jdbc(f"SELECT tagid, value FROM {t} WHERE dataintegrity <> 0")
+        for t in keep
+    ]
+    unioned = union_month_tables(scans)
+
+    # S3: range-partitioned parallel read of one month table.
+    popts = jdbc_read_options(
+        url, "", user="", password="",
+        partition_column="tagid", lower_bound=0, upper_bound=100,
+        num_partitions=4,
+    )
+    del popts["query"]
+    popts.update(dbtable="sensor_raw_2024_01", driver="org.duckdb.DuckDBDriver")
+    part = read_jdbc(spark, **popts)
+
+    print(json.dumps({
+        "names": sorted(names),
+        "keep": keep,
+        "union_rows": unioned.count(),
+        "part_rows": part.count(),
+        "part_n": part.rdd.getNumPartitions(),
+    }))
+    spark.stop()
+    """
+)
+
+
+@pytest.mark.skipif(
+    _find_driver_jar() is None,
+    reason="no duckdb_jdbc driver jar in local maven/coursier cache",
+)
+def test_jdbc_month_table_flow(tmp_path):
+    jar = _find_driver_jar()
+    db = str(tmp_path / "it.db")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, repo, jar, db],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["names"] == [
+        "sensor_raw_2023_12", "sensor_raw_2024_01", "sensor_raw_2024_02"
+    ]
+    assert out["keep"] == ["sensor_raw_2024_01", "sensor_raw_2024_02"]
+    assert out["union_rows"] == 150  # 100 + 50; 2023_12 pruned
+    assert out["part_rows"] == 100
+    assert out["part_n"] == 4
