@@ -41,6 +41,28 @@ def test_w3_session_window_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "w3_session_window")
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """The trained-quantizer ANN must actually find neighbors: recall@5
+    against the exact brute-force ranking. nprobe=2 of k=10
+    strided-seed trained centroids recovers nearly all of the true
+    top-5 (measured 1.00 at sf0.001, 0.96 at sf0.01)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        sim_ann_ivf,
+        sim_topk_cosine,
+    )
+
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in sim_topk_cosine(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["nbr_id"]) for r in sim_ann_ivf(spark, sf_dir).collect()
+    }
+    assert exact, "exact baseline returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
