@@ -10,9 +10,9 @@ Scale design, common to all four:
   100 TB the candidate join is an ordinary keyed shuffle —
   AQE-skew-splittable — while an all-pairs cross join would be
   O(n²) and dead on arrival.
-* **Deterministic hashing.** MinHash permutations are md5 over a
-  seed-prefixed shingle; the *string* minimum is the signature
-  element. String-domain minhash keeps every step expressible in
+* **Deterministic hashing.** MinHash permutations are a universal
+  affine family over a single md5-derived 28-bit base hash per
+  shingle (``MINHASH_A``/``MINHASH_B``); every step is expressible in
   both Spark and ANSI SQL (oracle-checkable) with zero UDFs.
 * **Staged projections, flat lambdas.** Every expensive array
   expression (tokens, shingles, signatures) is materialized as its
@@ -43,6 +43,17 @@ NUM_PERMS = 12
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 SHINGLE_SIZE = 3
+
+# Universal-hash permutation family: each shingle is md5'd ONCE to a
+# 28-bit integer h (7 hex digits — keeps a_s·h < 2^59, no overflow in
+# either engine), then permuted by s affine maps (a_s·h + b_s) mod P.
+# 12× cheaper than md5-per-permutation (the round-1 scheme; measured
+# as the dominant cost of dedup_minhash_lsh) and still bit-replayable
+# in DuckDB: ('0x'||substr(md5(x),1,7))::BIGINT equals Spark's
+# conv(substr(md5(x),1,7),16,10) (verified).
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+MINHASH_A = tuple((2_654_435_761 * (s + 1)) % MINHASH_P for s in range(NUM_PERMS))
+MINHASH_B = tuple((40_503 * (2 * s + 1)) % MINHASH_P for s in range(NUM_PERMS))
 
 
 def shingle_expr(tk: Column, k: int = SHINGLE_SIZE) -> Column:
@@ -86,13 +97,15 @@ def minhash_signatures(
     num_perms: int = NUM_PERMS,
     shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig) where sig[s] = min over shingles of md5(s ':' shingle).
+    """(id, sig) where sig[s] = min over shingles of the s-th affine
+    permutation of the shingle's 28-bit md5-derived hash.
 
-    Shape: explode(shingles) → one hash aggregate computing all
-    ``num_perms`` MINs in parallel (partial aggregation collapses the
-    per-doc shingle fan-out map-side, so the shuffle carries one
-    ~`num_perms`×32-byte row per doc). md5 is a fine permutation proxy
-    and the lexicographic min over hex strings is engine-portable.
+    Shape: explode(shingles) → ONE md5 per shingle → ``num_perms``
+    integer affine maps → one hash aggregate computing all the MINs in
+    parallel (partial aggregation collapses the per-doc shingle
+    fan-out map-side, so the shuffle carries one ~`num_perms`×8-byte
+    row per doc). Signature elements are stringified for the band
+    hash; the MIN itself runs on integers.
 
     Pass a (persisted) ``shingle_df`` of (id, ss) to reuse shingles
     computed elsewhere in the same plan — tokenization is the hot
@@ -106,16 +119,25 @@ def minhash_signatures(
     exploded = base.select(F.col(id_col), F.explode("ss").alias("g"))
     hashed = exploded.select(
         F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+    permed = hashed.select(
+        F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"h{s}")
+            ((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)).alias(
+                f"h{s}"
+            )
             for s in range(num_perms)
         ],
     )
-    agg = hashed.groupBy(id_col).agg(
+    agg = permed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_perms)]
     )
     return agg.select(
-        F.col(id_col), F.array(*[F.col(f"m{s}") for s in range(num_perms)]).alias("sig")
+        F.col(id_col),
+        F.array(
+            *[F.col(f"m{s}").cast("string") for s in range(num_perms)]
+        ).alias("sig"),
     )
 
 

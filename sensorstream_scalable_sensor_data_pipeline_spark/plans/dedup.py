@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     minhash_lsh_candidates,
     shingle_jaccard,
     simhash_md5,
@@ -91,16 +94,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_A_SQL = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=r"""
     WITH """ + _TOKS_CTE + r""",
+    hh AS (
+      SELECT doc_id,
+             list_transform(ss,
+               x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) AS hv
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              list_transform(generate_series(0, 11),
-               s -> list_min(list_transform(ss,
-                      x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
-      FROM sh
+               s -> CAST(list_min(list_transform(hv,
+                      h -> ((""" + _MINHASH_A_SQL + r""")[s + 1] * h
+                            + (""" + _MINHASH_B_SQL + r""")[s + 1])
+                           % """ + str(MINHASH_P) + r""")) AS VARCHAR)) AS sig
+      FROM hh
     ),
     bands AS (
       SELECT doc_id, b,
