@@ -52,6 +52,10 @@ HEADLINE = [
     "stream_hourly_rollup",
     "q6_forecast_revenue",
     "docs_curate_corpus",
+    # Round 2: ANN heads added once driver-green (r1 judge #9); the 17
+    # heads above are unchanged for round-over-round comparability.
+    "sim_ann_ivf",
+    "sim_ann_signlsh",
 ]
 
 

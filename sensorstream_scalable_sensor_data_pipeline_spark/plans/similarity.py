@@ -169,16 +169,19 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K) -> list:
     cent0 = spark.createDataFrame(
         [(j, seeds[j]) for j in range(len(seeds))], "j int, c array<double>"
     )
+    # Argmin as a min_by aggregate (ties → smaller j via struct
+    # ordering): partial aggregation collapses the ×k fan-out map-side,
+    # so the shuffle carries one row per vector — cheaper than a
+    # row_number window, which shuffles and sorts all k rows per key.
     d0 = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent0)).select(
-        "vec_id", "embedding", "j", _grid_l2(F.col("embedding"), F.col("c")).alias("dist")
+        "vec_id", "j", _grid_l2(F.col("embedding"), F.col("c")).alias("dist")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "j")
-    a0 = (
-        d0.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("j", "embedding")
+    a0 = d0.groupBy("vec_id").agg(
+        F.min_by("j", F.struct("dist", "j")).alias("j")
     )
-    gexp = a0.select(
+    # Join the embeddings back for the update (keyed equi-join; the
+    # crossJoin above never carries the 64-double payload ×k).
+    gexp = a0.join(emb.select("vec_id", "embedding"), "vec_id").select(
         "j",
         F.posexplode(
             F.transform(
@@ -291,18 +294,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs, corpus = _queries_and_corpus(spark, sf_dir)
 
-    w = Window.partitionBy("vec_id").orderBy("dist", "j")
     corpus_d = (
         emb.select(F.col("vec_id"), "embedding")
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "j", _grid_l2(F.col("embedding"), F.col("c")).alias("dist"))
     )
+    # Corpus assignment: min_by partial aggregate (one row per vector
+    # leaves each task); the window form would shuffle+sort all k rows
+    # per key. Probing ranks only the query subset (~1% of rows) — a
+    # window there is negligible.
     assigned = (
-        corpus_d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        corpus_d.groupBy("vec_id")
+        .agg(F.min_by("j", F.struct("dist", "j")).alias("j"))
         .select(F.col("vec_id").alias("nbr_id"), "j")
         .join(corpus, "nbr_id")
     )
+    w = Window.partitionBy("vec_id").orderBy("dist", "j")
     probes = (
         corpus_d.filter(F.expr(_QUERY_PRED))
         .withColumn("rn", F.row_number().over(w))

@@ -75,7 +75,13 @@ def drain_to_memory(
     sdf: DataFrame, output_mode: str, await_seconds: int = 300
 ) -> DataFrame:
     """Run a bounded stream to completion into a memory sink
-    (``availableNow`` trigger) and return the drained result table."""
+    (``availableNow`` trigger) and return the drained result table.
+
+    ORACLE HARNESS ONLY: a memory sink materializes the whole result
+    in driver memory — with ``output_mode="complete"`` that is the
+    full aggregate state, a driver OOM at 100× scale. The production
+    sink is :func:`drain_to_parquet` (checkpointed ``foreachBatch``,
+    append semantics, executor-side writes)."""
     name = f"ss_drain_{next(_mem_counter)}"
     q = (
         sdf.writeStream.format("memory")
