@@ -73,3 +73,47 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "s1_scan_project")
     # ReadSchema must not contain the unused wide columns
     assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_compound_filter_conjunction_pushed(spark, sf_dir):
+    """p4+p5 merged: BOTH predicates must still reach the scan as a
+    pushed conjunction — merging queries must not cost pushdown."""
+    plan = _plan(spark, sf_dir, "p4_p5_filters")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "EqualTo(event_type,click)" in pushed, pushed
+    assert "Not(EqualTo(value,0.0))" in pushed, pushed
+
+
+def test_union_suite_flattens(spark, sf_dir):
+    """The U1 fold + U2 positional union must plan as ONE multi-child
+    Union feeding a single dedup aggregate — not a left-deep chain of
+    binary unions with separate exchanges."""
+    plan = _plan(spark, sf_dir, "u1_u2_union_suite")
+    assert plan.count("Union") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scalar_agg_suite_single_exchange(spark, sf_dir):
+    """A1+A3+A4 in one pass: partial aggregation means the exchange
+    carries one row per task — exactly one single-partition exchange."""
+    plan = _plan(spark, sf_dir, "a1_a3_a4_scalar_aggs")
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivf_probe_join_is_keyed(spark, sf_dir):
+    """The ANN scoring join must be a keyed (hash) join on the centroid
+    id — the k-way assignment crossJoin against the tiny centroid table
+    is the only nested-loop allowed."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        sim_ann_ivf,
+    )
+
+    plan = (
+        sim_ann_ivf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
