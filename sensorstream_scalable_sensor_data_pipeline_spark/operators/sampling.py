@@ -1,0 +1,68 @@
+"""Deterministic sampling & dataset splitting (§2.12 extension).
+
+Training-data pipelines need *reproducible* subsetting: the same
+document must land in the same split on every run, on any cluster, at
+any partitioning — otherwise incremental re-runs leak holdout data
+into training. Spark's ``sample``/``sampleBy`` are seeded-random per
+partition (repartition → different sample), so the engine uses
+content-keyed hash bucketing instead: bucket = first 7 md5 hex digits
+of the key as an integer, mod 1000. Pure column math — no shuffle, no
+UDF, stable across engines (the same conv/substr/md5 identity the
+MinHash family uses, verified bit-identical in DuckDB).
+
+Scale notes: both operators are scan-speed map-side projections or
+filters; a split/sample of a 100 TB corpus reads and writes but never
+shuffles. Per-mille granularity bounds quantization error at 0.1%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Per-mille bucket space: 0.1% granularity.
+BUCKETS = 1000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Deterministic [0, buckets) bucket from a key column (any type;
+    cast to string first). DuckDB twin:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10).cast("long")
+    return h % F.lit(buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    holdout_per_mille: int = 100,
+    out: str = "split",
+) -> DataFrame:
+    """Reproducible train/holdout split: rows whose key bucket falls
+    below ``holdout_per_mille`` are 'holdout', the rest 'train'.
+    Content-keyed, so re-ingested or re-partitioned data keeps its
+    assignment — the split is a property of the data, not of the run."""
+    b = hash_bucket(F.col(key_col))
+    return df.withColumn(
+        out,
+        F.when(b < holdout_per_mille, F.lit("holdout")).otherwise(F.lit("train")),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions_per_mille: dict[str, int],
+    default_per_mille: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its key
+    bucket < the stratum's per-mille fraction. The declarative,
+    reproducible form of ``sampleBy`` — rebalancing a skewed corpus
+    (e.g. downsample boilerplate-heavy domains) without randomness.
+    Unknown strata fall back to ``default_per_mille``."""
+    b = hash_bucket(F.col(key_col))
+    thresh = F.lit(default_per_mille)
+    for stratum, pm in sorted(fractions_per_mille.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(pm)).otherwise(thresh)
+    return df.filter(b < thresh)

@@ -1,0 +1,75 @@
+"""Deterministic sampling/split operators: DuckDB oracle parity plus
+the reproducibility properties that motivate them (registry is at the
+driver's 50-row cap, so these are local-oracle checks — same rigor,
+pytest-carried)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+    hash_split,
+    stratified_hash_sample,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+from tests.oracle_check import assert_frames_match
+
+_BUCKET_SQL = "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000)"
+
+
+def test_hash_split_matches_oracle(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = hash_split(docs, "doc_id", holdout_per_mille=100).select(
+        "doc_id", "split"
+    ).toPandas()
+    ddf = duck.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN {_BUCKET_SQL} < 100 THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+        """
+    ).df()
+    assert_frames_match(sdf, ddf, "hash_split")
+    # both classes non-empty and holdout is minority at 10%
+    counts = dict(sdf.groupby("split").size())
+    assert 0 < counts.get("holdout", 0) < counts["train"]
+
+
+def test_hash_split_stable_under_repartition(spark, sf_dir):
+    """The property sample()/randomSplit() lack: assignment survives
+    arbitrary repartitioning — it is a function of the data only."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(17), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_matches_oracle(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang_bucket",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+    )
+    sdf = stratified_hash_sample(
+        docs, "doc_id", "lang_bucket", {"even": 500, "odd": 100}
+    ).select("doc_id", "lang_bucket").toPandas()
+    ddf = duck.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS lang_bucket
+        FROM documents
+        WHERE {_BUCKET_SQL} <
+              CASE WHEN doc_id % 2 = 0 THEN 500 ELSE 100 END
+        """
+    ).df()
+    assert_frames_match(sdf, ddf, "stratified_hash_sample")
+    # the even stratum must be sampled ~5x heavier than the odd one
+    counts = dict(sdf.groupby("lang_bucket").size())
+    assert counts["even"] > counts.get("odd", 0)
