@@ -333,17 +333,38 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
-# Sign-LSH: bucket = sign bits of the first 8 dimensions. A random-
-# hyperplane LSH with axis-aligned planes — deterministic, engine-
-# portable, and a real bucketing scheme for unit-ish embeddings.
+# Sign-LSH: genuine random-hyperplane LSH with deterministic
+# Rademacher planes. Plane p is the ±1 vector whose i-th component is
+# +1 iff the first hex digit of md5("p:i") is odd — a seeded
+# pseudo-random rotation both engines can reproduce (the r1 version
+# used axis-aligned planes, i.e. only the first 8 raw dimensions; a
+# Rademacher projection mixes ALL dimensions into every bit, the real
+# Charikar construction). The projection v·r_p is computed on the
+# exact µ-grid (floor(±x·GRID) summed as BIGINT) so the SIGN of a
+# near-zero projection is identical across engines — float summation
+# order could flip it.
 _SIGN_BITS = 8
 
 
-def _sign_bucket(emb) -> F.Column:
-    bits = [
-        F.when(emb[i].cast("double") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(_SIGN_BITS)
-    ]
+def _plane_sign(p: int, i: int) -> int:
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+
+
+def _sign_bucket(emb, dim: int) -> F.Column:
+    bits = []
+    for p in range(_SIGN_BITS):
+        planes = F.array(*[F.lit(float(_plane_sign(p, i))) for i in range(dim)])
+        terms = F.zip_with(
+            emb,
+            planes,
+            lambda x, s: F.floor(s * x.cast("double") * F.lit(1_000_000.0)).cast(
+                "long"
+            ),
+        )
+        dot = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
@@ -351,9 +372,18 @@ def _sign_bucket(emb) -> F.Column:
 
 
 def _sign_bucket_sql(e: str) -> str:
+    def dot(p: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({e})), i ->"
+            f" CAST(FLOOR((CASE WHEN CAST(concat('0x',"
+            f" substr(md5(concat('{p}', ':', CAST(i - 1 AS VARCHAR))), 1, 1))"
+            f" AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+            f" * CAST({e}[i] AS DOUBLE) * {_GRID_LIT}) AS BIGINT)))"
+        )
+
     terms = " + ".join(
-        f"(CASE WHEN CAST({e}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(_SIGN_BITS)
+        f"(CASE WHEN {dot(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_SIGN_BITS)
     )
     return f"({terms})"
 
@@ -376,15 +406,19 @@ def _sign_bucket_sql(e: str) -> str:
     """,
 )
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-sign LSH top-k: 8 sign bits of the leading
-    dimensions form a 256-way bucket key; score only same-bucket
-    pairs. Deterministic axis-aligned planes keep it oracle-checkable;
-    production would rotate with a seeded random matrix (same plan
-    shape — the bucket id is still a per-row codegen expression
-    feeding one keyed join)."""
+    """Random-hyperplane (Charikar) sign-LSH top-k: 8 deterministic
+    Rademacher planes project every dimension into each sign bit; the
+    8-bit code is a 256-way bucket key and only same-bucket pairs are
+    scored. The seeded ±1 planes are reproduced from md5 in both
+    engines and the projections use exact grid sums, so even the
+    bucketing is oracle-checkable. Same plan shape as any blocked
+    join: per-row codegen bucket id feeding one keyed join."""
     qs, corpus = _queries_and_corpus(spark, sf_dir)
-    qs = qs.withColumn("bucket", _sign_bucket(F.col("q_emb")))
-    corpus = corpus.withColumn("bucket", _sign_bucket(F.col("c_emb")))
+    dim = len(
+        load_table(spark, sf_dir, "embeddings").select("embedding").first()["embedding"]
+    )
+    qs = qs.withColumn("bucket", _sign_bucket(F.col("q_emb"), dim))
+    corpus = corpus.withColumn("bucket", _sign_bucket(F.col("c_emb"), dim))
     scored = (
         F.broadcast(qs)
         .join(corpus, ["bucket"])
