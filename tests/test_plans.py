@@ -101,6 +101,34 @@ def test_scalar_agg_suite_single_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_month_partition_pruning(spark, sf_dir, tmp_path):
+    """X9: the idiomatic replacement for the reference's table-per-month
+    scheme (filter_tables name parsing, main_pipeline.py:179-187) is a
+    (year, month)-partitioned dataset — a month predicate must prune at
+    PLANNING time (PartitionFilters), scanning only the matching
+    directories."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "year", F.year("ts")
+    ).withColumn("month", F.month("ts"))
+    out = str(tmp_path / "events_by_month")
+    write_partitioned(ev, out, ["year", "month"])
+
+    got = spark.read.parquet(out).filter("year = 2024 AND month = 1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "year" in pf and "month" in pf, plan
+    # and the pruned scan agrees with the unpruned filter
+    expect = ev.filter("year = 2024 AND month = 1").count()
+    assert got.count() == expect > 0
+
+
 def test_ivf_probe_join_is_keyed(spark, sf_dir):
     """The ANN scoring join must be a keyed (hash) join on the centroid
     id — the k-way assignment crossJoin against the tiny centroid table
