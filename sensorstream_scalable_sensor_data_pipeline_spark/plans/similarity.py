@@ -346,16 +346,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIGN_BITS = 8
 
 
-def _plane_sign(p: int, i: int) -> int:
+def _plane_sign(p: int, i: int, table: int = 0) -> int:
     import hashlib
 
-    return 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+    key = f"{p}:{i}" if table == 0 else f"{table}:{p}:{i}"
+    return 1 if int(hashlib.md5(key.encode()).hexdigest()[0], 16) % 2 else -1
 
 
-def _sign_bucket(emb, dim: int) -> F.Column:
+def _sign_bucket(emb, dim: int, table: int = 0, n_bits: int = _SIGN_BITS) -> F.Column:
     bits = []
-    for p in range(_SIGN_BITS):
-        planes = F.array(*[F.lit(float(_plane_sign(p, i))) for i in range(dim)])
+    for p in range(n_bits):
+        planes = F.array(
+            *[F.lit(float(_plane_sign(p, i, table))) for i in range(dim)]
+        )
         terms = F.zip_with(
             emb,
             planes,
@@ -423,6 +426,57 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qs)
         .join(corpus, ["bucket"])
         .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                grid_dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+            ).alias("cosine"),
+        )
+    )
+    return _topk(scored)
+
+
+def sim_signlsh_multitable(
+    spark: SparkSession, sf_dir: str, n_tables: int = 4, n_bits: int = _SIGN_BITS
+) -> DataFrame:
+    """OR-amplified sign-LSH: L independent Rademacher hash tables,
+    candidates = union of same-bucket pairs across tables (the
+    standard LSH recall amplifier — a true neighbor is missed only if
+    it separates from the query in EVERY table, so miss probability
+    decays exponentially in L). Not registered (the registry sits at
+    the driver's 50-row cap); recall uplift over the single-table
+    query is pinned by tests/test_queries_vs_oracle.py.
+
+    Scale shape: each table contributes one keyed equi-join on its
+    bucket id — L ordinary shuffles, unioned and deduped on the pair
+    key. Candidate volume grows ~linearly in L while recall approaches
+    1; verification (exact cosine) still touches candidates only."""
+    qs, corpus = _queries_and_corpus(spark, sf_dir)
+    dim = len(
+        load_table(spark, sf_dir, "embeddings").select("embedding").first()["embedding"]
+    )
+    pair_lists = []
+    for t in range(n_tables):
+        q_t = qs.withColumn(
+            "bucket", _sign_bucket(F.col("q_emb"), dim, table=t, n_bits=n_bits)
+        )
+        c_t = corpus.withColumn(
+            "bucket", _sign_bucket(F.col("c_emb"), dim, table=t, n_bits=n_bits)
+        )
+        pair_lists.append(
+            F.broadcast(q_t.select("query_id", "bucket"))
+            .join(c_t.select("nbr_id", "bucket"), ["bucket"])
+            .filter(F.col("nbr_id") != F.col("query_id"))
+            .select("query_id", "nbr_id")
+        )
+    from functools import reduce
+
+    cands = reduce(lambda a, b: a.unionByName(b), pair_lists).distinct()
+    scored = (
+        cands.join(F.broadcast(qs), "query_id")
+        .join(corpus, "nbr_id")
         .select(
             "query_id",
             "nbr_id",

@@ -63,6 +63,41 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_signlsh_multitable_amplification(spark, sf_dir):
+    """OR-amplification: unioning candidates from L independent
+    Rademacher tables must not lose recall vs one table and must
+    strictly add candidate coverage (miss probability decays
+    exponentially in L)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        sim_ann_signlsh,
+        sim_signlsh_multitable,
+        sim_topk_cosine,
+    )
+
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in sim_topk_cosine(spark, sf_dir).collect()
+    }
+    # 4-bit buckets: at the tiny test sf an 8-bit code shatters the
+    # corpus into singleton buckets (zero recall for ANY L) — bucket
+    # width is the precision dial, table count the recall dial.
+    one = {
+        (r["query_id"], r["nbr_id"])
+        for r in sim_signlsh_multitable(spark, sf_dir, n_tables=1, n_bits=4).collect()
+    }
+    four = {
+        (r["query_id"], r["nbr_id"])
+        for r in sim_signlsh_multitable(spark, sf_dir, n_tables=4, n_bits=4).collect()
+    }
+    r1 = len(exact & one) / len(exact)
+    r4 = len(exact & four) / len(exact)
+    assert r4 >= r1, (r1, r4)
+    assert r4 > 0, "amplified LSH found nothing"
+    # the registered single-table 8-bit query still runs (oracle-
+    # checked elsewhere); amplification is the scale lever on top
+    assert sim_ann_signlsh(spark, sf_dir).count() >= 0
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
