@@ -194,31 +194,6 @@ def minhash_lsh_candidates(
     )
 
 
-def ngram_jaccard(
-    pairs: DataFrame,
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-) -> DataFrame:
-    """Exact verification: token-set Jaccard for each candidate pair.
-    ``pairs`` has (id_a, id_b); result adds ``jaccard``. Two joins
-    pull the token sets in; the set algebra is array_intersect/
-    array_union column math over materialized attributes."""
-    toks = docs.select(
-        F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk")
-    ).select(F.col(id_col), F.array_distinct(F.col("_tk")).alias("tokset"))
-    out = pairs.join(
-        toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokset", "ts_a"),
-        "id_a",
-    ).join(
-        toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokset", "ts_b"),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
-    union = F.size(F.array_union(F.col("ts_a"), F.col("ts_b")))
-    return out.select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
-
-
 def shingle_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

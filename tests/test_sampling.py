@@ -73,3 +73,25 @@ def test_stratified_sample_matches_oracle(spark, duck, sf_dir):
     # the even stratum must be sampled ~5x heavier than the odd one
     counts = dict(sdf.groupby("lang_bucket").size())
     assert counts["even"] > counts.get("odd", 0)
+
+
+def test_simhash64_fast_path(spark, sf_dir):
+    """The xxhash64 simhash variant (engine-native fast path; DuckDB
+    cannot replay xxhash64, so no oracle) must behave like a simhash:
+    one 64-bit code per doc, identical content -> identical code ->
+    hamming 0 through the candidate join."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        simhash_candidates,
+        simhash64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    sh = simhash64(both, "doc_id", "text")
+    assert sh.count() == 100
+    pairs = simhash_candidates(sh, "doc_id")
+    exact_dups = pairs.filter(
+        (F.col("hamming") == 0) & (F.col("id_b") - F.col("id_a") == 1_000_000)
+    )
+    assert exact_dups.count() == 50
