@@ -289,3 +289,101 @@ def simhash_candidates(sh: DataFrame, id_col: str, prefix_bits: int = 16, bits: 
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming"))
+
+
+# ------------------------------------------------- pair resolution
+
+
+def dup_components(
+    pairs: DataFrame,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc_id, rep)
+    where ``rep`` is the minimum doc_id of the document's connected
+    component — the canonical survivor every other member dedups to.
+
+    Detection alone is not dedup: pairs (a,b), (b,c) must collapse to
+    ONE kept document, which needs the transitive closure. Algorithm:
+    iterative min-label propagation — each node adopts the smallest
+    label among itself and its neighbors until a fixpoint, reached in
+    O(component diameter) rounds (near-dup clusters are tiny and
+    dense, so 2-3 rounds in practice; ``max_iters`` bounds
+    pathological chains).
+
+    Scale shape: each round is one keyed self-join on doc_id plus a
+    min-aggregate — ordinary shuffles, no driver data. The fixpoint
+    check is a 1-row count. This is the standard open-source pattern
+    for distributed connected components on sparse graphs
+    (alternating large/small-star joins reduce to this on
+    small-diameter graphs).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (eager) each round: iterative self-referential
+    # plans otherwise grow an exponentially-nested lineage that blows
+    # the analyzer stack after ~10 rounds. Checkpointing makes each
+    # round's input a materialized leaf — the standard pattern for
+    # iterative algorithms on DataFrames (production systems with
+    # failure-tolerance requirements use reliable checkpoint() to a
+    # cluster store instead; same plan shape).
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # candidate label for each node: min over neighbors' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("rep").alias("nbr_rep"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        updated = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("rep", "old_rep"), "doc_id"
+            )
+            .filter(F.col("rep") != F.col("old_rep"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end of the dedup pipeline: keep one canonical document per
+    near-dup cluster (the min-id representative) and every document
+    that appears in no pair. One components resolution + one left
+    anti-join — docs never all-pairs anything."""
+    comp = dup_components(pairs)
+    losers = comp.filter(F.col("rep") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import anti_filter
+
+    return anti_filter(docs, losers, id_col, broadcast_keys=False)

@@ -95,3 +95,41 @@ def test_simhash64_fast_path(spark, sf_dir):
         (F.col("hamming") == 0) & (F.col("id_b") - F.col("id_a") == 1_000_000)
     )
     assert exact_dups.count() == 50
+
+
+def test_dup_components_and_drop(spark):
+    """Transitive closure: pairs (1,2),(2,3) and (10,11) must resolve
+    to components {1,2,3}->1 and {10,11}->10; drop_near_duplicates
+    keeps exactly the representatives plus untouched docs."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        drop_near_duplicates,
+        dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["rep"] for r in dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 5, 10, 11)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [1, 5, 10]
+
+
+def test_dup_components_long_chain(spark):
+    """A pathological chain 0-1-2-...-9 (diameter 9) still converges
+    to a single component within the iteration bound."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["rep"] for r in dup_components(pairs, max_iters=12).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 10
