@@ -277,3 +277,60 @@ def docs_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation flow as one composition —
+    what a real corpus pipeline runs end to end (not registered: the
+    registry sits at the driver's 50-row cap; every stage is
+    individually oracle-checked and this composition is pinned by
+    tests/test_sampling.py):
+
+    quality gate → exact dedup (md5 canonical, min-id survivor) →
+    MinHash+LSH near-dup pairs → connected-components resolution →
+    canonical drop → deterministic train/holdout split.
+
+    Scale shape: column-math gates (scan speed) → one hash agg →
+    blocked LSH joins on candidates only → O(diameter) component
+    rounds → anti-join → hash-bucket split (no shuffle). No stage is
+    all-pairs; every shuffle is keyed.
+    """
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        drop_near_duplicates,
+        minhash_lsh_candidates,
+        shingle_jaccard,
+        with_shingles,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        quality_score,
+        tokenize_lower,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = quality_score(docs, "text").filter(F.col("quality_ok") == 1)
+
+    # Exact dedup: min doc_id survives per normalized-content key.
+    keyed = gated.withColumn(
+        "norm_md5", F.md5(F.concat_ws(" ", tokenize_lower(F.col("text"))))
+    )
+    survivors = keyed.groupBy("norm_md5").agg(F.min("doc_id").alias("doc_id"))
+    exact_unique = keyed.join(survivors, ["norm_md5", "doc_id"]).select(
+        "doc_id", "text", "n_tokens"
+    )
+
+    # Near-dup: LSH candidates → verified pairs → component drop.
+    sh = with_shingles(exact_unique, "doc_id", "text").persist()
+    cands = minhash_lsh_candidates(exact_unique, "doc_id", "text", shingle_df=sh)
+    pairs = shingle_jaccard(
+        cands, exact_unique, "doc_id", "text", shingle_df=sh
+    ).filter(F.col("jaccard") >= 0.8)
+    unique = drop_near_duplicates(exact_unique, pairs)
+
+    return hash_split(unique, "doc_id", holdout_per_mille=100).select(
+        "doc_id", "n_tokens", "split"
+    )

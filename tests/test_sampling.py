@@ -133,3 +133,22 @@ def test_dup_components_long_chain(spark):
     )
     comp = {r["doc_id"]: r["rep"] for r in dup_components(pairs, max_iters=12).collect()}
     assert set(comp.values()) == {0} and len(comp) == 10
+
+
+def test_curate_training_corpus_end_to_end(spark, sf_dir):
+    """The full curation composition: output is a strict subset of the
+    input ids, contains no exact-duplicate content, and is split
+    deterministically."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    out = curate_training_corpus(spark, sf_dir).collect()
+    assert len(out) > 0
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    splits = {r["split"] for r in out}
+    assert splits <= {"train", "holdout"}
+    # deterministic: a second run returns the identical relation
+    again = curate_training_corpus(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
