@@ -24,11 +24,18 @@ from pyspark.sql import functions as F
 BUCKETS = 1000
 
 
-def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+def hash_bucket(key: Column, buckets: int = BUCKETS, salt: str | None = None) -> Column:
     """Deterministic [0, buckets) bucket from a key column (any type;
-    cast to string first). DuckDB twin:
-    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT % buckets``."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10).cast("long")
+    cast to string first). ``salt`` decorrelates independent uses of
+    the same key: without it, a 10% sample and a 10% holdout of the
+    same column select the *identical* rows — perfectly overlapping
+    subsets whenever two bucketed operators compose. DuckDB twin:
+    ``('0x' || substr(md5('<salt>:' || CAST(k AS VARCHAR)), 1, 7))::BIGINT
+    % buckets`` (no ``'<salt>:'`` prefix when unsalted)."""
+    s = key.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(f"{salt}:"), s)
+    h = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     return h % F.lit(buckets)
 
 
@@ -37,12 +44,16 @@ def hash_split(
     key_col: str,
     holdout_per_mille: int = 100,
     out: str = "split",
+    salt: str | None = "split",
 ) -> DataFrame:
     """Reproducible train/holdout split: rows whose key bucket falls
     below ``holdout_per_mille`` are 'holdout', the rest 'train'.
     Content-keyed, so re-ingested or re-partitioned data keeps its
-    assignment — the split is a property of the data, not of the run."""
-    b = hash_bucket(F.col(key_col))
+    assignment — the split is a property of the data, not of the run.
+    The default salt differs from :func:`stratified_hash_sample`'s so
+    composing a split with a sample on the same key never selects
+    exactly the holdout rows."""
+    b = hash_bucket(F.col(key_col), salt=salt)
     return df.withColumn(
         out,
         F.when(b < holdout_per_mille, F.lit("holdout")).otherwise(F.lit("train")),
@@ -55,13 +66,15 @@ def stratified_hash_sample(
     strata_col: str,
     fractions_per_mille: dict[str, int],
     default_per_mille: int = 0,
+    salt: str | None = "sample",
 ) -> DataFrame:
     """Deterministic stratified sampling: keep a row iff its key
     bucket < the stratum's per-mille fraction. The declarative,
     reproducible form of ``sampleBy`` — rebalancing a skewed corpus
     (e.g. downsample boilerplate-heavy domains) without randomness.
-    Unknown strata fall back to ``default_per_mille``."""
-    b = hash_bucket(F.col(key_col))
+    Unknown strata fall back to ``default_per_mille``. Salted
+    independently of :func:`hash_split` (see :func:`hash_bucket`)."""
+    b = hash_bucket(F.col(key_col), salt=salt)
     thresh = F.lit(default_per_mille)
     for stratum, pm in sorted(fractions_per_mille.items()):
         thresh = F.when(F.col(strata_col) == stratum, F.lit(pm)).otherwise(thresh)

@@ -106,20 +106,65 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF: trained coarse quantizer -----------------------------------
 #
-# k strided seed centroids (every ⌊n/k⌋-th vector in vec_id order — a
+# k strided seed centroids — every vector whose id is a multiple of
+# ⌊n/k⌋, selected by a PUSHED-DOWN modulo filter on the id column (a
 # deterministic spread-out init; first-k seeding measured 0.44-0.52
-# recall@5 vs 0.96-1.00 for strided) refined by ONE Lloyd iteration
+# recall@5 vs 0.96-1.00 for strided) — refined by ONE Lloyd iteration
 # with exact µ-grid arithmetic, so the *training* — not just the
 # assignment — replays bit-identically in DuckDB: squared-L2 distances
 # are floored onto the grid and summed as BIGINTs (exact argmin, ties
 # → smaller centroid id), and centroid updates are exact integer
 # per-dimension sums divided in a fixed order (sum/GRID/count, each a
-# single IEEE op). nprobe=2: each query probes its two nearest
-# centroids — candidates shrink ~×(k/nprobe) vs brute force.
+# single IEEE op).
+#
+# Scale shape of seed selection: NO window anywhere — the r2 version
+# ranked the whole corpus through one unpartitioned row_number task to
+# pick k rows; the modulo filter selects the same k seeds (ids here
+# are dense 0..n-1, so id ≡ rank) as a scan-level predicate that
+# parallelizes like any filter. The Lloyd pass itself is one
+# partial-aggregated (cluster, dim) shuffle over the corpus — the same
+# cost class as the index build's mandatory assignment scan. For
+# corpora where even that one extra pass matters (or ids are sparse),
+# ``ivf_train(..., sample_per_mille=...)`` bounds every training job
+# to a deterministic hash-bucket sample — FAISS/ScaNN practice (train
+# the coarse quantizer on 10⁴-10⁶ sampled vectors); the registered
+# query keeps the full-table default, which its oracle replays.
+# nprobe=2: each query probes its two nearest centroids — candidates
+# shrink ~×(k/nprobe) vs brute force.
 
 _IVF_K = 10
 _IVF_NPROBE = 2
 _GRID_LIT = "1000000.0"  # functions/vectors.py GRID, as a SQL literal
+#: Salt for the opt-in training sample (decorrelated from any
+#: split/sample the corpus also carries — operators/sampling.py).
+_IVF_SAMPLE_SALT = "ivf"
+
+
+def ivf_training_sample(emb: DataFrame, per_mille: int) -> DataFrame:
+    """Deterministic training sample: the same salted md5 bucket
+    identity as operators/sampling.py (oracle-replayable)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    return emb.filter(
+        hash_bucket(F.col("vec_id"), salt=_IVF_SAMPLE_SALT) < per_mille
+    )
+
+
+def ivf_seed_frame(emb: DataFrame, k: int, stride: int) -> DataFrame:
+    """The ≤k strided seeds as (j, c): a pushed-down modulo filter on
+    the id column — no corpus-wide window anywhere in seed selection
+    (tests pin the plan as Window-free). ``j = vec_id ÷ stride`` so
+    both engines label seeds identically without ranking anything."""
+    return (
+        emb.select("vec_id", "embedding")
+        .filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k))
+        .select(
+            F.expr(f"CAST(vec_id DIV {stride} AS INT)").alias("j"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
 
 
 def _grid_l2(a: F.Column, c: F.Column) -> F.Column:
@@ -143,37 +188,43 @@ def _grid_l2_sql(a: str, c: str) -> str:
     )
 
 
-def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K) -> list:
-    """Train the coarse quantizer: deterministic seeds + one Lloyd
-    update. Returns ``[(j, centroid: list[float])]``.
+def ivf_train(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _IVF_K,
+    sample_per_mille: int | None = None,
+) -> list:
+    """Train the coarse quantizer: deterministic strided seeds + one
+    Lloyd update. Returns ``[(j, centroid: list[float])]``.
 
-    Scale shape: the assignment pass is a corpus × k broadcast
-    nested-loop (k rows — exactly how production IVF assigns, fused or
-    not); the update is one partial-aggregated shuffle of
-    (cluster, dim) keyed grid sums — k·dim rows out. The only driver
-    materialization is k·dim doubles (the quantizer itself), which is
-    what ships to executors as the index. At 100 TB you train on a
-    sample; here the "sample" is the full sf table."""
-    n = emb.count()
+    Scale shape: seed selection is a pushed-down modulo filter (no
+    window, no rank — see :func:`ivf_seed_frame`); the assignment pass
+    is a corpus × k broadcast nested-loop carrying no payload ×k; the
+    update is one partial-aggregated shuffle of (cluster, dim) keyed
+    grid sums — k·dim rows out. The only driver materialization is
+    k·dim doubles (the quantizer itself), which is what ships to
+    executors as the index. ``sample_per_mille`` bounds every training
+    job to the deterministic hash-bucket sample when even one full
+    training pass is too much (the count then also runs on the
+    sample); the default trains on the full table — one extra
+    partial-agg pass, the same cost class as the index's mandatory
+    assignment scan."""
+    base = (
+        emb
+        if sample_per_mille is None
+        else ivf_training_sample(emb, sample_per_mille)
+    ).select("vec_id", "embedding")
+    n = base.count()
     stride = max(1, n // k)
-    wr = Window.orderBy("vec_id")
-    seeds_rows = (
-        emb.select("vec_id", "embedding")
-        .withColumn("r", F.row_number().over(wr) - 1)
-        .filter((F.col("r") % stride == 0) & (F.col("r") < stride * k))
-        .orderBy("r")
-        .select(F.transform("embedding", lambda x: x.cast("double")).alias("c"))
-        .collect()
-    )
-    seeds = [list(r["c"]) for r in seeds_rows]
+    seeds = {r["j"]: list(r["c"]) for r in ivf_seed_frame(base, k, stride).collect()}
     cent0 = spark.createDataFrame(
-        [(j, seeds[j]) for j in range(len(seeds))], "j int, c array<double>"
+        sorted(seeds.items()), "j int, c array<double>"
     )
     # Argmin as a min_by aggregate (ties → smaller j via struct
     # ordering): partial aggregation collapses the ×k fan-out map-side,
     # so the shuffle carries one row per vector — cheaper than a
     # row_number window, which shuffles and sorts all k rows per key.
-    d0 = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent0)).select(
+    d0 = base.crossJoin(F.broadcast(cent0)).select(
         "vec_id", "j", _grid_l2(F.col("embedding"), F.col("c")).alias("dist")
     )
     a0 = d0.groupBy("vec_id").agg(
@@ -181,7 +232,7 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K) -> list:
     )
     # Join the embeddings back for the update (keyed equi-join; the
     # crossJoin above never carries the 64-double payload ×k).
-    gexp = a0.join(emb.select("vec_id", "embedding"), "vec_id").select(
+    gexp = a0.join(base, "vec_id").select(
         "j",
         F.posexplode(
             F.transform(
@@ -193,7 +244,7 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K) -> list:
     sums = gexp.groupBy("j", "pos").agg(
         F.sum("g").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()
-    trained = {j: list(c) for j, c in enumerate(seeds)}  # empty-cluster fallback
+    trained = {j: list(c) for j, c in seeds.items()}  # empty-cluster fallback
     for row in sums:
         # Fixed op order (sum → /GRID → /count) mirrored in the oracle.
         trained[row["j"]][row["pos"]] = row["s"] / 1_000_000.0 / row["n"]
@@ -201,17 +252,12 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K) -> list:
 
 
 _IVF_ORACLE = f"""
-WITH ord AS (
-  SELECT vec_id, embedding,
-         row_number() OVER (ORDER BY vec_id) - 1 AS r
-  FROM embeddings
-),
-st AS (SELECT greatest(1, count(*) // {_IVF_K}) AS stride FROM embeddings),
+WITH st AS (SELECT greatest(1, count(*) // {_IVF_K}) AS stride FROM embeddings),
 seeds AS (
-  SELECT CAST(r // stride AS INT) AS j,
+  SELECT CAST(vec_id // stride AS INT) AS j,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-  FROM ord, st
-  WHERE r % stride = 0 AND r < stride * {_IVF_K}
+  FROM embeddings, st
+  WHERE vec_id % stride = 0 AND vec_id < stride * {_IVF_K}
 ),
 d0 AS (
   SELECT e.vec_id, s.j, {_grid_l2_sql('e.embedding', 's.c')} AS dist
@@ -286,9 +332,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid assignment as a column; the scoring join is a keyed
     equi-join on the centroid id, so scored pairs shrink by
     ~×(k/nprobe) versus brute force — the standard recall/cost dial.
-    The oracle replays seeding, assignment, the Lloyd update, probing,
-    and ranking bit-identically (µ-grid arithmetic throughout)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Seed selection is a pushed-down modulo filter — no unpartitioned
+    window touches the corpus anywhere in this head (plan-pinned by
+    tests/test_plans.py); the oracle replays seeding, assignment, the
+    Lloyd update, probing, and ranking bit-identically (µ-grid
+    arithmetic throughout). The corpus is persisted for the head's
+    multiple passes (count + seed scan + Lloyd + assignment + scoring
+    + query side) — the index build is inherently multi-pass, and
+    MEMORY_AND_DISK spills rather than OOMs at larger-than-memory
+    scale."""
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     cent = spark.createDataFrame(
         ivf_train(spark, emb), "j int, c array<double>"
     )

@@ -145,3 +145,54 @@ def test_ivf_probe_join_is_keyed(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_seed_selection_has_no_window(spark, sf_dir):
+    """The r2 seed selection ranked the ENTIRE corpus through one
+    unpartitioned row_number window — a single-task funnel at scale.
+    Seeds must now come from a pushed-down modulo filter: no Window
+    node anywhere in the seed plan, and the id predicate at the scan."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        ivf_seed_frame,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    # an earlier head may have persisted the corpus; drop caches so the
+    # plan shows the raw parquet scan and its pushed filters
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = ivf_seed_frame(emb, k=10, stride=50)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the strided-id predicate reaches the scan (partial pushdown of
+    # the conjunction: the < bound is parquet-pushable)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "LessThan(vec_id" in pushed, plan
+    # and it selects exactly the k seeds, labeled by id÷stride
+    rows = seeds.count()
+    assert rows == 10
+
+
+def test_ivf_whole_head_window_free_on_corpus(spark, sf_dir):
+    """Every Window that survives in the ANN head's final plan must be
+    partitioned (per-query probe ranking / per-query top-k) — an
+    unpartitioned windowspecdefinition would mean some stage still
+    funnels through one task."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        sim_ann_ivf,
+    )
+
+    plan = (
+        sim_ann_ivf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        # a partitioned spec lists bare partition columns before any
+        # sort spec; an UNpartitioned spec starts directly with a sort
+        # spec ("col ASC/DESC NULLS ...")
+        first = frag.split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, (first, plan)

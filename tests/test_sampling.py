@@ -14,7 +14,15 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import 
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 from tests.oracle_check import assert_frames_match
 
-_BUCKET_SQL = "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000)"
+def _bucket_sql(salt: str) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5(concat('{salt}:', CAST(doc_id AS VARCHAR))),"
+        " 1, 7)) AS BIGINT) % 1000)"
+    )
+
+
+_SPLIT_SQL = _bucket_sql("split")
+_SAMPLE_SQL = _bucket_sql("sample")
 
 
 def test_hash_split_matches_oracle(spark, duck, sf_dir):
@@ -25,7 +33,7 @@ def test_hash_split_matches_oracle(spark, duck, sf_dir):
     ddf = duck.sql(
         f"""
         SELECT doc_id,
-               CASE WHEN {_BUCKET_SQL} < 100 THEN 'holdout' ELSE 'train' END AS split
+               CASE WHEN {_SPLIT_SQL} < 100 THEN 'holdout' ELSE 'train' END AS split
         FROM documents
         """
     ).df()
@@ -65,7 +73,7 @@ def test_stratified_sample_matches_oracle(spark, duck, sf_dir):
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS lang_bucket
         FROM documents
-        WHERE {_BUCKET_SQL} <
+        WHERE {_SAMPLE_SQL} <
               CASE WHEN doc_id % 2 = 0 THEN 500 ELSE 100 END
         """
     ).df()
@@ -73,6 +81,33 @@ def test_stratified_sample_matches_oracle(spark, duck, sf_dir):
     # the even stratum must be sampled ~5x heavier than the odd one
     counts = dict(sdf.groupby("lang_bucket").size())
     assert counts["even"] > counts.get("odd", 0)
+
+
+def test_split_and_sample_are_decorrelated(spark, sf_dir):
+    """Distinct default salts: a 10% holdout split and a 10% uniform
+    sample on the SAME key must not select the same rows (unsalted
+    they would be identical sets — holdout leakage by construction)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = {
+        r["doc_id"]
+        for r in hash_split(docs, "doc_id", holdout_per_mille=100)
+        .filter(F.col("split") == "holdout")
+        .collect()
+    }
+    sampled = {
+        r["doc_id"]
+        for r in docs.filter(hash_bucket(F.col("doc_id"), salt="sample") < 100)
+        .collect()
+    }
+    assert holdout and sampled
+    # overlap should be ~1% of docs (independent 10% subsets), far
+    # below either set's size; identical sets mean the salts collapsed
+    assert holdout != sampled
+    assert len(holdout & sampled) < min(len(holdout), len(sampled))
 
 
 def test_simhash64_fast_path(spark, sf_dir):
