@@ -19,6 +19,15 @@ from typing import Any
 DEFAULT_LOOKBACK_DAYS = 30
 DEFAULT_START_DATE = "2024-01-01"
 WRITE_MODES = ("overwrite", "append")
+#: Append-run collision policies (what happens when the increment
+#: carries a key that is already materialized):
+#: * ``existing_wins`` — history is immutable; the increment row is
+#:   dropped by an anti-join (cheapest: pure append, no rewrite).
+#: * ``keep_max`` — the reference's semantics (it unions existing with
+#:   the increment and dedups before writing, main_pipeline.py:321-328)
+#:   so a late corrected reading can replace history; implemented as a
+#:   dynamic-partition-overwrite merge of the lookback months.
+APPEND_CONFLICT_POLICIES = ("existing_wins", "keep_max")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,6 +40,7 @@ class PipelineConfig:
     lookback_days: int = DEFAULT_LOOKBACK_DAYS
     default_start_date: str = DEFAULT_START_DATE
     write_mode: str = "overwrite"
+    append_conflict: str = "existing_wins"
     max_records_per_file: int = 100_000
     timezone: str = "UTC"
     jdbc_fetch_size: int = 10_000
@@ -40,6 +50,10 @@ class PipelineConfig:
         # spirit: fail fast on config, not mid-job.
         if self.write_mode not in WRITE_MODES:
             raise ValueError(f"write_mode must be one of {WRITE_MODES}")
+        if self.append_conflict not in APPEND_CONFLICT_POLICIES:
+            raise ValueError(
+                f"append_conflict must be one of {APPEND_CONFLICT_POLICIES}"
+            )
         if self.lookback_days <= 0:
             raise ValueError("lookback_days must be positive")
         if self.jdbc_fetch_size <= 0:

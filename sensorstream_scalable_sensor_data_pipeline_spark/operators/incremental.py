@@ -35,6 +35,46 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.setops import un
 DEFAULT_LOOKBACK_DAYS = 30  # main_pipeline.py:36
 
 
+def partition_months_pred(
+    since: dt.datetime, year_col: str = "year", month_col: str = "month"
+) -> F.Column:
+    """Predicate selecting the ``(year, month)`` partitions at/after
+    ``since``'s month — the Spark-native form of the reference's
+    month-table name pruning (``filter_tables``,
+    main_pipeline.py:179-187): expressed on real partition columns, it
+    becomes a Catalyst PartitionFilter and the scan never lists, let
+    alone reads, older months."""
+    return (F.col(year_col) > since.year) | (
+        (F.col(year_col) == since.year) & (F.col(month_col) >= since.month)
+    )
+
+
+def compute_cutoff_pruned(
+    materialized: DataFrame | None,
+    time_col: str,
+    now: dt.datetime,
+    lookback_days: int = DEFAULT_LOOKBACK_DAYS,
+    default_start: dt.datetime | None = None,
+) -> dt.datetime:
+    """:func:`compute_cutoff` for (year, month)-partitioned state: the
+    MAX runs over the lookback months only (partition-pruned scan, not
+    an O(history) pass). cutoff = min(max, now − lookback) can only
+    exceed the lookback floor when data exists in the floor's month or
+    later, so pruning to those months is exact; if they are empty
+    (stale history — the bootstrap/catch-up path), one full-history
+    MAX recovers the true, earlier cutoff."""
+    lookback_floor = now - dt.timedelta(days=lookback_days)
+    if materialized is None:
+        return default_start or lookback_floor
+    pruned = materialized.filter(partition_months_pred(lookback_floor))
+    row = pruned.agg(F.max(time_col).alias("m")).collect()[0]
+    if row["m"] is None:
+        row = materialized.agg(F.max(time_col).alias("m")).collect()[0]
+        if row["m"] is None:
+            return default_start or lookback_floor
+    return min(row["m"], lookback_floor)
+
+
 def compute_cutoff(
     materialized: DataFrame | None,
     time_col: str,

@@ -5,13 +5,17 @@ existing state → discover & extract new data since the cutoff →
 enrich/filter/convert → per-sensor deduped ordered write → validate.
 This runner is the same lifecycle, Spark-first:
 
-* incremental cutoff from the materialized output (one MAX over the
-  lookback partitions), extraction filter pushed into the scan;
+* incremental cutoff from the materialized output — one MAX over a
+  partition-PRUNED scan: the state is laid out
+  ``partitionBy(tagpath, year, month)``, so the cutoff and the append
+  anti-join read the lookback months only, never full history (the
+  Spark-native form of the reference's month-table scheme,
+  main_pipeline.py:179-187); extraction filter pushed into the scan;
 * one declarative transform plan (broadcast enrich → integrity
   filter → schema-shaped series);
 * idempotent merge (union + deterministic keyed dedup) and ONE
-  partitioned write (``partitionBy(tagpath)``) instead of the
-  reference's per-sensor loop of N filtered writes;
+  partitioned write instead of the reference's per-sensor loop of N
+  filtered writes;
 * read-back validation (S9).
 
 Run it twice with the same inputs → byte-identical output (the
@@ -35,7 +39,8 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.filters import (
     integrity_filter,
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.incremental import (
-    compute_cutoff,
+    compute_cutoff_pruned,
+    partition_months_pred,
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
@@ -84,6 +89,11 @@ def build_series(spark: SparkSession, cfg: PipelineConfig, cutoff: dt.datetime |
         F.col("ts").alias("datetime"),
         F.col("value").alias("sensor_value"),
         F.col("user_id").alias("sensor_id"),
+        # Derived time-partition columns: the materialized layout is
+        # partitionBy(tagpath, year, month) so incremental reads prune
+        # to the lookback months (X9 on our own state, not just inputs).
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
     )
 
 
@@ -96,12 +106,15 @@ def run_pipeline(
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     out_data = os.path.join(cfg.output_dir, "series")
 
-    # 1. Cutoff from materialized state (A1/A4/X12).
+    # 1. Cutoff from materialized state (A1/A4/X12): a MAX over the
+    # lookback months only — the (year, month) partition columns turn
+    # the filter into PartitionFilters, so the scan lists a handful of
+    # directories at any history size (plan-pinned in test_runner.py).
     try:
         existing: DataFrame | None = spark.read.parquet(out_data)
     except Exception:
         existing = None
-    cutoff = compute_cutoff(
+    cutoff = compute_cutoff_pruned(
         existing,
         "datetime",
         now,
@@ -113,44 +126,67 @@ def run_pipeline(
     increment = build_series(spark, cfg, cutoff)
 
     # 4. Idempotent merge + single partitioned write. Overwrite mode
-    # rewrites the full merged state. Append mode appends ONLY rows
-    # whose (sensor_id, datetime) key is not already materialized —
-    # the anti-join makes re-running the same increment a no-op (the
-    # cutoff's lookback window re-extracts up to lookback_days of
-    # already-written rows, so without the anti-join every append run
-    # would duplicate them; the reference instead unions with existing
-    # output and dedups before writing, main_pipeline.py:321-328).
-    # Policy: for a key already materialized, the existing row wins —
-    # history is immutable under append; overwrite applies keep="max".
-    deduped = key_dedup_deterministic(
-        increment, ["sensor_id", "datetime"], "sensor_value", keep="max"
-    )
+    # rewrites the full merged state. Append mode touches history only
+    # within the cutoff's months (partition-pruned), under the
+    # configured collision policy:
+    # * existing_wins: append ONLY rows whose (sensor_id, datetime)
+    #   key is not already materialized — the anti-join makes
+    #   re-running the same increment a no-op, and its build side is
+    #   partition-pruned to the cutoff months, so it stays small at
+    #   any history size. History is immutable.
+    # * keep_max: the reference's semantics (union existing with the
+    #   increment and dedup before writing, main_pipeline.py:321-328)
+    #   — a late corrected reading replaces history. Implemented as a
+    #   dynamic-partition-overwrite merge: only the lookback months'
+    #   partitions are rewritten, never the table.
+    keys = ["sensor_id", "datetime"]
+    deduped = key_dedup_deterministic(increment, keys, "sensor_value", keep="max")
+    dynamic = False
+    write_mode = cfg.write_mode
     if existing is not None and cfg.write_mode == "overwrite":
         deduped = key_dedup_deterministic(
-            existing.unionByName(deduped),
-            ["sensor_id", "datetime"],
+            existing.unionByName(deduped, allowMissingColumns=False),
+            keys,
             "sensor_value",
             keep="max",
         )
-    elif existing is not None:
+    elif existing is not None and cfg.append_conflict == "existing_wins":
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import (
             anti_filter,
         )
 
-        # The existing key set is bounded by the lookback window: only
-        # keys at/after the cutoff can collide with the increment, so
-        # the anti-join's build side stays small at any history size.
-        recent_keys = existing.filter(F.col("datetime") >= F.lit(cutoff)).select(
-            "sensor_id", "datetime"
+        recent_keys = (
+            existing.filter(partition_months_pred(cutoff))
+            .filter(F.col("datetime") >= F.lit(cutoff))
+            .select(*keys)
         )
-        deduped = anti_filter(deduped, recent_keys, ["sensor_id", "datetime"])
-    staging = out_data + "_staging" if cfg.write_mode == "overwrite" else out_data
+        deduped = anti_filter(deduped, recent_keys, keys)
+    elif existing is not None:  # append + keep_max
+        # Materialize the (partition-pruned, lookback-sized) months
+        # before the write: the merge overwrites the very partitions it
+        # reads, so the read must complete first — localCheckpoint cuts
+        # the lineage back to materialized blocks (an object-store
+        # deployment with stricter durability uses checkpoint() to the
+        # cluster store; same O(lookback), never O(history), data).
+        recent = existing.filter(partition_months_pred(cutoff)).localCheckpoint(
+            eager=True
+        )
+        deduped = key_dedup_deterministic(
+            recent.unionByName(deduped), keys, "sensor_value", keep="max"
+        )
+        write_mode, dynamic = "overwrite", True
+    staging = (
+        out_data + "_staging"
+        if cfg.write_mode == "overwrite"
+        else out_data
+    )
     write_partitioned(
         deduped,
         staging,
-        ["tagpath"],
-        mode=cfg.write_mode,
+        ["tagpath", "year", "month"],
+        mode=write_mode,
         max_records_per_file=cfg.max_records_per_file,
+        dynamic_partition_overwrite=dynamic,
     )
     if staging != out_data:
         # Atomic-ish swap so a failed overwrite never destroys state

@@ -46,18 +46,20 @@ def write_partitioned(
     partition_cols: list[str],
     mode: str = "overwrite",
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    dynamic_partition_overwrite: bool = False,
 ) -> None:
     """Single-job per-key layout replacing the reference's N-writes loop
     (W1). Partition columns become directories; readers get static +
-    dynamic partition pruning for free."""
+    dynamic partition pruning for free. With
+    ``dynamic_partition_overwrite`` an overwrite replaces ONLY the
+    partitions present in ``df`` — the scalable merge primitive: a
+    30-day merge rewrites 30 days of partitions, never the table."""
     if mode not in WRITE_MODES:
         raise ValueError(f"write mode must be one of {WRITE_MODES}, got {mode!r}")
-    (
-        df.write.mode(mode)
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    w = df.write.mode(mode).option("maxRecordsPerFile", str(max_records_per_file))
+    if dynamic_partition_overwrite:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy(*partition_cols).parquet(path)
 
 
 def validate_output(spark: SparkSession, path: str) -> int:

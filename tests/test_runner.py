@@ -82,6 +82,99 @@ def test_run_pipeline_recovers_from_stale_old_dir(spark, sf_dir, tmp_path):
     assert not os.path.exists(stale)
 
 
+def _mk_inputs(spark, path, rows):
+    """Minimal events/customer inputs shaped like the driver tables."""
+    import os
+
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    ev.write.mode("overwrite").parquet(os.path.join(path, "events.parquet"))
+    cust = spark.createDataFrame(
+        [(1, "TAG_A"), (2, "TAG_B")], "c_custkey long, c_mktsegment string"
+    )
+    cust.write.mode("overwrite").parquet(os.path.join(path, "customer.parquet"))
+
+
+def test_series_layout_is_time_partitioned(spark, sf_dir, tmp_path):
+    """The materialized state must be partitionBy(tagpath, year, month)
+    so that incremental reads prune: the cutoff MAX and the append
+    anti-join scan lookback months, not history. Pinned at the plan
+    level: the month predicate must appear as PartitionFilters."""
+    import datetime as dt
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.incremental import (
+        partition_months_pred,
+    )
+
+    cfg = PipelineConfig(input_dir=sf_dir, output_dir=str(tmp_path / "out"))
+    r = run_pipeline(spark, cfg)
+    # layout: three nested partition levels on disk
+    tag_dirs = [d for d in os.listdir(r["output"]) if d.startswith("tagpath=")]
+    assert tag_dirs
+    y_dirs = os.listdir(os.path.join(r["output"], tag_dirs[0]))
+    assert any(d.startswith("year=") for d in y_dirs)
+    # the pruned cutoff scan carries real PartitionFilters
+    existing = spark.read.parquet(r["output"])
+    pruned = existing.filter(partition_months_pred(dt.datetime(2024, 3, 1)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "year" in pf and "month" in pf, plan
+
+
+def test_append_conflict_policies(spark, tmp_path):
+    """A late corrected reading for an already-materialized key:
+    keep_max (the reference's union+dedup semantics,
+    main_pipeline.py:321-328) replaces the value via a
+    dynamic-partition-overwrite merge of the lookback months;
+    existing_wins (immutable history) keeps the original."""
+    import datetime as dt
+    import os
+    from dataclasses import replace
+
+    now = dt.datetime(2024, 3, 15)
+    t = dt.datetime(2024, 3, 10, 12, 0, 0)
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    _mk_inputs(spark, in1, [(t, 1, 5.0)])
+    _mk_inputs(spark, in2, [(t, 1, 7.0)])  # corrected reading, same key
+
+    def run_two(policy, out):
+        cfg = PipelineConfig(
+            input_dir=in1,
+            output_dir=out,
+            write_mode="append",
+            append_conflict=policy,
+        )
+        run_pipeline(spark, cfg, now=now)
+        run_pipeline(spark, replace(cfg, input_dir=in2), now=now)
+        rows = spark.read.parquet(os.path.join(out, "series")).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    kept = run_two("keep_max", str(tmp_path / "km"))
+    assert kept["sensor_value"] == 7.0
+    kept = run_two("existing_wins", str(tmp_path / "ew"))
+    assert kept["sensor_value"] == 5.0
+    with pytest.raises(ValueError, match="append_conflict"):
+        PipelineConfig(input_dir="x", output_dir="y", append_conflict="bogus")
+
+
+def test_append_keep_max_idempotent(spark, sf_dir, tmp_path):
+    """keep_max appends must also be re-run-safe: the merge is
+    deterministic, so running the same increment again rewrites the
+    same partitions with identical content."""
+    cfg = PipelineConfig(
+        input_dir=sf_dir,
+        output_dir=str(tmp_path / "out"),
+        write_mode="append",
+        append_conflict="keep_max",
+    )
+    r1 = run_pipeline(spark, cfg)
+    s1 = _snapshot(spark, r1["output"])
+    assert r1["rows"] == len(s1) > 0
+    r2 = run_pipeline(spark, cfg)
+    assert _snapshot(spark, r2["output"]) == s1
+
+
 def test_run_pipeline_pattern_selection(spark, sf_dir, tmp_path):
     cfg = PipelineConfig(
         input_dir=sf_dir,
