@@ -297,6 +297,7 @@ def simhash_candidates(sh: DataFrame, id_col: str, prefix_bits: int = 16, bits: 
 def dup_components(
     pairs: DataFrame,
     max_iters: int = 10,
+    strict: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc_id, rep)
     where ``rep`` is the minimum doc_id of the document's connected
@@ -316,6 +317,12 @@ def dup_components(
     for distributed connected components on sparse graphs
     (alternating large/small-star joins reduce to this on
     small-diameter graphs).
+
+    If a component's diameter exceeds ``max_iters`` the labels are not
+    a fixpoint: the failure direction is safe (extra survivors — some
+    members keep a non-minimal rep, so they under-merge, never
+    over-merge), but it must be observable — non-convergence raises
+    when ``strict`` else emits a ``RuntimeWarning``.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -338,6 +345,7 @@ def dup_components(
         .withColumn("rep", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         # candidate label for each node: min over neighbors' labels
         nbr = (
@@ -366,8 +374,20 @@ def dup_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"dup_components did not reach a fixpoint in {max_iters} rounds "
+            "(a component's diameter exceeds the bound); labels under-merge "
+            "- raise max_iters"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -375,12 +395,16 @@ def drop_near_duplicates(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iters: int = 10,
+    strict: bool = False,
 ) -> DataFrame:
     """The end of the dedup pipeline: keep one canonical document per
     near-dup cluster (the min-id representative) and every document
     that appears in no pair. One components resolution + one left
-    anti-join — docs never all-pairs anything."""
-    comp = dup_components(pairs)
+    anti-join — docs never all-pairs anything. ``max_iters``/``strict``
+    plumb through to :func:`dup_components` so pathological chains are
+    observable at this level too."""
+    comp = dup_components(pairs, max_iters=max_iters, strict=strict)
     losers = comp.filter(F.col("rep") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )

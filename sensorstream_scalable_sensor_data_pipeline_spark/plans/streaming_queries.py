@@ -190,8 +190,12 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     # The generator never ends; stop once the capped prefix is fully
-    # ingested (5 batches × 100 rows), bounded by a hard deadline.
+    # ingested (5 batches × 100 rows), bounded by a hard deadline. On
+    # deadline expiry RAISE: returning the partial aggregate would
+    # surface as a spurious oracle mismatch on a loaded runner, which
+    # reads as a correctness bug instead of what it is — a timeout.
     deadline = _time.time() + 120
+    got = None
     try:
         while _time.time() < deadline:
             got = spark.table(name).agg(F.sum("n").alias("s")).first()["s"]
@@ -200,4 +204,9 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.2)
     finally:
         q.stop()
+    if got != 500:
+        raise TimeoutError(
+            f"stream_rate_source: ingested {got or 0}/500 rows before the "
+            "120 s deadline - runner too loaded, not a correctness failure"
+        )
     return spark.table(name)

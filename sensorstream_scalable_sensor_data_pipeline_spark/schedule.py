@@ -38,34 +38,84 @@ class RunLockHeld(RuntimeError):
 
 
 class RunLock:
-    """Filesystem run lock: atomic ``mkdir`` acquire, stale takeover.
+    """Filesystem run lock: atomic ``mkdir`` acquire, atomic stale
+    takeover, ownership-checked release.
 
     Mirrors ``max_active_runs=1`` (Airflow Dags.docx DAG args): a
     second concurrent run fails fast instead of racing the writer. A
     lock older than ``stale_after_s`` is presumed dead (the DAG's
-    2-hour ``execution_timeout``) and is taken over.
+    2-hour ``execution_timeout``) and is reaped.
+
+    Concurrency contract (race-tested with simultaneous acquirers):
+
+    * acquire = one atomic ``mkdir`` + an owner-token file inside;
+    * takeover = ``rename`` the stale dir aside (exactly one renamer
+      can win) and RE-RUN the atomic ``mkdir`` — never ``utime`` on
+      the shared dir, which lets every observer of staleness proceed
+      at once;
+    * release checks the owner token first, so a holder that was
+      reaped while running cannot delete the new holder's lock.
     """
 
     def __init__(self, lock_dir: str, stale_after_s: float = 2 * 3600) -> None:
+        import uuid
+
         self.lock_dir = lock_dir
         self.stale_after_s = stale_after_s
+        self._token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
-    def __enter__(self) -> "RunLock":
+    @property
+    def _owner_file(self) -> str:
+        return os.path.join(self.lock_dir, "owner")
+
+    def _try_acquire(self) -> bool:
         try:
             os.makedirs(self.lock_dir, exist_ok=False)
         except FileExistsError:
+            return False
+        with open(self._owner_file, "w") as fh:
+            fh.write(self._token)
+        return True
+
+    def __enter__(self) -> "RunLock":
+        if self._try_acquire():
+            return self
+        try:
             age = time.time() - os.path.getmtime(self.lock_dir)
-            if age < self.stale_after_s:
-                raise RunLockHeld(
-                    f"lock {self.lock_dir} held (age {age:.0f}s); "
-                    "max_active_runs=1"
-                ) from None
-            # Stale: previous run exceeded its timeout — take over.
-            os.utime(self.lock_dir)
-        return self
+        except OSError:
+            # Holder released between our mkdir failure and the stat —
+            # one immediate retry of the atomic acquire.
+            age = None
+        if age is not None and age < self.stale_after_s:
+            raise RunLockHeld(
+                f"lock {self.lock_dir} held (age {age:.0f}s); "
+                "max_active_runs=1"
+            )
+        if age is not None:
+            # Stale: reap by renaming aside — rename of the same source
+            # succeeds for exactly ONE process; losers fall through to
+            # the re-acquire race below, which mkdir also serializes.
+            import shutil
+
+            reaped = f"{self.lock_dir}.reaped.{self._token.split(':')[-1]}"
+            try:
+                os.rename(self.lock_dir, reaped)
+            except OSError:
+                pass
+            else:
+                shutil.rmtree(reaped, ignore_errors=True)
+        if self._try_acquire():
+            return self
+        raise RunLockHeld(
+            f"lock {self.lock_dir} held (lost acquire race); max_active_runs=1"
+        )
 
     def __exit__(self, *exc: object) -> None:
         try:
+            with open(self._owner_file) as fh:
+                if fh.read() != self._token:
+                    return  # reaped + re-acquired by someone else
+            os.remove(self._owner_file)
             os.rmdir(self.lock_dir)
         except OSError:
             pass

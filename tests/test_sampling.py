@@ -170,6 +170,31 @@ def test_dup_components_long_chain(spark):
     assert set(comp.values()) == {0} and len(comp) == 10
 
 
+def test_dup_components_nonconvergence_is_observable(spark):
+    """A chain longer than max_iters cannot reach the fixpoint: strict
+    mode raises, default mode warns (failure direction is safe — extra
+    survivors — but must not be silent)."""
+    import warnings
+
+    import pytest
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dup_components(pairs, max_iters=2, strict=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = dup_components(pairs, max_iters=2)
+    assert any("fixpoint" in str(w.message) for w in caught)
+    # under-merged, never over-merged: every rep <= its doc_id
+    assert all(r["rep"] <= r["doc_id"] for r in labels.collect())
+
+
 def test_curate_training_corpus_end_to_end(spark, sf_dir):
     """The full curation composition: output is a strict subset of the
     input ids, contains no exact-duplicate content, and is split

@@ -43,6 +43,66 @@ def test_run_lock_stale_takeover(tmp_path):
         assert os.path.isdir(lock_dir)
 
 
+def test_run_lock_stale_takeover_single_winner(tmp_path):
+    """The takeover race: many concurrent starters all observe the
+    same stale lock; exactly ONE may win (the old utime-based takeover
+    let every observer proceed — double-run under max_active_runs=1)."""
+    import threading
+
+    lock_dir = str(tmp_path / "lock")
+    os.makedirs(lock_dir)
+    old = dt.datetime.now().timestamp() - 3 * 3600
+    os.utime(lock_dir, (old, old))
+
+    n = 8
+    barrier = threading.Barrier(n)
+    release = threading.Event()
+    results = []
+
+    def contender():
+        lock = RunLock(lock_dir, stale_after_s=2 * 3600)
+        barrier.wait()
+        try:
+            with lock:
+                results.append("won")
+                release.wait(timeout=10)
+        except RunLockHeld:
+            results.append("held")
+
+    threads = [threading.Thread(target=contender) for _ in range(n)]
+    for t in threads:
+        t.start()
+    while len(results) < n - 1:  # all losers reported, winner waiting
+        pass
+    release.set()
+    for t in threads:
+        t.join(timeout=15)
+    assert results.count("won") == 1, results
+    assert results.count("held") == n - 1, results
+    assert not os.path.exists(lock_dir)  # winner released cleanly
+
+
+def test_run_lock_reaped_holder_cannot_release_new_lock(tmp_path):
+    """A holder that was reaped for staleness must not delete the NEW
+    holder's lock on exit (ownership token check)."""
+    lock_dir = str(tmp_path / "lock")
+    a = RunLock(lock_dir, stale_after_s=2 * 3600)
+    a.__enter__()
+    # a's run overshoots its timeout; b legitimately takes over
+    old = dt.datetime.now().timestamp() - 3 * 3600
+    os.utime(lock_dir, (old, old))
+    b = RunLock(lock_dir, stale_after_s=2 * 3600)
+    b.__enter__()
+    # the zombie finishes and releases — b's lock must survive
+    a.__exit__(None, None, None)
+    assert os.path.isdir(lock_dir)
+    with pytest.raises(RunLockHeld):
+        with RunLock(lock_dir, stale_after_s=2 * 3600):
+            pass
+    b.__exit__(None, None, None)
+    assert not os.path.exists(lock_dir)
+
+
 def test_retry_recovers_and_gives_up():
     calls = {"n": 0}
 
