@@ -277,18 +277,69 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _simhash_from_hash(toks, id_col, 64)
 
 
-def simhash_candidates(sh: DataFrame, id_col: str, prefix_bits: int = 16, bits: int = 64) -> DataFrame:
-    """Block on the top ``prefix_bits`` of the simhash: near-identical
-    docs almost always share the prefix; the self-join is keyed, never
-    all-pairs. (Production systems rotate the bits into b+1 blocks for
-    guaranteed recall at hamming ≤ b — same join shape, b+1× the
-    rows.)"""
-    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), bits - prefix_bits))
-    a = blocked.select(F.col("block"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = blocked.select(F.col("block"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+def simhash_candidates(
+    sh: DataFrame,
+    id_col: str,
+    prefix_bits: int = 16,
+    bits: int = 64,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from a (id, simhash) frame, two blocking modes:
+
+    * default (``max_hamming=None``): block on the top ``prefix_bits``
+      — near-identical docs almost always share the prefix; cheapest,
+      probabilistic recall.
+    * ``max_hamming=b``: the guaranteed-recall construction — the hash
+      is cut into b+1 disjoint blocks; two codes within hamming
+      distance b differ in at most b blocks, so BY PIGEONHOLE at least
+      one block matches exactly, and every such pair survives the
+      blocked join (recall 1.0 at hamming ≤ b, property-pinned in
+      tests). Same join shape, (b+1)× the rows.
+
+    Either way the self-join is keyed on the block, never all-pairs;
+    exact hamming on the candidates is the verifier."""
+    if max_hamming is None:
+        blocked = sh.withColumn(
+            "block", F.shiftright(F.col("simhash"), bits - prefix_bits)
+        )
+        a = blocked.select(F.col("block"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = blocked.select(F.col("block"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+        pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        return pairs.select("id_a", "id_b", ham.alias("hamming"))
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    specs, off = [], 0
+    for i in range(n_blocks):
+        w = width + (bits % n_blocks if i == n_blocks - 1 else 0)
+        # mask after the (sign-extending) shift so the top block of a
+        # negative 64-bit hash keys identically on both join sides
+        specs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+        off += w
+    blocked = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*specs)).alias("b")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("b.blk").alias("blk"),
+        F.col("b.val").alias("val"),
+    )
+    a = blocked.select("blk", "val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocked.select("blk", "val", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming"))
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+    )
 
 
 # ------------------------------------------------- pair resolution

@@ -132,6 +132,46 @@ def test_simhash64_fast_path(spark, sf_dir):
     assert exact_dups.count() == 50
 
 
+def test_simhash_rotating_blocks_guaranteed_recall(spark, sf_dir):
+    """The b+1-block construction must find EVERY pair within hamming
+    b (pigeonhole: ≤b differing bits cannot touch all b+1 blocks).
+    Real doc hashes from the sf slice plus deterministic ≤3-bit
+    perturbations; brute-force hamming is the ground truth."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        simhash64,
+        simhash_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    base = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    rows = [(i, h) for i, h in base.items()]
+    # deterministic perturbations: flip 1..3 bits chosen by the id
+    for i, h in base.items():
+        flipped = h
+        for bpos in range(1 + i % 3):
+            flipped ^= 1 << ((i * 7 + bpos * 13) % 64)
+        if flipped >= 1 << 63:  # rewrap to signed 64-bit
+            flipped -= 1 << 64
+        rows.append((i + 10_000, flipped))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    # ground truth: all pairs at hamming <= 3, brute force on the driver
+    truth = {
+        (a, b)
+        for ai, (a, ha) in enumerate(rows)
+        for b, hb in rows[ai + 1 :]
+        if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    truth = {(min(a, b), max(a, b)) for a, b in truth}
+    assert len(truth) >= 60  # every perturbed copy pairs with its base
+    cands = simhash_candidates(sh, "doc_id", max_hamming=3)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in cands.filter(F.col("hamming") <= 3).collect()
+    }
+    missed = truth - found
+    assert not missed, f"rotating blocks missed {len(missed)} pairs: {sorted(missed)[:5]}"
+
+
 def test_dup_components_and_drop(spark):
     """Transitive closure: pairs (1,2),(2,3) and (10,11) must resolve
     to components {1,2,3}->1 and {10,11}->10; drop_near_duplicates
