@@ -294,37 +294,71 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked LSH joins on candidates only → O(diameter) component
     rounds → anti-join → hash-bucket split (no shuffle). No stage is
     all-pairs; every shuffle is keyed.
+
+    The token array is staged ONCE and carried through gate, content
+    hash, and shingles — the composition naively re-tokenizes three
+    times (gate + md5 + shingles), and tokenization is the measured
+    per-document hot path (see module docstring / dedup_fuzzy cliffs).
+    The deduped base is persisted: four downstream consumers (both
+    LSH join sides via the shingle frame, the Jaccard verifier, the
+    canonical-drop anti-join, the final projection) would each replay
+    the gate + dedup shuffle otherwise.
     """
     from pyspark.sql import functions as F
 
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         drop_near_duplicates,
         minhash_lsh_candidates,
+        shingle_expr,
         shingle_jaccard,
-        with_shingles,
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
         hash_split,
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
-        quality_score,
+        QUALITY_STOPWORDS,
+        _stopword_hits,
         tokenize_lower,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    gated = quality_score(docs, "text").filter(F.col("quality_ok") == 1)
-
-    # Exact dedup: min doc_id survives per normalized-content key.
-    keyed = gated.withColumn(
-        "norm_md5", F.md5(F.concat_ws(" ", tokenize_lower(F.col("text"))))
+    staged = docs.select(
+        "doc_id", "text", tokenize_lower(F.col("text")).alias("_tk")
     )
-    survivors = keyed.groupBy("norm_md5").agg(F.min("doc_id").alias("doc_id"))
-    exact_unique = keyed.join(survivors, ["norm_md5", "doc_id"]).select(
-        "doc_id", "text", "n_tokens"
+    # Same gate thresholds as quality_score/docs_curate_corpus, over
+    # the shared staged array.
+    n = F.size(F.col("_tk"))
+    stop_ratio = _stopword_hits(F.col("_tk"), QUALITY_STOPWORDS).cast("double") / n
+    mean_len = F.length(F.concat_ws("", F.col("_tk"))).cast("double") / n
+    gated = staged.withColumn("n_tokens", n).filter(
+        (n >= 10) & (stop_ratio >= 0.05) & mean_len.between(2, 12)
     )
 
-    # Near-dup: LSH candidates → verified pairs → component drop.
-    sh = with_shingles(exact_unique, "doc_id", "text").persist()
+    # Exact dedup: min doc_id survives per normalized-content key —
+    # ONE struct-min hash aggregate (key_dedup_deterministic shape)
+    # instead of groupBy + join-back, halving the shuffles here.
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup import (
+        key_dedup_deterministic,
+    )
+
+    keyed = gated.select(
+        F.md5(F.concat_ws(" ", F.col("_tk"))).alias("norm_md5"),
+        "doc_id",
+        "text",
+        "n_tokens",
+        "_tk",
+    )
+    exact_unique = (
+        key_dedup_deterministic(keyed, ["norm_md5"], "doc_id", keep="min")
+        .select("doc_id", "text", "n_tokens", "_tk")
+        .persist()
+    )
+
+    # Near-dup: LSH candidates → verified pairs → component drop. The
+    # shingle frame reuses the staged tokens (no re-tokenization).
+    sh = exact_unique.select(
+        "doc_id", shingle_expr(F.col("_tk")).alias("ss")
+    ).persist()
     cands = minhash_lsh_candidates(exact_unique, "doc_id", "text", shingle_df=sh)
     pairs = shingle_jaccard(
         cands, exact_unique, "doc_id", "text", shingle_df=sh
