@@ -77,33 +77,68 @@ class RunLock:
             fh.write(self._token)
         return True
 
+    def _age(self) -> float | None:
+        try:
+            return time.time() - os.path.getmtime(self.lock_dir)
+        except OSError:
+            return None  # lock vanished (released) since we looked
+
     def __enter__(self) -> "RunLock":
         if self._try_acquire():
             return self
-        try:
-            age = time.time() - os.path.getmtime(self.lock_dir)
-        except OSError:
+        age = self._age()
+        if age is None:
             # Holder released between our mkdir failure and the stat —
             # one immediate retry of the atomic acquire.
-            age = None
-        if age is not None and age < self.stale_after_s:
+            if self._try_acquire():
+                return self
+            raise RunLockHeld(
+                f"lock {self.lock_dir} held (lost acquire race); "
+                "max_active_runs=1"
+            )
+        if age < self.stale_after_s:
             raise RunLockHeld(
                 f"lock {self.lock_dir} held (age {age:.0f}s); "
                 "max_active_runs=1"
             )
-        if age is not None:
-            # Stale: reap by renaming aside — rename of the same source
-            # succeeds for exactly ONE process; losers fall through to
-            # the re-acquire race below, which mkdir also serializes.
-            import shutil
+        # Stale: reap under a dedicated reap mutex, RE-CHECKING
+        # staleness inside it. Without the mutex two observers of the
+        # same stale lock race: the first renames-and-reacquires, the
+        # second's rename then steals the FIRST's fresh lock (the
+        # takeover TOCTOU the r2 utime scheme had in worse form). With
+        # it, the second reaper re-stats, sees a fresh lock, and backs
+        # off; a crash-orphaned mutex older than the stale bound is
+        # cleared rather than wedging takeover forever.
+        import shutil
 
-            reaped = f"{self.lock_dir}.reaped.{self._token.split(':')[-1]}"
+        mutex = self.lock_dir + ".reaping"
+        try:
+            os.makedirs(mutex, exist_ok=False)
+        except FileExistsError:
             try:
-                os.rename(self.lock_dir, reaped)
+                if time.time() - os.path.getmtime(mutex) >= self.stale_after_s:
+                    os.rmdir(mutex)
             except OSError:
                 pass
-            else:
-                shutil.rmtree(reaped, ignore_errors=True)
+            raise RunLockHeld(
+                f"lock {self.lock_dir} stale but another process is "
+                "reaping it; max_active_runs=1"
+            ) from None
+        try:
+            age = self._age()
+            if age is not None and age >= self.stale_after_s:
+                reaped = f"{self.lock_dir}.reaped.{self._token.split(':')[-1]}"
+                try:
+                    os.rename(self.lock_dir, reaped)
+                except OSError:
+                    pass
+                else:
+                    shutil.rmtree(reaped, ignore_errors=True)
+        finally:
+            try:
+                os.rmdir(mutex)
+            except OSError:
+                pass
         if self._try_acquire():
             return self
         raise RunLockHeld(
@@ -158,19 +193,21 @@ def scheduled_run(
     retries: int = 3,
     retry_delay_s: float = 0.0,
     run_fn: Callable[..., dict] | None = None,
+    write_mode: str | None = None,
 ) -> dict:
     """One scheduled pipeline execution with the DAG's contract:
     lock → date-based write mode → retried run → stats.
 
-    ``run_fn`` is injectable for tests; defaults to
-    :func:`runner.run_pipeline`.
+    ``write_mode`` pins the mode, bypassing the 1st-of-month date
+    switch (the CLI's ``--write-mode``). ``run_fn`` is injectable for
+    tests; defaults to :func:`runner.run_pipeline`.
     """
     if run_fn is None:
         from sensorstream_scalable_sensor_data_pipeline_spark.runner import run_pipeline
 
         run_fn = run_pipeline
     run_date = run_date or dt.date.today()
-    cfg = replace(cfg, write_mode=write_mode_for(run_date))
+    cfg = replace(cfg, write_mode=write_mode or write_mode_for(run_date))
     lock = RunLock(os.path.join(cfg.output_dir, "_run_lock"))
     with lock:
         stats = retry(

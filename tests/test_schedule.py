@@ -64,15 +64,21 @@ def test_run_lock_stale_takeover_single_winner(tmp_path):
         barrier.wait()
         try:
             with lock:
-                results.append("won")
-                release.wait(timeout=10)
+                results.append("won")  # recorded BEFORE blocking, so
+                release.wait(timeout=10)  # main can await all n reports
         except RunLockHeld:
             results.append("held")
 
     threads = [threading.Thread(target=contender) for _ in range(n)]
     for t in threads:
         t.start()
-    while len(results) < n - 1:  # all losers reported, winner waiting
+    # Wait for ALL contenders to report before releasing the winner:
+    # releasing after n-1 reports let the winner exit while a straggler
+    # was still contending — it then acquired the freed lock
+    # sequentially, which is correct lock behavior but looked like a
+    # double win to the assertion.
+    deadline = dt.datetime.now().timestamp() + 15
+    while len(results) < n and dt.datetime.now().timestamp() < deadline:
         pass
     release.set()
     for t in threads:
