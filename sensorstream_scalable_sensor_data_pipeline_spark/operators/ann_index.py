@@ -1,0 +1,148 @@
+"""Persisted IVF index: build once, query many (§2.12 similarity
+family, production shape).
+
+``sim_ann_ivf`` trains + queries in one plan — right for a benchmark
+head, wrong for serving, where the corpus is indexed once and queried
+by many small batches. This module materializes the index the
+Spark-native way:
+
+* ``centroids/`` — the trained coarse quantizer, k rows;
+* ``lists/`` — every corpus vector with its centroid assignment,
+  written ``partitionBy(j)``: the inverted lists ARE the partition
+  directories, so probing nprobe of k centroids is *partition
+  pruning* — a query batch physically reads nprobe/k of the corpus
+  bytes (plan-pinned: the list scan shows PartitionFilters on ``j``).
+
+That is the classic IVF promise (FAISS's inverted lists) expressed
+with nothing but a partitioned parquet layout + Catalyst pruning — no
+custom storage, and any engine that reads parquet can serve it.
+
+Scale notes: the build is one training pass + one assignment pass +
+one partitioned write (all keyed/partial-aggregated, see
+``plans/similarity.py``); queries broadcast the (tiny) centroid table
+and the (small) probe set, so the only data-sized work is the pruned
+list scan and one per-query top-k shuffle. The probe centroid ids are
+collected to the driver — bounded by nprobe·|batch| ≤ k distinct
+values, the same k·dim scale as the quantizer itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import grid_dot
+
+
+def _grid_l2(a: F.Column, c: F.Column) -> F.Column:
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        _grid_l2 as impl,
+    )
+
+    return impl(a, c)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_dir: str,
+    k: int = 10,
+    sample_per_mille: int | None = None,
+) -> str:
+    """Train the quantizer and materialize ``centroids/`` +
+    ``lists/`` (inverted lists as ``partitionBy(j)`` directories).
+    ``emb`` must carry (vec_id, embedding). Returns ``out_dir``."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        ivf_train,
+    )
+
+    cent = spark.createDataFrame(
+        ivf_train(spark, emb, k, sample_per_mille=sample_per_mille),
+        "j int, c array<double>",
+    )
+    corpus_d = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "j", _grid_l2(F.col("embedding"), F.col("c")).alias("dist"))
+    )
+    assigned = corpus_d.groupBy("vec_id").agg(
+        F.min_by("j", F.struct("dist", "j")).alias("j")
+    )
+    lists = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "j",
+        "vec_id",
+        "embedding",
+        grid_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    lists.write.mode("overwrite").partitionBy("j").parquet(
+        os.path.join(out_dir, "lists")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    return out_dir
+
+
+def load_ivf_lists(
+    spark: SparkSession, index_dir: str, probe_js: list[int] | None = None
+) -> DataFrame:
+    """The list scan; with ``probe_js`` the filter is a literal IN over
+    the partition column, so Catalyst prunes to those directories."""
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    if probe_js is not None:
+        lists = lists.filter(F.col("j").isin(probe_js))
+    return lists
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors for a (query_id, embedding) batch from a
+    persisted index: rank centroids per query (broadcast-k, window
+    over the tiny query×k frame), prune the list scan to the probed
+    partitions, score candidates, per-query top-k. Returns
+    (query_id, nbr_id, cosine, rank)."""
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    qs = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("q_emb"),
+        grid_dot(F.col("embedding"), F.col("embedding")).alias("q_n2"),
+    )
+    qd = (
+        qs.crossJoin(F.broadcast(cent))
+        .select("query_id", "j", _grid_l2(F.col("q_emb"), F.col("c")).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "j")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "j")
+    )
+    # ≤ k distinct centroid ids for the whole batch — driver-bounded.
+    probe_js = sorted({r["j"] for r in probes.select("j").distinct().collect()})
+    lists = load_ivf_lists(spark, index_dir, probe_js)
+    scored = (
+        F.broadcast(probes.join(qs, "query_id"))
+        .join(lists, "j")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nbr_id"),
+            (
+                grid_dot(F.col("q_emb"), F.col("embedding"))
+                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
