@@ -75,3 +75,39 @@ def union_month_tables(dfs: list[DataFrame]) -> DataFrame:
     if not dfs:
         raise ValueError("no tables to union")
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+#: Regex-match predicate templates per SQL dialect. Postgres partial-
+#: matches with ``~`` (the operator the reference pushes,
+#: main_pipeline.py:347); DuckDB's ``~`` is regexp_full_match, so its
+#: partial-match spelling is ``regexp_matches``.
+_REGEX_PREDICATES = {
+    "postgres": "{col} ~ '{pat}'",
+    "duckdb": "regexp_matches({col}, '{pat}')",
+}
+
+
+def regex_predicate_sql(
+    column: str, patterns: list[str], dialect: str = "postgres"
+) -> str:
+    """P8 as pushed SQL: the OR-fold of regex predicates the reference
+    embeds in its tag-selection query (``_get_matching_ids``,
+    main_pipeline.py:343-350), with the dialect spelled out so the
+    same engine code drives Postgres (``~``) or an embedded test
+    database. Patterns are validated to exclude quotes — they come
+    from config, not user input, and the reference's f-string
+    interpolation is kept ONLY under that invariant.
+
+    Prefer the declarative form (``operators/filters.py::regex_filter``
+    on a JDBC relation — Spark 3.3+ pushes RLIKE to JDBC sources via
+    V2 pushdown) when reading whole tables; this helper is for the
+    reference-parity path where the SQL string IS the interface."""
+    if not patterns:
+        raise ValueError("at least one pattern required")
+    if dialect not in _REGEX_PREDICATES:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    for p in patterns:
+        if "'" in p or "\\" in p:
+            raise ValueError(f"pattern {p!r} must not contain quotes/backslashes")
+    tmpl = _REGEX_PREDICATES[dialect]
+    return "(" + " OR ".join(tmpl.format(col=column, pat=p) for p in patterns) + ")"

@@ -50,6 +50,13 @@ _CHILD = textwrap.dedent(
             f"SELECT range AS tagid, range * 1000 AS t_stamp, "
             f"range * 1.5 AS value, 1 AS dataintegrity FROM range({n})"
         )
+    con.execute(
+        "CREATE TABLE tags AS SELECT range AS id, "
+        "CASE WHEN range % 3 = 0 THEN 'plant/temp_' || range "
+        "     WHEN range % 3 = 1 THEN 'plant/pressure_' || range "
+        "     ELSE 'office/hvac_' || range END AS tagpath "
+        "FROM range(30)"
+    )
     con.close()
 
     from pyspark.sql import SparkSession
@@ -63,7 +70,7 @@ _CHILD = textwrap.dedent(
     spark.sparkContext.setLogLevel("ERROR")
 
     from sensorstream_scalable_sensor_data_pipeline_spark.sources.catalog import (
-        prune_month_tables, union_month_tables,
+        prune_month_tables, regex_predicate_sql, union_month_tables,
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
         jdbc_read_options, read_jdbc,
@@ -92,6 +99,22 @@ _CHILD = textwrap.dedent(
     ]
     unioned = union_month_tables(scans)
 
+    # P8/J3 over JDBC: the reference's _get_matching_ids flow
+    # (main_pipeline.py:343-350) — regex predicate PUSHED to the
+    # database (Postgres dialect: `tagpath ~ 'p'`; DuckDB spelling
+    # used here), matching ids collected, then the IN-list pushed
+    # into the extraction query.
+    pred = regex_predicate_sql(
+        "tagpath", ["temp_[0-9]+", "pressure_"], dialect="duckdb"
+    )
+    ids = sorted(
+        int(r[0]) for r in jdbc(f"SELECT id FROM tags WHERE {pred}").collect()
+    )
+    id_csv = ",".join(str(i) for i in ids)
+    matched = jdbc(
+        f"SELECT tagid FROM sensor_raw_2024_01 WHERE tagid IN ({id_csv})"
+    )
+
     # S3: range-partitioned parallel read of one month table.
     popts = jdbc_read_options(
         url, "", user="", password="",
@@ -108,6 +131,8 @@ _CHILD = textwrap.dedent(
         "union_rows": unioned.count(),
         "part_rows": part.count(),
         "part_n": part.rdd.getNumPartitions(),
+        "regex_ids": ids,
+        "matched_rows": matched.count(),
     }))
     spark.stop()
     """
@@ -130,10 +155,34 @@ def test_jdbc_month_table_flow(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert out["names"] == [
+    assert set(out["names"]) >= {
         "sensor_raw_2023_12", "sensor_raw_2024_01", "sensor_raw_2024_02"
-    ]
+    }
     assert out["keep"] == ["sensor_raw_2024_01", "sensor_raw_2024_02"]
     assert out["union_rows"] == 150  # 100 + 50; 2023_12 pruned
     assert out["part_rows"] == 100
     assert out["part_n"] == 4
+    # regex pushdown matched temp_* (ids ≡ 0 mod 3) and pressure_*
+    # (ids ≡ 1 mod 3) of 30 tags, and the IN-list extraction hit
+    # exactly those sensors
+    assert out["regex_ids"] == sorted(
+        i for i in range(30) if i % 3 in (0, 1)
+    )
+    assert out["matched_rows"] == 20
+
+
+def test_regex_predicate_sql_dialects():
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.catalog import (
+        regex_predicate_sql,
+    )
+
+    pg = regex_predicate_sql("tagpath", ["temp_[0-9]+", "^plant/"])
+    assert pg == "(tagpath ~ 'temp_[0-9]+' OR tagpath ~ '^plant/')"
+    dk = regex_predicate_sql("tagpath", ["temp_[0-9]+"], dialect="duckdb")
+    assert dk == "(regexp_matches(tagpath, 'temp_[0-9]+'))"
+    with pytest.raises(ValueError, match="quotes"):
+        regex_predicate_sql("t", ["bad'pattern"])
+    with pytest.raises(ValueError, match="pattern required"):
+        regex_predicate_sql("t", [])
+    with pytest.raises(ValueError, match="dialect"):
+        regex_predicate_sql("t", ["x"], dialect="oracle")
