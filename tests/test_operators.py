@@ -102,6 +102,40 @@ def test_compute_cutoff_clamps_to_lookback(spark):
     assert compute_cutoff(None, "t", now, default_start=dt.datetime(2024, 1, 1)) == dt.datetime(2024, 1, 1)
 
 
+def test_compute_cutoff_pruned_matches_and_falls_back(spark):
+    """The partition-pruned cutoff must equal the full-scan cutoff in
+    both regimes: fresh history (pruned months carry the max) and
+    stale history (lookback months empty → one full-scan fallback
+    recovers the true, earlier max)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.incremental import (
+        compute_cutoff_pruned,
+    )
+
+    now = dt.datetime(2024, 6, 1)
+
+    def frame(*ts):
+        return spark.createDataFrame(
+            [(t, t.year, t.month) for t in ts],
+            "t timestamp, year int, month int",
+        )
+
+    fresh = frame(dt.datetime(2024, 5, 31), dt.datetime(2024, 2, 1))
+    assert compute_cutoff_pruned(fresh, "t", now, lookback_days=30) == (
+        compute_cutoff(fresh, "t", now, lookback_days=30)
+    )
+    stale = frame(dt.datetime(2024, 1, 15), dt.datetime(2023, 11, 3))
+    assert compute_cutoff_pruned(stale, "t", now, lookback_days=30) == dt.datetime(
+        2024, 1, 15
+    )
+    empty = frame()
+    assert compute_cutoff_pruned(
+        empty, "t", now, default_start=dt.datetime(2024, 1, 1)
+    ) == dt.datetime(2024, 1, 1)
+    assert compute_cutoff_pruned(
+        None, "t", now, default_start=dt.datetime(2024, 1, 1)
+    ) == dt.datetime(2024, 1, 1)
+
+
 def test_incremental_merge_idempotent(spark, sf_dir):
     """Re-ingesting the same increment must be a no-op (the
     reference's idempotency contract, main_pipeline.py:328)."""
