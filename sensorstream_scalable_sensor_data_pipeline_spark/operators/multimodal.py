@@ -26,6 +26,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -106,4 +107,131 @@ def extract_features(
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         run, schema=FEATURE_SCHEMA
+    )
+
+
+# ------------------------------------------------- resize / frame-sample
+
+
+def resize_image(payload: bytes, target_bytes: int, *, fake: bool = False) -> bytes:
+    """Resize an image payload.
+
+    STUB: a real resize needs a codec (decode → scale → re-encode).
+    ``fake=True`` is a deterministic strided byte subsample to exactly
+    ``target_bytes`` (or the payload itself when already smaller) so
+    the Spark plumbing — binary in, smaller binary out, schema and
+    batch shapes — is exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires an image codec library; "
+            "run with fake=True for the deterministic stub"
+        )
+    if len(payload) <= target_bytes:
+        return payload
+    stride = len(payload) / target_bytes
+    return bytes(payload[int(i * stride)] for i in range(target_bytes))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    target_bytes: int,
+    fake_codec: bool = True,
+) -> DataFrame:
+    """Batch-resize binary payloads via Arrow-batched ``mapInPandas``
+    (the thumbnail/downscale stage of a multimodal training pipeline).
+    Output payloads are capped at ``target_bytes`` each — the
+    downstream shuffle/storage win is the whole point: resize BEFORE
+    any shuffle so the wide bytes never move at full size."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "payload": [
+                        resize_image(p, target_bytes, fake=fake_codec)
+                        for p in pdf[binary_col]
+                    ],
+                }
+            )
+            out.insert(1, "n_bytes", out["payload"].map(len).astype("int64"))
+            yield out
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 4,
+    fake_codec: bool = True,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads — the
+    fan-OUT multimodal stage (one row in, many frame rows out), which
+    is exactly what ``mapInPandas`` models: a batch iterator may yield
+    more rows than it receives, keeping the expansion executor-side
+    (the exploded frames never pass through the driver and partition
+    like any other relation).
+
+    STUB: real frame extraction needs a video codec; the deterministic
+    fake treats the payload as fixed-size frames of
+    ``_FAKE_FRAME_BYTES`` (the same framing ``decode_image``'s
+    ``n_frames`` reports, so the two stubs agree)."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[binary_col]
+            ):
+                if not fake_codec:
+                    raise NotImplementedError(
+                        "frame extraction requires a video codec library; "
+                        "run with fake_codec=True for the deterministic stub"
+                    )
+                n_frames = len(payload) // _FAKE_FRAME_BYTES
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(
+                        payload[
+                            fi * _FAKE_FRAME_BYTES : (fi + 1) * _FAKE_FRAME_BYTES
+                        ]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=FRAME_SCHEMA
     )

@@ -16,7 +16,13 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.incremental impo
     compute_cutoff,
     incremental_merge,
 )
-from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import decode_image
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+    _FAKE_FRAME_BYTES,
+    decode_image,
+    resize_image,
+    resize_payloads,
+    sample_frames,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.schemas import (
     SENSOR_RAW,
     SchemaValidationError,
@@ -185,6 +191,53 @@ def test_decode_image_stub_contract():
     assert feats["n_bytes"] == 512
     assert feats["n_frames"] == 2
     assert feats["byte_sum"] == (ord("a") + ord("b") + ord("c") + ord("d")) * 128
+
+
+def test_resize_payloads_caps_bytes(spark, sf_dir):
+    """Resize plumbing: binary in → capped binary out, Arrow-batched;
+    small payloads pass through untouched, and the stub is
+    deterministic (same input → same bytes)."""
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x" * 100, 10)
+    docs = load_table(spark, sf_dir, "documents").limit(40).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = resize_payloads(docs, "doc_id", "payload", target_bytes=64)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: r["payload"] for r in docs.collect()}
+    assert rows.keys() == src.keys()
+    for did, r in rows.items():
+        assert r["n_bytes"] == len(r["payload"]) <= 64
+        if len(src[did]) <= 64:
+            assert bytes(r["payload"]) == bytes(src[did])
+    again = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_payloads(docs, "doc_id", "payload", target_bytes=64).collect()
+    }
+    assert again == {k: bytes(v["payload"]) for k, v in rows.items()}
+
+
+def test_sample_frames_fan_out(spark, sf_dir):
+    """Frame sampling is the fan-out mapInPandas stage: every_n=2 over
+    the fake fixed-size framing yields ceil(n_frames/2) rows per doc,
+    each frame exactly the framed byte slice."""
+    docs = load_table(spark, sf_dir, "documents").limit(30).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_frames(docs, "doc_id", "payload", every_n=2).collect()
+    src = {r["doc_id"]: bytes(r["payload"]) for r in docs.collect()}
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        n_frames = len(src[did]) // _FAKE_FRAME_BYTES
+        assert len(rs) == (n_frames + 1) // 2
+        for r in rs:
+            lo = r["frame_idx"] * _FAKE_FRAME_BYTES
+            assert bytes(r["frame"]) == src[did][lo : lo + _FAKE_FRAME_BYTES]
+            assert r["frame_idx"] % 2 == 0
+    # docs shorter than one frame produce no rows — by construction
+    assert set(by_doc) == {d for d, p in src.items() if len(p) >= _FAKE_FRAME_BYTES}
 
 
 # ------------------------------------------------------------ skew
