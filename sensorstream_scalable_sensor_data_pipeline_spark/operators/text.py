@@ -61,6 +61,38 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+#: BPE-ish pre-tokenizer: the GPT-2-style split into letter runs,
+#: digit runs, and single punctuation marks. Plain ASCII classes so
+#: Java regex (Spark) and RE2 (DuckDB) agree exactly; the driver
+#: corpus is pure ASCII (verified in plans/multimodal.py).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Average subword length for the piece→token estimate (the common
+#: ~4-chars-per-token rule of thumb for BPE vocabularies).
+_SUBWORD_CHARS = 4.0
+
+
+def bpe_ish_pieces(text: Column) -> Column:
+    """Pre-tokenizer pieces (letter runs / digit runs / punctuation):
+    what a BPE tokenizer would merge within — the regex-only stand-in
+    for real subword tokenization the task allows."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def subword_count_estimate(pieces: Column) -> Column:
+    """LLM-token count estimate: each piece contributes
+    ``max(1, ceil(len/4))`` subwords — long words split, punctuation
+    counts once. Codegen transform + aggregate over the staged piece
+    array; exact integer math so both engines agree."""
+    per_piece = F.transform(
+        pieces,
+        lambda p: F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.length(p) / F.lit(_SUBWORD_CHARS)).cast("long"),
+        ),
+    )
+    return F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style quality gates as column math: token count,
     stopword ratio, mean token length, and a combined boolean gate."""

@@ -24,24 +24,42 @@ from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load
 
 @query(
     "text_token_stats",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
-           len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS n_tokens,
+           len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS n_tokens,
            length(text) AS n_chars_actual,
-           CAST(length(text) AS DOUBLE) / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS chars_per_token
+           CAST(length(text) AS DOUBLE) / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS chars_per_token,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+           CAST(COALESCE(list_sum(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                 p -> greatest(1, CAST(ceil(length(p) / 4.0) AS BIGINT)))), 0)
+             AS BIGINT) AS n_subwords_est
     FROM documents
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer): per-doc token count and
-    chars/token — the basic sizing stats every data pipeline needs."""
+    """Token counting, both flavors the task calls for: whitespace
+    tokens (sizing stats) and a BPE-ish regex estimate — GPT-2-style
+    pre-tokenizer pieces (letter/digit runs, single punctuation) with
+    a max(1, ceil(len/4)) subword estimate per piece. All codegen
+    column math; the piece array stages once per row."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    return docs.select(
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        bpe_ish_pieces,
+        subword_count_estimate,
+    )
+
+    staged = docs.select(
+        "doc_id", "text", bpe_ish_pieces(F.col("text")).alias("_pieces")
+    )
+    return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
         (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+        F.size("_pieces").alias("n_pieces"),
+        subword_count_estimate(F.col("_pieces")).alias("n_subwords_est"),
     )
 
 
