@@ -135,6 +135,34 @@ def language_id(text: Column) -> Column:
     return F.when(text.rlike(CJK_RANGE), F.lit("zh")).otherwise(best["lang"])
 
 
+#: Rabin-Karp rolling-hash parameters: base and a Mersenne-prime
+#: modulus. acc < P < 2^31 and token hashes < 2^28, so every
+#: acc·B + h step stays far below 2^63 — exact integer math in both
+#: engines.
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over a token array:
+    ``h = fold(h·B + md5_28(tok) mod P)``. ORDER-SENSITIVE — unlike
+    the min-token MinHash, reordering tokens changes the value, which
+    is what makes it a sequence fingerprint rather than a set sketch.
+    ``toks`` must be a materialized attribute (stage the tokenizer
+    first — module docstring cliffs). DuckDB twin: ``list_reduce``
+    starts its fold at the first element, which equals this init-0
+    fold since ``0·B + h₁ = h₁``."""
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLLING_BASE) + h) % F.lit(ROLLING_MOD),
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprints: md5 of whitespace-normalized lowercase
     text (exact-dup key) + min token md5 (a 1-permutation MinHash —

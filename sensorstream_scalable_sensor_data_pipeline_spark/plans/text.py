@@ -120,25 +120,48 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
-    oracle="""
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+      FROM documents
+    )
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5,
-           list_aggregate(list_transform(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\\s+'),
-                                         t -> md5(t)), 'min') AS min_token_md5
-    FROM documents
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5,
+           list_aggregate(list_transform(toks, t -> md5(t)), 'min') AS min_token_md5,
+           CASE WHEN len(toks) = 0 THEN 0 ELSE
+             list_reduce(list_transform(toks,
+                 t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)),
+               (acc, h) -> (acc * 1000003 + h) % 2147483647)
+           END AS rolling_hash
+    FROM tk
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: a normalization-invariant content hash
-    (md5 of whitespace-collapsed lowercased text) plus a 1-perm
-    MinHash (min token md5) — the building block the dedup family
-    composes."""
+    """Document fingerprinting, all three primitives the dedup family
+    composes: a normalization-invariant content hash (md5 of
+    whitespace-collapsed lowercased text), a 1-perm MinHash (min token
+    md5 — a SET sketch), and a Rabin-Karp polynomial rolling hash over
+    the token SEQUENCE (order-sensitive: reordered content changes it,
+    which the set sketch cannot see). Tokens stage once and feed both
+    token-level hashes."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        rolling_hash,
+        tokenize_lower,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = doc_fingerprint(F.col("text"))
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "text", tokenize_lower(F.col("text")).alias("_tk")
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), r"^ | $", ""
+    )
+    return staged.select(
         "doc_id",
-        fp["norm_md5"].alias("norm_md5"),
-        fp["min_token_md5"].alias("min_token_md5"),
+        F.md5(norm).alias("norm_md5"),
+        F.array_min(F.transform(F.col("_tk"), F.md5)).alias("min_token_md5"),
+        rolling_hash(F.col("_tk")).alias("rolling_hash"),
     )
 
 

@@ -193,6 +193,32 @@ def test_decode_image_stub_contract():
     assert feats["byte_sum"] == (ord("a") + ord("b") + ord("c") + ord("d")) * 128
 
 
+def test_rolling_hash_is_order_sensitive(spark):
+    """The sequence fingerprint must separate reordered content the
+    set sketch cannot: same token multiset → same min_token_md5 but
+    different rolling hash; identical sequences → identical hash."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        rolling_hash,
+        tokenize_lower,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    staged = df.select("doc_id", tokenize_lower(F.col("text")).alias("_tk"))
+    out = {
+        r["doc_id"]: (r["rh"], r["mn"])
+        for r in staged.select(
+            "doc_id",
+            rolling_hash(F.col("_tk")).alias("rh"),
+            F.array_min(F.transform(F.col("_tk"), F.md5)).alias("mn"),
+        ).collect()
+    }
+    assert out[1][0] == out[3][0] != out[2][0]
+    assert out[1][1] == out[2][1] == out[3][1]
+
+
 def test_resize_payloads_caps_bytes(spark, sf_dir):
     """Resize plumbing: binary in → capped binary out, Arrow-batched;
     small payloads pass through untouched, and the stub is
