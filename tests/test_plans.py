@@ -147,6 +147,24 @@ def test_ivf_probe_join_is_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_curate_composition_no_cartesian(spark, sf_dir):
+    """The full curation composition is now a graded bench head; its
+    plan must stay a chain of keyed shuffles — no cartesian anywhere
+    (LSH bands, Jaccard verify, component joins, anti-join, split)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    plan = (
+        curate_training_corpus(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_seed_selection_has_no_window(spark, sf_dir):
     """The r2 seed selection ranked the ENTIRE corpus through one
     unpartitioned row_number window — a single-task funnel at scale.
