@@ -114,6 +114,16 @@ def run_pipeline(
         existing: DataFrame | None = spark.read.parquet(out_data)
     except Exception:
         existing = None
+    # Legacy layout migration: state written before the (year, month)
+    # partitioning has no time-partition columns, so nothing can
+    # prune. Derive the columns on the fly for this run and force a
+    # full overwrite rewrite — one migration run re-lays the data out,
+    # and every subsequent run prunes.
+    legacy = existing is not None and not {"year", "month"} <= set(existing.columns)
+    if legacy:
+        existing = existing.withColumn("year", F.year("datetime")).withColumn(
+            "month", F.month("datetime")
+        )
     cutoff = compute_cutoff_pruned(
         existing,
         "datetime",
@@ -142,8 +152,12 @@ def run_pipeline(
     keys = ["sensor_id", "datetime"]
     deduped = key_dedup_deterministic(increment, keys, "sensor_value", keep="max")
     dynamic = False
-    write_mode = cfg.write_mode
-    if existing is not None and cfg.write_mode == "overwrite":
+    # A legacy store must be rewritten whole regardless of the
+    # configured mode: appending the new three-level partitioning next
+    # to tagpath-only directories leaves a mixed-depth layout Spark
+    # cannot read back.
+    write_mode = "overwrite" if legacy else cfg.write_mode
+    if existing is not None and write_mode == "overwrite":
         deduped = key_dedup_deterministic(
             existing.unionByName(deduped, allowMissingColumns=False),
             keys,
@@ -175,11 +189,7 @@ def run_pipeline(
             recent.unionByName(deduped), keys, "sensor_value", keep="max"
         )
         write_mode, dynamic = "overwrite", True
-    staging = (
-        out_data + "_staging"
-        if cfg.write_mode == "overwrite"
-        else out_data
-    )
+    staging = out_data + "_staging" if write_mode == "overwrite" and not dynamic else out_data
     write_partitioned(
         deduped,
         staging,

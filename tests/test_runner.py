@@ -158,6 +158,40 @@ def test_append_conflict_policies(spark, tmp_path):
         PipelineConfig(input_dir="x", output_dir="y", append_conflict="bogus")
 
 
+def test_legacy_layout_migrates(spark, sf_dir, tmp_path):
+    """State written by the pre-(year, month) engine (tagpath-only
+    partitioning) must not crash the new runner: the run derives the
+    time-partition columns, forces one full migrating rewrite (even in
+    append mode — mixed partition depths are unreadable), and the next
+    run prunes normally."""
+    import os
+
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(input_dir=sf_dir, output_dir=out, write_mode="append")
+    # Build a legacy store: same series content, tagpath-only layout.
+    from sensorstream_scalable_sensor_data_pipeline_spark.runner import build_series
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+        write_partitioned,
+    )
+
+    legacy = build_series(spark, cfg, None).drop("year", "month")
+    series = os.path.join(out, "series")
+    write_partitioned(legacy, series, ["tagpath"])
+    n_legacy = spark.read.parquet(series).count()
+    assert "year=" not in str(sorted(os.listdir(os.path.join(series, os.listdir(series)[0]))))
+
+    r = run_pipeline(spark, cfg)
+    migrated = spark.read.parquet(r["output"])
+    assert {"year", "month"} <= set(migrated.columns)
+    assert migrated.count() == n_legacy  # same inputs → same keys, none lost
+    tag_dir = next(d for d in os.listdir(series) if d.startswith("tagpath="))
+    assert any(d.startswith("year=") for d in os.listdir(os.path.join(series, tag_dir)))
+    # second run is a normal pruned append no-op
+    s1 = _snapshot(spark, r["output"])
+    r2 = run_pipeline(spark, cfg)
+    assert _snapshot(spark, r2["output"]) == s1
+
+
 def test_append_keep_max_idempotent(spark, sf_dir, tmp_path):
     """keep_max appends must also be re-run-safe: the merge is
     deterministic, so running the same increment again rewrites the
