@@ -1,0 +1,50 @@
+"""The bench harness skips (with a stderr note) any head that fails —
+which means a renamed or unregistered query would silently vanish from
+the graded suite. Pin that every HEADLINE name resolves to a callable
+and that the 19 r2 heads are still present for round-over-round
+comparison."""
+
+from __future__ import annotations
+
+import importlib
+
+import bench
+from sensorstream_scalable_sensor_data_pipeline_spark import plans
+
+R2_HEADS = {
+    "sensor_pipeline_e2e",
+    "sensor_hourly_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_per_group",
+    "w1_pivot_wide",
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "w2_sessionize",
+    "sensor_sliding_rollup",
+    "stream_hourly_rollup",
+    "q6_forecast_revenue",
+    "docs_curate_corpus",
+    "sim_ann_ivf",
+    "sim_ann_signlsh",
+}
+
+
+def test_all_headline_heads_resolve():
+    registered = plans.all_queries()
+    for name in bench.HEADLINE:
+        if name in bench.EXTRA_HEADS:
+            mod, attr = bench.EXTRA_HEADS[name]
+            fn = getattr(importlib.import_module(mod), attr)
+        else:
+            fn = registered.get(name)
+        assert callable(fn), f"bench head {name!r} does not resolve"
+
+
+def test_r2_heads_still_benched():
+    assert R2_HEADS <= set(bench.HEADLINE)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 20
