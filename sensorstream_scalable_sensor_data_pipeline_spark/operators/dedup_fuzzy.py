@@ -345,10 +345,47 @@ def simhash_candidates(
 # ------------------------------------------------- pair resolution
 
 
+#: Below this many verified pairs the transitive closure runs as
+#: driver-side union-find: the edge list is a few MB while the
+#: distributed loop pays 2-3 rounds of fixed job latency (join + agg +
+#: checkpoint + fixpoint probe each). Verified near-dup PAIRS are
+#: orders smaller than the corpus, but at true corpus scale they can
+#: still be huge — the distributed loop remains the unbounded path.
+DRIVER_UNION_FIND_MAX_PAIRS = 100_000
+
+
+def _union_find_components(edges: list[tuple], spark) -> DataFrame:
+    """Driver-side union-find with path compression — exact same
+    (doc_id, rep=min id of component) contract as the distributed
+    loop, minus per-round job latency. Only ever called on a bounded
+    edge list."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the canonical rep
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "doc_id long, rep long")
+
+
 def dup_components(
     pairs: DataFrame,
     max_iters: int = 10,
     strict: bool = False,
+    driver_max_pairs: int = DRIVER_UNION_FIND_MAX_PAIRS,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc_id, rep)
     where ``rep`` is the minimum doc_id of the document's connected
@@ -374,7 +411,20 @@ def dup_components(
     members keep a non-minimal rep, so they under-merge, never
     over-merge), but it must be observable — non-convergence raises
     when ``strict`` else emits a ``RuntimeWarning``.
+
+    Size-aware strategy: when the pair count fits under
+    ``driver_max_pairs`` (a few MB — the common case, since VERIFIED
+    near-dup pairs are orders smaller than the corpus), the closure
+    runs as driver-side union-find with path compression: same
+    contract, exact convergence, none of the per-round job latency.
+    Pass ``driver_max_pairs=0`` to force the distributed loop.
     """
+    if driver_max_pairs:
+        head = pairs.select("id_a", "id_b").limit(driver_max_pairs + 1).collect()
+        if len(head) <= driver_max_pairs:
+            return _union_find_components(
+                [(r["id_a"], r["id_b"]) for r in head], pairs.sparkSession
+            )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

@@ -206,8 +206,14 @@ def test_dup_components_long_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    comp = {r["doc_id"]: r["rep"] for r in dup_components(pairs, max_iters=12).collect()}
+    comp = {
+        r["doc_id"]: r["rep"]
+        for r in dup_components(pairs, max_iters=12, driver_max_pairs=0).collect()
+    }
     assert set(comp.values()) == {0} and len(comp) == 10
+    # and the union-find fast path resolves the same chain identically
+    fast = {r["doc_id"]: r["rep"] for r in dup_components(pairs).collect()}
+    assert fast == comp
 
 
 def test_dup_components_nonconvergence_is_observable(spark):
@@ -225,11 +231,13 @@ def test_dup_components_nonconvergence_is_observable(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(15)], "id_a long, id_b long"
     )
+    # driver_max_pairs=0 forces the distributed loop (the union-find
+    # fast path always converges exactly)
     with pytest.raises(RuntimeError, match="fixpoint"):
-        dup_components(pairs, max_iters=2, strict=True)
+        dup_components(pairs, max_iters=2, strict=True, driver_max_pairs=0)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        labels = dup_components(pairs, max_iters=2)
+        labels = dup_components(pairs, max_iters=2, driver_max_pairs=0)
     assert any("fixpoint" in str(w.message) for w in caught)
     # under-merged, never over-merged: every rep <= its doc_id
     assert all(r["rep"] <= r["doc_id"] for r in labels.collect())
