@@ -1,0 +1,74 @@
+"""As-of join (§2.12 custom operator — Spark has no native one).
+
+The classic time-series enrichment the reference's domain wants but
+its engine lacks: for every sensor reading at time t, attach the most
+recent state row (calibration, configuration, tag revision) at or
+before t. SQL engines with native support call it ASOF JOIN (DuckDB,
+QuestDB, kdb); Spark must compose it.
+
+Implementation — the union + ordered-window trick, one shuffle total:
+
+1. union the two sides with an ``is_right`` marker (left columns null
+   on right rows and vice versa);
+2. one window partitioned by key, ordered by (t, is_right DESC) so at
+   equal timestamps the state row precedes the readings it governs;
+3. ``last(state_col, ignorenulls=True)`` carries the latest state
+   forward onto every row;
+4. keep only left rows.
+
+Scale shape: ONE hash-partitioned sort per key — the same cost as any
+keyed window — versus the naive inequality join, which is a range
+join that degenerates to per-key cross products. No broadcast
+requirement on either side; skewed keys split under AQE like any
+window shuffle. The oracle twin is DuckDB's native ``ASOF LEFT JOIN``
+— native semantics pin ours exactly (inclusive ≤, null when no state
+precedes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    time_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains, for each of
+    ``right``'s ``value_cols``, the value from the latest right row
+    with the same ``on`` key and ``time_col`` ≤ the left row's
+    (inclusive). Rows with no preceding state keep nulls.
+
+    ``right`` must be unique per (key, time); duplicate state rows at
+    the same instant are resolved deterministically (max value wins)
+    before the join so results never depend on physical row order.
+    """
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup import (
+        key_dedup_deterministic,
+    )
+
+    r = key_dedup_deterministic(
+        right.select(on, time_col, *value_cols), [on, time_col], value_cols[0], keep="max"
+    )
+    l_cols = [c for c in left.columns]
+    tagged_l = left.withColumn("_is_r", F.lit(0))
+    for c in value_cols:
+        tagged_l = tagged_l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    tagged_r = r.withColumn("_is_r", F.lit(1))
+    for c in l_cols:
+        if c not in (on, time_col) and c not in value_cols:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(time_col).asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u
+    for c in value_cols:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_r") == 0).select(*l_cols, *value_cols)
