@@ -1,4 +1,5 @@
-"""As-of join (§2.12 custom operator — Spark has no native one).
+"""Temporal joins (§2.12 custom operators — Spark has no native ones):
+as-of join and bucketed range join.
 
 The classic time-series enrichment the reference's domain wants but
 its engine lacks: for every sensor reading at time t, attach the most
@@ -72,3 +73,49 @@ def asof_join(
     for c in value_cols:
         carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return carried.filter(F.col("_is_r") == 0).select(*l_cols, *value_cols)
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner containment join: every ``left`` row paired with every
+    interval of the same key whose ``[start, end]`` (inclusive)
+    contains its timestamp — readings → maintenance windows, events →
+    sessions, prices → validity ranges.
+
+    Expressed naively this is an inequality join, which Spark plans as
+    a nested-loop / per-key cross product. The scalable form buckets
+    time: points key on their bucket, intervals EXPLODE to every
+    bucket they cover, and the join becomes an ordinary equi-join on
+    (key, bucket) followed by the exact containment filter. Each point
+    lives in exactly one bucket, so no dedup is needed; interval
+    fan-out is ceil(len/bucket) + 1 rows — pick ``bucket_seconds``
+    near the typical interval length so fan-out stays ~2×.
+    """
+    us = 1_000_000 * bucket_seconds
+    lb = left.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(time_col)) / F.lit(us))
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(us)),
+                F.floor(F.unix_micros(F.col(end_col)) / F.lit(us)),
+            )
+        ),
+    )
+    return (
+        lb.join(iv, [on, "_b"])
+        .filter(
+            (F.col(time_col) >= F.col(start_col))
+            & (F.col(time_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -64,6 +64,52 @@ def test_asof_join_semantics_edges(spark):
     assert got[(3, 9)] is None  # key with no state rows
 
 
+def test_range_join_matches_duckdb(spark, duck, sf_dir):
+    """Bucketed containment join vs the plain BETWEEN join in DuckDB:
+    every (reading, window) pair whose window contains the reading,
+    including readings inside overlapping windows (two output rows)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    wins = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 151 == 0)
+        .select(
+            F.col("event_id").alias("win_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        )
+    )
+    got = range_join(
+        ev, wins, on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+    ).select("event_id", "win_id")
+    oracle = """
+    WITH wins AS (
+      SELECT event_id AS win_id, user_id, ts AS start_ts,
+             ts + INTERVAL 6 HOUR AS end_ts
+      FROM events WHERE event_id % 151 = 0
+    )
+    SELECT l.event_id, w.win_id
+    FROM events l JOIN wins w
+      ON l.user_id = w.user_id
+     AND l.ts >= w.start_ts AND l.ts <= w.end_ts
+    """
+    sdf = got.toPandas()
+    assert len(sdf) > 0
+    assert_frames_match(sdf, duck.sql(oracle).df(), "range_join")
+    # plan: keyed equi-join on (key, bucket) — never a nested loop
+    plan = (
+        range_join(ev, wins, "user_id", "ts", "start_ts", "end_ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
