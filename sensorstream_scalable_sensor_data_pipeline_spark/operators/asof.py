@@ -75,6 +75,46 @@ def asof_join(
     return carried.filter(F.col("_is_r") == 0).select(*l_cols, *value_cols)
 
 
+def resample_locf(
+    readings: DataFrame,
+    on: str,
+    time_col: str,
+    value_cols: list[str],
+    step_seconds: int,
+) -> DataFrame:
+    """Resample irregular per-key readings onto a regular grid with
+    last-observation-carried-forward — the gap-fill every sensor
+    dashboard and feature pipeline needs (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``).
+
+    Composition, not new machinery: each key's grid is a ``sequence``
+    from its first reading's step-aligned floor to its last reading
+    (one tiny agg + explode — grid rows ≈ span/step per key), then one
+    :func:`asof_join` attaches the latest reading at or before every
+    grid instant. Grid points before the first reading (at most one,
+    the aligned floor) carry nulls.
+    """
+    step = F.lit(step_seconds)
+    bounds = readings.groupBy(on).agg(
+        F.min(time_col).alias("_mn"), F.max(time_col).alias("_mx")
+    )
+    aligned = F.expr(
+        f"timestamp_seconds((unix_micros(_mn) div 1000000 div {step_seconds})"
+        f" * {step_seconds})"
+    )
+    grid = bounds.select(
+        on,
+        F.explode(
+            F.sequence(
+                aligned, F.col("_mx"), F.expr(f"INTERVAL {step_seconds} SECONDS")
+            )
+        ).alias(time_col),
+    )
+    return asof_join(
+        grid, readings.select(on, time_col, *value_cols), on, time_col, value_cols
+    )
+
+
 def range_join(
     left: DataFrame,
     intervals: DataFrame,

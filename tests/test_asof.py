@@ -110,6 +110,47 @@ def test_range_join_matches_duckdb(spark, duck, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_resample_locf_matches_duckdb(spark, duck, sf_dir):
+    """Regular-grid LOCF resampling vs DuckDB (generate_series grid +
+    native ASOF LEFT JOIN): same grids, same carried values, nulls
+    only at the aligned floor before a key's first reading."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        resample_locf,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)  # a few keys, long spans
+        .select("user_id", "ts", "value")
+    )
+    got = resample_locf(ev, "user_id", "ts", ["value"], step_seconds=6 * 3600)
+    oracle = """
+    WITH r AS (
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE user_id % 25 = 0 GROUP BY user_id, ts
+    ),
+    b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM r GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(
+               CAST(to_timestamp(CAST(floor(epoch(mn) / 21600) AS BIGINT) * 21600) AS TIMESTAMP),
+               mx, INTERVAL 6 HOUR)) AS ts
+      FROM b
+    )
+    SELECT g.user_id, g.ts, r.value
+    FROM grid g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts >= r.ts
+    """
+    sdf = got.toPandas()
+    assert len(sdf) > 0
+    assert_frames_match(sdf, duck.sql(oracle).df(), "resample_locf")
+    # structural sanity: per key the grid is regular at the step
+    some_key = sdf["user_id"].iloc[0]
+    one = sorted(r["ts"] for r in got.filter(F.col("user_id") == int(some_key)).collect())
+    assert len(one) >= 2
+    deltas = {int((b - a).total_seconds()) for a, b in zip(one, one[1:])}
+    assert deltas == {6 * 3600}
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
