@@ -115,6 +115,28 @@ def resample_locf(
     )
 
 
+def rate_of_change(
+    readings: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+    out: str = "rate_per_s",
+) -> DataFrame:
+    """Per-key first derivative: (value − lag(value)) / seconds since
+    the previous reading — the sensor-domain staple (leak detection,
+    ramp alarms). One keyed window; the first reading per key and any
+    zero-interval repeat yield NULL rather than ±Infinity (Spark's
+    ANSI double division and DuckDB disagree on x/0, so the guard is
+    also what keeps the operator oracle-checkable)."""
+    w = Window.partitionBy(on).orderBy(time_col)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    dt_us = F.unix_micros(F.col(time_col)) - F.unix_micros(F.lag(time_col).over(w))
+    return readings.withColumn(
+        out,
+        F.when(dt_us > 0, dv / (dt_us.cast("double") / F.lit(1_000_000.0))),
+    )
+
+
 def range_join(
     left: DataFrame,
     intervals: DataFrame,

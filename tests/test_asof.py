@@ -151,6 +151,36 @@ def test_resample_locf_matches_duckdb(spark, duck, sf_dir):
     assert deltas == {6 * 3600}
 
 
+def test_rate_of_change_matches_duckdb(spark, duck, sf_dir):
+    """Lag-based derivative vs the identical window in DuckDB; NULL at
+    each key's first reading and on zero-interval repeats (the x/0
+    cross-engine divergence the guard exists for)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        rate_of_change,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    got = rate_of_change(ev, "user_id", "ts", "value").select(
+        "event_id", "rate_per_s"
+    )
+    oracle = """
+    SELECT event_id,
+           CASE WHEN epoch_us(ts - lag(ts) OVER w) > 0
+                THEN (value - lag(value) OVER w)
+                     / (CAST(epoch_us(ts - lag(ts) OVER w) AS DOUBLE) / 1000000.0)
+           END AS rate_per_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+    assert_frames_match(got.toPandas(), duck.sql(oracle).df(), "rate_of_change")
+    # every key's earliest reading has no rate
+    firsts = (
+        ev.groupBy("user_id").agg(F.min("ts").alias("ts")).join(ev, ["user_id", "ts"])
+    )
+    j = got.join(firsts.select("event_id"), "event_id")
+    assert j.filter(F.col("rate_per_s").isNotNull()).count() == 0
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
