@@ -14,6 +14,19 @@ cache pressure + megamorphic call sites) — measured 6.4 s fresh vs
 measures the engine, not the harness history; JVM startup is excluded
 by timing only the query inside the child.
 
+Each head runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) in
+SEPARATE child JVMs and reports the per-head MEDIAN: n=1 samples made
+round-over-round deltas unactionable (r4's +41 % `sim_ann_signlsh`
+swing on byte-identical code; r3's e2e +14 %). Separate JVMs keep
+every rep cold — an in-JVM repeat would measure the JIT-warm path and
+break comparability with earlier rounds' cold numbers. All samples
+ship in the JSON (``samples``) so spread is visible.
+
+Heads with a ``<name>_setup`` hook in their EXTRA_HEADS module run it
+BEFORE the timer (e.g. ``ivf_query_batch`` builds the index untimed —
+the build is its own timed head; amortized serving cost is exactly
+what the pair of numbers demonstrates).
+
 Each query is materialized with a ``count()`` over the full result —
 we time plan execution, not Arrow transfer to the driver.
 """
@@ -60,20 +73,52 @@ HEADLINE = [
     # training-data user actually runs (r2 judge #8). Not in the
     # registry (driver 50-row cap); resolved via EXTRA_HEADS.
     "curate_training_corpus",
+    # Round 5: the temporal-join family (sensor-domain daily drivers,
+    # r3/r4 verdict "What's missing #1") and the persisted-IVF
+    # build/serve split (r4 verdict task #6). The 20 heads above are
+    # unchanged for round-over-round comparability.
+    "asof_join",
+    "range_join",
+    "resample_locf",
+    "ivf_index_build",
+    "ivf_query_batch",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
-#: driver's 50-row cap): name → (module, attribute).
+#: driver's 50-row cap): name → (module, attribute). If the module
+#: also defines ``<attribute>_setup(spark, sf_dir)``, the child runs
+#: it before starting the timer (untimed fixture construction).
 EXTRA_HEADS = {
     "curate_training_corpus": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.text",
         "curate_training_corpus",
     ),
+    "asof_join": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "asof_join_head",
+    ),
+    "range_join": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "range_join_head",
+    ),
+    "resample_locf": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "resample_locf_head",
+    ),
+    "ivf_index_build": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
+        "ivf_index_build",
+    ),
+    "ivf_query_batch": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
+        "ivf_query_batch",
+    ),
 }
 
 
 def run_one(name: str) -> None:
-    """Child mode: build a session, warm up, time one query."""
+    """Child mode: build a session, warm up, run the head's untimed
+    setup hook (if any), time one query."""
     from sensorstream_scalable_sensor_data_pipeline_spark.session import get_spark
 
     spark = get_spark(
@@ -83,11 +128,14 @@ def run_one(name: str) -> None:
     )
     from sensorstream_scalable_sensor_data_pipeline_spark import plans
 
+    setup = None
     if name in EXTRA_HEADS:
         import importlib
 
         mod, attr = EXTRA_HEADS[name]
-        fn = getattr(importlib.import_module(mod), attr)
+        module = importlib.import_module(mod)
+        fn = getattr(module, attr)
+        setup = getattr(module, f"{attr}_setup", None)
     else:
         fn = plans.all_queries()[name]
     # Warmup: absorb session/JVM/scan-machinery startup with a neutral
@@ -96,11 +144,31 @@ def run_one(name: str) -> None:
     from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
     load_table(spark, SF_DIR, "region").count()
+    if setup is not None:
+        setup(spark, SF_DIR)
     t0 = time.time()
     rows = fn(spark, SF_DIR).count()
     dt = round(time.time() - t0, 3)
     print(json.dumps({"query": name, "sec": dt, "rows": rows}))
     spark.stop()
+
+
+#: Cold-JVM repetitions per head; the reported number is the median.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _run_child(name: str) -> dict | None:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", name],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"query"')]
+    if proc.returncode != 0 or not line:
+        print(f"  {name}: FAILED\n{proc.stderr[-500:]}", file=sys.stderr)
+        return None
+    return json.loads(line[-1])
 
 
 def main() -> None:
@@ -109,24 +177,26 @@ def main() -> None:
         return
 
     per_query: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
-        line = [
-            ln for ln in proc.stdout.splitlines() if ln.startswith('{"query"')
-        ]
-        if proc.returncode != 0 or not line:
-            print(f"  {name}: FAILED\n{proc.stderr[-500:]}", file=sys.stderr)
+        secs, rows = [], None
+        for _ in range(REPS):
+            rec = _run_child(name)
+            if rec is not None:
+                secs.append(rec["sec"])
+                rows = rec["rows"]
+        if not secs:
             continue
-        rec = json.loads(line[-1])
-        per_query[name] = rec["sec"]
-        total += rec["sec"]
-        print(f"  {name}: {rec['sec']}s ({rec['rows']} rows)", file=sys.stderr, flush=True)
+        med = sorted(secs)[len(secs) // 2]
+        per_query[name] = med
+        samples[name] = secs
+        total += med
+        print(
+            f"  {name}: {med}s median of {secs} ({rows} rows)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -143,6 +213,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "reps": REPS,
+                "samples": samples,
                 "sf": sf,
                 "cpus": CPUS,
                 "sf_dir": SF_DIR,

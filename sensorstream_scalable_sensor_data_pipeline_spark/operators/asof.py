@@ -13,9 +13,12 @@ Implementation — the union + ordered-window trick, one shuffle total:
    on right rows and vice versa);
 2. one window partitioned by key, ordered by (t, is_right DESC) so at
    equal timestamps the state row precedes the readings it governs;
-3. ``last(state_col, ignorenulls=True)`` carries the latest state
-   forward onto every row;
-4. keep only left rows.
+3. ``last(state_struct, ignorenulls=True)`` carries the latest state
+   row forward onto every row — ONE struct of all value columns, so a
+   state row whose value fields are genuinely NULL is still "the
+   latest state" (the struct itself is non-null), and multi-column
+   output never stitches fields from different state rows;
+4. keep only left rows and unpack the struct.
 
 Scale shape: ONE hash-partitioned sort per key — the same cost as any
 keyed window — versus the naive inequality join, which is a range
@@ -56,12 +59,23 @@ def asof_join(
         right.select(on, time_col, *value_cols), [on, time_col], value_cols[0], keep="max"
     )
     l_cols = [c for c in left.columns]
-    tagged_l = left.withColumn("_is_r", F.lit(0))
-    for c in value_cols:
-        tagged_l = tagged_l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    tagged_r = r.withColumn("_is_r", F.lit(1))
+    # The whole state row travels as ONE struct: non-null on every
+    # right row even when its fields are NULL, so last(ignorenulls)
+    # attaches the latest state row wholesale — NULL state values are
+    # preserved (matching DuckDB's native ASOF LEFT JOIN) and columns
+    # never mix across different state rows.
+    tagged_r = r.select(
+        F.col(on),
+        F.col(time_col),
+        F.lit(1).alias("_is_r"),
+        F.struct(*value_cols).alias("_state"),
+    )
+    state_type = tagged_r.schema["_state"].dataType
+    tagged_l = left.select(
+        *l_cols, F.lit(0).alias("_is_r"), F.lit(None).cast(state_type).alias("_state")
+    )
     for c in l_cols:
-        if c not in (on, time_col) and c not in value_cols:
+        if c not in (on, time_col):
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     u = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
     w = (
@@ -69,10 +83,16 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("_is_r").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u
-    for c in value_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return carried.filter(F.col("_is_r") == 0).select(*l_cols, *value_cols)
+    carried = u.withColumn("_state", F.last("_state", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_r") == 0).select(
+        *l_cols, *[F.col("_state")[c].alias(c) for c in value_cols]
+    )
+
+
+#: Max grid points materialized in any single sequence/array value by
+#: :func:`resample_locf` — one day of 1 s samples. Bounds per-row
+#: memory regardless of a key's time span.
+GRID_CHUNK_POINTS = 86_400
 
 
 def resample_locf(
@@ -81,34 +101,69 @@ def resample_locf(
     time_col: str,
     value_cols: list[str],
     step_seconds: int,
+    chunk_points: int = GRID_CHUNK_POINTS,
 ) -> DataFrame:
     """Resample irregular per-key readings onto a regular grid with
     last-observation-carried-forward — the gap-fill every sensor
     dashboard and feature pipeline needs (TimescaleDB's
     ``time_bucket_gapfill`` + ``locf``).
 
-    Composition, not new machinery: each key's grid is a ``sequence``
-    from its first reading's step-aligned floor to its last reading
-    (one tiny agg + explode — grid rows ≈ span/step per key), then one
+    Composition, not new machinery: each key's grid runs from its
+    first reading's step-aligned floor to its last reading, then one
     :func:`asof_join` attaches the latest reading at or before every
     grid instant. Grid points before the first reading (at most one,
     the aligned floor) carry nulls.
+
+    Grid generation is a TWO-LEVEL explode so no single array value
+    ever holds a key's full span: the outer ``sequence`` enumerates
+    coarse chunks of ``chunk_points`` grid points (≈ ceil(span/step /
+    chunk_points) elements — thousands even for multi-year spans at
+    1 s), the inner ``sequence`` emits at most ``chunk_points`` offset
+    integers per chunk. A key spanning 3 years at a 1 s step is ~95 M
+    grid rows streamed through ~1.1 k bounded chunk rows — never one
+    95 M-element array (which would OOM the executor and trip Spark's
+    sequence length cap). All arithmetic is integer epoch-seconds;
+    timestamps materialize only in the final projection.
     """
-    step = F.lit(step_seconds)
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    if chunk_points <= 0:
+        raise ValueError("chunk_points must be positive")
+    step, cp = int(step_seconds), int(chunk_points)
     bounds = readings.groupBy(on).agg(
         F.min(time_col).alias("_mn"), F.max(time_col).alias("_mx")
     )
-    aligned = F.expr(
-        f"timestamp_seconds((unix_micros(_mn) div 1000000 div {step_seconds})"
-        f" * {step_seconds})"
-    )
-    grid = bounds.select(
+    # _a0 = step-aligned floor of the first reading (epoch s);
+    # _n = number of grid points (last point ≤ _mx, which may carry
+    # sub-second micros — integer floor keeps the comparison exact).
+    spans = bounds.select(
         on,
+        F.expr(f"(unix_micros(_mn) div 1000000 div {step}) * {step}").alias("_a0"),
+        F.expr(
+            f"(unix_micros(_mx) div 1000000"
+            f" - (unix_micros(_mn) div 1000000 div {step}) * {step})"
+            f" div {step} + 1"
+        ).alias("_n"),
+    )
+    chunks = spans.select(
+        on,
+        "_a0",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.expr(f"(_n - 1) div {cp}"))
+        ).alias("_c"),
+    )
+    grid = chunks.select(
+        on,
+        "_a0",
         F.explode(
             F.sequence(
-                aligned, F.col("_mx"), F.expr(f"INTERVAL {step_seconds} SECONDS")
+                F.expr(f"_c * CAST({cp} AS BIGINT)"),
+                F.expr(f"least(_n, (_c + 1) * CAST({cp} AS BIGINT)) - 1"),
             )
-        ).alias(time_col),
+        ).alias("_k"),
+    ).select(
+        on, F.expr(f"timestamp_seconds(_a0 + _k * {step})").alias(time_col)
     )
     return asof_join(
         grid, readings.select(on, time_col, *value_cols), on, time_col, value_cols

@@ -177,13 +177,28 @@ def minhash_lsh_candidates(
     num_perms: int = NUM_PERMS,
     num_bands: int = NUM_BANDS,
     shingle_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     One keyed self-join on (band, band_hash) + distinct — no
-    cross join anywhere. The band table feeds both join sides —
-    persist it so signatures aren't computed once per branch."""
-    b = lsh_bands(df, id_col, text_col, num_perms, num_bands, shingle_df=shingle_df)
-    b = b.persist()
+    cross join anywhere. The band table feeds both join sides, so it
+    must be persisted or the signature pipeline runs once per branch.
+
+    Persist lifecycle: pass a persisted ``bands_df`` (built with
+    :func:`lsh_bands`) to OWN the cache — the composition can then
+    release it after materializing (operators/caching.py). Without
+    one, the function persists internally; callers that return this
+    frame lazily from a long-lived session should release via
+    ``materialize_and_release`` at their composition root (see
+    plans/dedup.py) so repeated calls don't accumulate dead cached
+    relations."""
+    b = (
+        bands_df
+        if bands_df is not None
+        else lsh_bands(
+            df, id_col, text_col, num_perms, num_bands, shingle_df=shingle_df
+        ).persist()
+    )
     left = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
@@ -297,7 +312,19 @@ def simhash_candidates(
       tests). Same join shape, (b+1)× the rows.
 
     Either way the self-join is keyed on the block, never all-pairs;
-    exact hamming on the candidates is the verifier."""
+    exact hamming on the candidates is the verifier.
+
+    ``max_hamming`` must satisfy ``1 <= max_hamming < bits``: 0 would
+    make the single block span the whole word (its ``(1<<64)-1`` mask
+    overflows a signed long — and "0 differing bits" is exact-match
+    dedup, not a near-dup search), and ``>= bits`` would cut
+    zero-width blocks whose mask is 0, collapsing every row onto one
+    key — the all-pairs join the blocking exists to avoid."""
+    if max_hamming is not None and not (1 <= max_hamming < bits):
+        raise ValueError(
+            f"max_hamming must be in [1, {bits - 1}] (got {max_hamming}); "
+            "use exact dedup for 0 and a smaller bound for recall"
+        )
     if max_hamming is None:
         blocked = sh.withColumn(
             "block", F.shiftright(F.col("simhash"), bits - prefix_bits)
@@ -479,7 +506,11 @@ def dup_components(
             if it > 0
             else 1
         )
-        labels = updated
+        # ``updated`` is already materialized with truncated lineage,
+        # so the superseded round's checkpoint blocks are dead — free
+        # them now instead of accumulating one cached RDD per round.
+        superseded, labels = labels, updated
+        superseded.unpersist()
         if changed == 0:
             converged = True
             break

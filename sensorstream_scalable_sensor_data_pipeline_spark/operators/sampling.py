@@ -49,10 +49,21 @@ def hash_split(
     """Reproducible train/holdout split: rows whose key bucket falls
     below ``holdout_per_mille`` are 'holdout', the rest 'train'.
     Content-keyed, so re-ingested or re-partitioned data keeps its
-    assignment — the split is a property of the data, not of the run.
-    The default salt differs from :func:`stratified_hash_sample`'s so
-    composing a split with a sample on the same key never selects
-    exactly the holdout rows."""
+    assignment — the split is a property of the data AND of the salt,
+    not of the run. The default salt differs from
+    :func:`stratified_hash_sample`'s so composing a split with a
+    sample on the same key never selects exactly the holdout rows.
+
+    .. warning:: **v-r2 → v-r3 split-assignment break.** r2 shipped
+       unsalted buckets (``salt=None`` semantics); r3 made
+       ``salt="split"`` the default to decorrelate from sampling.
+       The two assignments are unrelated: a holdout set persisted by
+       the r2 engine is NOT this default's holdout — mixing eras
+       contaminates the holdout. Migrating deployments must either
+       pass ``salt=None`` explicitly to keep their historical
+       assignment, or re-materialize every split from scratch under
+       the new default and retire the old artifacts. (Also noted in
+       COVERAGE.md.)"""
     b = hash_bucket(F.col(key_col), salt=salt)
     return df.withColumn(
         out,

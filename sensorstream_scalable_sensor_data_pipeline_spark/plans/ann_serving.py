@@ -1,0 +1,82 @@
+"""Bench heads for the persisted IVF index (operators/ann_index.py):
+build-once vs query-many, measured SEPARATELY.
+
+``sim_ann_ivf`` times train + assign + query as one plan — right for
+a one-shot benchmark, but the persisted index's entire argument is
+amortization: pay the build once, then serve query batches that read
+only nprobe/k of the corpus via partition pruning. That claim had
+correctness evidence only (r3/r4 verdict "What's missing"); these two
+heads make it perf evidence:
+
+* ``ivf_index_build`` — timed head covering the full build: train
+  the quantizer, assign the corpus, write ``centroids/`` +
+  ``partitionBy(j)`` inverted lists. Expected ≈ the one-shot head
+  (same passes + one partitioned write).
+* ``ivf_query_batch`` — the serving path. Its ``_setup`` hook (run
+  by bench.py BEFORE the timer starts) builds the index into a
+  scratch dir; the timed body is ONLY what a serving batch pays:
+  rank centroids for the query batch, prune the list scan to probed
+  partitions, score, per-query top-k. Expected ≪ the one-shot head —
+  that gap IS the index.
+
+Both recompute nothing across heads (bench children are separate
+JVMs); the setup hook keeps the build out of the serving
+measurement without hiding it — it is the other head.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.ann_index import (
+    build_ivf_index,
+    query_ivf_index,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+
+#: Scratch index location, one per process (bench children are
+#: separate JVMs; tests pass their own tmp dir via the setup hook).
+_index_dir: str | None = None
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query subset as the one-shot heads (every 100th
+    vector) so serving-path numbers compare like-for-like."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr("vec_id % 100 = 0"))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed build head: full index construction into a scratch dir,
+    returning the materialized inverted-list table (its count
+    confirms every corpus vector landed in a list)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="ivf_bench_"), "index")
+    build_ivf_index(spark, load_table(spark, sf_dir, "embeddings"), out, k=10)
+    return spark.read.parquet(os.path.join(out, "lists"))
+
+
+def ivf_query_batch_setup(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed setup (bench.py runs this before the timer): build the
+    index the serving head queries."""
+    global _index_dir
+    out = os.path.join(tempfile.mkdtemp(prefix="ivf_bench_"), "index")
+    build_ivf_index(spark, load_table(spark, sf_dir, "embeddings"), out, k=10)
+    _index_dir = out
+
+
+def ivf_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed serving head: one query batch against the pre-built
+    index — centroid ranking (tiny), pruned list scan, candidate
+    scoring, per-query top-k."""
+    if _index_dir is None:
+        ivf_query_batch_setup(spark, sf_dir)
+    return query_ivf_index(
+        spark, _index_dir, _queries(spark, sf_dir), k=5, nprobe=2
+    )

@@ -150,16 +150,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides, both verify sides) reads the persisted (doc_id, ss) table
     # instead of re-running the string pipeline. At 100 TB this is a
     # MEMORY_AND_DISK dataset ~the size of the token stream — still
-    # far cheaper than 5 recomputations of the tokenizer.
+    # far cheaper than 5 recomputations of the tokenizer. Both caches
+    # (shingles, band table) are owned here and released after the
+    # (candidate-sized) result materializes — repeated calls in a
+    # long session must not accumulate dead cached relations.
     from pyspark import StorageLevel
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        lsh_bands,
+    )
 
     sh = with_shingles(docs, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = minhash_lsh_candidates(docs, "doc_id", "text", shingle_df=sh)
-    return shingle_jaccard(
+    bands = lsh_bands(docs, "doc_id", "text", shingle_df=sh).persist()
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_df=sh, bands_df=bands
+    )
+    out = shingle_jaccard(
         cands, docs, "doc_id", "text", shingle_df=sh
     ).filter(F.col("jaccard") >= 0.8)
+    return materialize_and_release(out, sh, bands)
 
 
 @query(
@@ -201,9 +215,14 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect(F.col("ds_a"), F.col("ds_b")))
     union = F.size(F.array_union(F.col("ds_a"), F.col("ds_b")))
-    return pairs.select(
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+
+    out = pairs.select(
         "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
     )
+    return materialize_and_release(out, keyed)
 
 
 @query(
@@ -249,12 +268,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("block"), F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+
+    out = (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+    return materialize_and_release(out, blocked)
 
 
 # ------------------------------------------------- embedding near-dup

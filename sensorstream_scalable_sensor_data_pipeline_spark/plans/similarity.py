@@ -156,7 +156,12 @@ def ivf_seed_frame(emb: DataFrame, k: int, stride: int) -> DataFrame:
     """The ≤k strided seeds as (j, c): a pushed-down modulo filter on
     the id column — no corpus-wide window anywhere in seed selection
     (tests pin the plan as Window-free). ``j = vec_id ÷ stride`` so
-    both engines label seeds identically without ranking anything."""
+    both engines label seeds identically without ranking anything.
+
+    DENSE-ID PATH ONLY: the modulo predicate assumes ids 0..n−1 (id ≡
+    rank). On a sparse-id frame — e.g. a hash-bucket training sample —
+    it selects ~k·density seeds instead of k (possibly zero);
+    :func:`ivf_seed_sampled_frame` is the sparse-safe variant."""
     return (
         emb.select("vec_id", "embedding")
         .filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k))
@@ -164,6 +169,27 @@ def ivf_seed_frame(emb: DataFrame, k: int, stride: int) -> DataFrame:
             F.expr(f"CAST(vec_id DIV {stride} AS INT)").alias("j"),
             F.transform("embedding", lambda x: x.cast("double")).alias("c"),
         )
+    )
+
+
+def ivf_seed_sampled_frame(base: DataFrame, k: int) -> DataFrame:
+    """Sparse-id-safe seeding: bucket ids into k deterministic md5
+    strata (the same salted hash identity as operators/sampling.py)
+    and take the min-id vector per stratum — exactly one seed per
+    non-empty stratum, regardless of how sparse the ids are. One
+    map-side-combined ``min_by`` aggregate over the (already small)
+    sample; still no window, no rank, no driver data beyond the k
+    seeds themselves. With a uniform hash and sample ≫ k the
+    probability of an empty stratum is negligible (k·(1−1/k)^n)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    b = hash_bucket(F.col("vec_id"), buckets=k, salt="ivf-seed")
+    return (
+        base.select(b.alias("_b"), "vec_id", "embedding")
+        .groupBy("_b")
+        .agg(F.min_by("embedding", "vec_id").alias("e"))
     )
 
 
@@ -205,18 +231,33 @@ def ivf_train(
     k·dim doubles (the quantizer itself), which is what ships to
     executors as the index. ``sample_per_mille`` bounds every training
     job to the deterministic hash-bucket sample when even one full
-    training pass is too much (the count then also runs on the
-    sample); the default trains on the full table — one extra
-    partial-agg pass, the same cost class as the index's mandatory
-    assignment scan."""
-    base = (
-        emb
-        if sample_per_mille is None
-        else ivf_training_sample(emb, sample_per_mille)
-    ).select("vec_id", "embedding")
-    n = base.count()
-    stride = max(1, n // k)
-    seeds = {r["j"]: list(r["c"]) for r in ivf_seed_frame(base, k, stride).collect()}
+    training pass is too much; the default trains on the full table —
+    one extra partial-agg pass, the same cost class as the index's
+    mandatory assignment scan.
+
+    Seeding is path-aware: the full table has dense ids 0..n−1, so
+    the strided modulo filter selects exactly k spread-out seeds at
+    scan speed; a hash-bucket sample has SPARSE ids, where that
+    predicate would pick ~k·per_mille/1000 seeds (possibly zero) and
+    silently train a degenerate quantizer — the sampled path instead
+    seeds by min-id per md5 stratum (:func:`ivf_seed_sampled_frame`),
+    which yields exactly one seed per non-empty stratum on any id
+    distribution."""
+    if sample_per_mille is None:
+        base = emb.select("vec_id", "embedding")
+        n = base.count()
+        stride = max(1, n // k)
+        seeds = {
+            r["j"]: list(r["c"]) for r in ivf_seed_frame(base, k, stride).collect()
+        }
+    else:
+        base = ivf_training_sample(emb, sample_per_mille).select(
+            "vec_id", "embedding"
+        )
+        rows = sorted(
+            ivf_seed_sampled_frame(base, k).collect(), key=lambda r: r["_b"]
+        )
+        seeds = {j: [float(x) for x in r["e"]] for j, r in enumerate(rows)}
     cent0 = spark.createDataFrame(
         sorted(seeds.items()), "j int, c array<double>"
     )

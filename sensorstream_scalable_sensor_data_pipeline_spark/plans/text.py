@@ -64,7 +64,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    oracle="""
+    oracle=r"""
     SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
            CASE WHEN n_tokens >= 10 AND stopword_ratio >= 0.05 AND mean_token_len BETWEEN 2 AND 12
                 THEN 1 ELSE 0 END AS quality_ok
@@ -75,7 +75,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ['the','a','of','and','to','in','is','it','you','that'], t))) AS DOUBLE)
                / len(toks) AS stopword_ratio,
              CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks) AS mean_token_len
-      FROM (SELECT doc_id, string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks FROM documents)
     )
     """,
 )
@@ -90,10 +90,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_language_id",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            CASE
-             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
              ELSE (
                SELECT lang FROM (
                  SELECT unnest(['en','de','es','fr']) AS lang,
@@ -106,7 +106,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) ORDER BY hits DESC, lang DESC LIMIT 1
              )
            END AS lang_pred
-    FROM (SELECT doc_id, text, string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, text, string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks FROM documents)
     """,
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,11 +343,22 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH join sides via the shingle frame, the Jaccard verifier, the
     canonical-drop anti-join, the final projection) would each replay
     the gate + dedup shuffle otherwise.
+
+    Persist lifecycle: the composition OWNS its three caches (deduped
+    base, shingle frame, band table) and releases all of them after
+    materializing the (tiny — one row per surviving doc id) result via
+    ``materialize_and_release`` — repeated calls in a long-lived
+    session leave the CacheManager clean (pinned by
+    tests/test_sampling.py::test_curation_releases_all_persists).
     """
     from pyspark.sql import functions as F
 
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         drop_near_duplicates,
+        lsh_bands,
         minhash_lsh_candidates,
         shingle_expr,
         shingle_jaccard,
@@ -395,16 +406,22 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Near-dup: LSH candidates → verified pairs → component drop. The
-    # shingle frame reuses the staged tokens (no re-tokenization).
+    # shingle frame reuses the staged tokens (no re-tokenization);
+    # the band table is built HERE (not inside minhash_lsh_candidates)
+    # so this composition owns — and can release — every cache.
     sh = exact_unique.select(
         "doc_id", shingle_expr(F.col("_tk")).alias("ss")
     ).persist()
-    cands = minhash_lsh_candidates(exact_unique, "doc_id", "text", shingle_df=sh)
+    bands = lsh_bands(exact_unique, "doc_id", "text", shingle_df=sh).persist()
+    cands = minhash_lsh_candidates(
+        exact_unique, "doc_id", "text", shingle_df=sh, bands_df=bands
+    )
     pairs = shingle_jaccard(
         cands, exact_unique, "doc_id", "text", shingle_df=sh
     ).filter(F.col("jaccard") >= 0.8)
     unique = drop_near_duplicates(exact_unique, pairs)
 
-    return hash_split(unique, "doc_id", holdout_per_mille=100).select(
+    out = hash_split(unique, "doc_id", holdout_per_mille=100).select(
         "doc_id", "n_tokens", "split"
     )
+    return materialize_and_release(out, exact_unique, sh, bands)

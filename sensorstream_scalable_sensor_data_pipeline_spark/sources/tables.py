@@ -1,17 +1,26 @@
 """Canonical loader for the driver's synthetic tables (TESTDATA.md).
 
 Every query entry point loads inputs through ``load_table`` so that
-per-table physical quirks are fixed exactly once:
+per-table physical quirks are fixed exactly once. ``events.ts`` has
+shipped in two physical forms across driver testdata generations, and
+the loader normalizes BOTH to session-zone ``TIMESTAMP`` (LTZ):
 
-* ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark has no ns type, so
-  the session reads it as int64 nanoseconds
+* parquet TIMESTAMP(NANOS) — Spark has no ns type, so the session
+  reads it as int64 nanoseconds
   (``spark.sql.legacy.parquet.nanosAsLong=true``, set by
   ``prepare_session``) and we convert with
   ``timestamp_micros(ts div 1000)``. The synthetic data is µs-aligned
   (verified: 0 rows with sub-µs precision), and integer ``div`` keeps
   the arithmetic exact where a double division would corrupt ns-scale
-  epochs (~1.7e18 ≫ 2^53). DuckDB performs the same ns→µs narrowing,
-  so oracle comparisons are bit-identical.
+  epochs (~1.7e18 ≫ 2^53).
+* parquet ``timestamp[us]`` with ``isAdjustedToUTC=false`` — Spark
+  reads it as TIMESTAMP_NTZ, which the time functions the engine
+  depends on (``unix_micros`` &c.) reject. The session timezone is
+  pinned UTC, so ``cast('timestamp')`` reinterprets the wall-clock as
+  the identical UTC instant.
+
+DuckDB reads either form as naive-UTC µs timestamps, so oracle
+comparisons stay bit-identical in both generations.
 
 The ``events`` table plays the reference's SENSOR_RAW role
 (FIXTURES.md §2): ts→t_stamp, user_id→tagid, value→value; ``customer``
@@ -48,13 +57,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TIMESTAMP from
+    any physical form the testdata has shipped in (module docstring):
+    int64 nanoseconds or TIMESTAMP_NTZ. Already-LTZ frames pass
+    through untouched."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # ns-epoch int64 → TIMESTAMP, exact for µs-aligned data.
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        # UTC session: same wall-clock, same instant.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing physical-type quirks."""
     prepare_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-epoch int64 → TIMESTAMP, exact for µs-aligned data.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
@@ -99,6 +122,16 @@ def load_events_range(
         if high is not None:
             df = df.filter(F.col("ts") < F.lit(_ns(high)))
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Compare against an NTZ literal so the predicate pushes into
+        # the scan AS an NTZ comparison (casting the column first
+        # would strand the filter above the scan); UTC session makes
+        # the wall-clock literal the same instant.
+        if low is not None:
+            df = df.filter(F.col("ts") >= F.lit(low).cast("timestamp_ntz"))
+        if high is not None:
+            df = df.filter(F.col("ts") < F.lit(high).cast("timestamp_ntz"))
+        return normalize_event_ts(df)
     if low is not None:
         df = df.filter(F.col("ts") >= F.lit(low))
     if high is not None:

@@ -97,6 +97,19 @@ def events_as_kafka_wire(
 
     prepare_session(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # The WIRE format is fixed — payload ``ts`` is epoch nanoseconds
+    # (KAFKA_EVENTS_VALUE_SCHEMA) no matter which physical form this
+    # testdata generation stores (ns-long or timestamp[us]); producers
+    # don't change their contract when a warehouse retypes a column.
+    ts_dt = dict(ev.dtypes).get("ts")
+    if ts_dt != "bigint":
+        from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+            normalize_event_ts,
+        )
+
+        ev = normalize_event_ts(ev).withColumn(
+            "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+        )
     payload = F.to_json(
         F.struct("event_id", "ts", "user_id", "event_type", "value")
     )

@@ -38,9 +38,12 @@ from pyspark.sql.types import (
 
 from sensorstream_scalable_sensor_data_pipeline_spark.session import prepare_session
 
-#: File-source schema for the events stream. ``ts`` arrives as int64
-#: nanoseconds (TIMESTAMP(NANOS) parquet + nanosAsLong conf — the
-#: session normalization load_table applies to the batch path).
+#: Reference file-source schema for the events stream with the
+#: original ns-as-long physical ``ts`` (TIMESTAMP(NANOS) parquet +
+#: nanosAsLong conf). The live stream derives its schema from the
+#: actual file footer — the testdata has also shipped ``ts`` as
+#: ``timestamp[us]`` (TIMESTAMP_NTZ to Spark), and a streaming source
+#: schema must match the physical type exactly.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -57,18 +60,28 @@ _mem_counter = itertools.count()
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet as a file source, with
-    the same ns→timestamp normalization as the batch loader."""
+    the same event-time normalization as the batch loader
+    (``sources.tables.normalize_event_ts``)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        normalize_event_ts,
+    )
+
     prepare_session(spark)
+    # A streaming file source needs an explicit schema; take it from
+    # the file footer (one driver-side metadata read, no data scan) so
+    # the stream tracks whichever physical ts type this testdata
+    # generation uses.
+    phys = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file source requires a *directory*; scope it to the events
     # file with a glob filter (a real deployment points at a landing
     # directory that receives files over time).
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(phys)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def drain_to_memory(

@@ -62,3 +62,46 @@ def test_index_layout_on_disk(spark, sf_dir, tmp_path):
     assert len(j_dirs) == 10  # one inverted list per centroid
     cent = spark.read.parquet(os.path.join(idx, "centroids"))
     assert cent.count() == 10
+
+
+def test_ivf_train_sampled_path_produces_k_seeds(spark, sf_dir):
+    """The hash-bucket training sample has SPARSE vec_ids, where the
+    dense-id modulo seeding would select ~k·per_mille/1000 seeds
+    (possibly zero) and silently train a degenerate quantizer. The
+    sampled path must still seed exactly k clusters (min-id per md5
+    stratum) and train a usable quantizer."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        ivf_train,
+        ivf_training_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    trained = ivf_train(spark, emb, k=k, sample_per_mille=400)
+    assert len(trained) == k
+    assert sorted(j for j, _ in trained) == list(range(k))
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert all(len(c) == dim for _, c in trained)
+    # the quantizer is non-degenerate: centroids are not all identical
+    assert len({tuple(round(x, 9) for x in c) for _, c in trained}) > 1
+    # and the sample really is sparse-id (the bug's precondition)
+    ids = [r["vec_id"] for r in ivf_training_sample(emb, 400).select("vec_id").collect()]
+    assert ids and max(ids) >= len(ids)  # ids are NOT dense 0..n-1
+
+
+def test_ivf_sampled_index_end_to_end(spark, sf_dir, tmp_path):
+    """build_ivf_index(sample_per_mille=...) — the advertised
+    sparse-corpus path — must produce a queryable index with every
+    query answered (k neighbors each)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(
+        spark, emb, str(tmp_path / "ivf_s"), k=8, sample_per_mille=400
+    )
+    queries = emb.filter(F.expr("vec_id % 100 = 0")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_ivf_index(spark, idx, queries, k=5, nprobe=2)
+    n_queries = queries.count()
+    per_q = got.groupBy("query_id").count().collect()
+    assert len(per_q) == n_queries
+    assert all(r["count"] == 5 for r in per_q)

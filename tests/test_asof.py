@@ -64,6 +64,35 @@ def test_asof_join_semantics_edges(spark):
     assert got[(3, 9)] is None  # key with no state rows
 
 
+def test_asof_join_null_state_values(spark):
+    """A state row whose value columns are genuinely NULL is still the
+    latest state: it must MASK older non-null state (DuckDB native
+    ASOF semantics — the row attaches, NULLs included), and with
+    multiple value columns the output must come from ONE state row,
+    never stitched across rows."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(12)), (1, t(22)), (1, t(32))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(10), 100.0, "a"),
+            (1, t(20), None, "b"),  # NULL v at t=20 must mask v=100
+            (1, t(30), 300.0, None),  # NULL u at t=30 must mask u='b'
+        ],
+        "k long, ts timestamp, v double, u string",
+    )
+    got = {
+        r["ts"].second: (r["v"], r["u"])
+        for r in asof_join(left, right, "k", "ts", ["v", "u"]).collect()
+    }
+    assert got[12] == (100.0, "a")
+    assert got[22] == (None, "b")  # not (100.0, 'b') — no stitching
+    assert got[32] == (300.0, None)  # not (300.0, 'b')
+
+
 def test_range_join_matches_duckdb(spark, duck, sf_dir):
     """Bucketed containment join vs the plain BETWEEN join in DuckDB:
     every (reading, window) pair whose window contains the reading,
@@ -149,6 +178,64 @@ def test_resample_locf_matches_duckdb(spark, duck, sf_dir):
     assert len(one) >= 2
     deltas = {int((b - a).total_seconds()) for a, b in zip(one, one[1:])}
     assert deltas == {6 * 3600}
+
+
+def test_resample_locf_chunked_grid_equivalence(spark):
+    """The two-level chunked grid is exactly the single-sequence grid:
+    a chunk size that divides the span unevenly (boundary points at
+    chunk edges, a final partial chunk) yields the identical row set
+    as one giant chunk."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        resample_locf,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 3)
+    rd = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0 + dt.timedelta(seconds=497), 2.0),
+         (2, t0 + dt.timedelta(seconds=11), 5.0)],
+        "k long, ts timestamp, v double",
+    )
+    rows = lambda cp: sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in resample_locf(rd, "k", "ts", ["v"], 5, chunk_points=cp).collect()
+    )
+    big = rows(10_000)  # one chunk: the unchunked semantics
+    assert rows(7) == big  # uneven chunk edges
+    assert rows(1) == big  # degenerate: one point per chunk
+    # key 1: epoch-offsets 3..500 → aligned floor 0, points 0,5,…,500 = 101;
+    # key 2: single reading → one grid point. 102 total.
+    assert len(big) == 101 + 1
+
+
+def test_resample_locf_long_span_no_full_span_array(spark):
+    """A key spanning months at a 1 s step (~7.8 M grid points) — far
+    beyond what one sequence() array value could hold without
+    OOM-class allocations — resamples fine because no single array
+    ever exceeds chunk_points elements (the outer chunk sequence is
+    ~ceil(n/86400) ≈ 91 elements). Count + endpoints verified."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        resample_locf,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    span = 7_776_000  # 90 days of seconds
+    rd = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0 + dt.timedelta(seconds=span), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = resample_locf(rd, "k", "ts", ["v"], 1)
+    assert got.count() == span + 1
+    agg = got.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx"),
+        F.count(F.when(F.col("v") == 2.0, 1)).alias("n2"),
+    ).collect()[0]
+    assert agg["mn"] == t0
+    assert agg["mx"] == t0 + dt.timedelta(seconds=span)
+    assert agg["n2"] == 1  # LOCF: only the final instant carries 2.0
 
 
 def test_rate_of_change_matches_duckdb(spark, duck, sf_dir):

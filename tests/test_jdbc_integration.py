@@ -186,3 +186,25 @@ def test_regex_predicate_sql_dialects():
         regex_predicate_sql("t", [])
     with pytest.raises(ValueError, match="dialect"):
         regex_predicate_sql("t", ["x"], dialect="oracle")
+
+
+def test_regex_predicate_sql_matches_reference_where_shape():
+    """Pin the generated Postgres condition to the reference's exact
+    WHERE shape (main_pipeline.py:347-349):
+    ``" OR ".join(f"tagpath ~ '{pattern}'" for pattern in patterns)``.
+    Our helper only adds one enclosing paren pair (safe inside any
+    WHERE); each ``col ~ 'pat'`` term and the `` OR `` joiner must be
+    byte-identical to what the reference pushes to PostgreSQL."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.catalog import (
+        regex_predicate_sql,
+    )
+
+    patterns = ["sensor/temp_.*", "sensor/pressure_.*", "^plant/energy"]
+    reference_condition = " OR ".join(f"tagpath ~ '{p}'" for p in patterns)
+    got = regex_predicate_sql("tagpath", patterns, dialect="postgres")
+    assert got == f"({reference_condition})"
+    # and it drops into the reference's query template unchanged
+    assert (
+        f"SELECT id FROM your_tags_table WHERE {got}"
+        == f"SELECT id FROM your_tags_table WHERE ({reference_condition})"
+    )

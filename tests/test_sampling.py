@@ -172,6 +172,30 @@ def test_simhash_rotating_blocks_guaranteed_recall(spark, sf_dir):
     assert not missed, f"rotating blocks missed {len(missed)} pairs: {sorted(missed)[:5]}"
 
 
+def test_simhash_candidates_rejects_degenerate_hamming(spark):
+    """Parameter extremes must raise, not degrade: max_hamming=0 makes
+    the single block's mask (1<<64)-1 overflow a signed long, and
+    max_hamming >= bits cuts zero-width blocks whose mask is 0 —
+    collapsing every row onto one key, i.e. the all-pairs join the
+    blocking exists to prevent."""
+    import pytest
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        simhash_candidates,
+    )
+
+    sh = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_candidates(sh, "doc_id", max_hamming=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_candidates(sh, "doc_id", max_hamming=64)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_candidates(sh, "doc_id", bits=60, max_hamming=60)
+    # the boundary values stay legal
+    assert simhash_candidates(sh, "doc_id", max_hamming=1).count() >= 0
+    assert simhash_candidates(sh, "doc_id", max_hamming=63).count() >= 0
+
+
 def test_dup_components_and_drop(spark):
     """Transitive closure: pairs (1,2),(2,3) and (10,11) must resolve
     to components {1,2,3}->1 and {10,11}->10; drop_near_duplicates
@@ -266,3 +290,27 @@ def test_curate_training_corpus_end_to_end(spark, sf_dir):
     assert {r["doc_id"]: r["split"] for r in out} == {
         r["doc_id"]: r["split"] for r in again
     }
+
+
+def test_curation_releases_all_persists(spark, sf_dir):
+    """No persist leaks (r3/r4 verdict): after the curation
+    composition and each internally-persisting registered dedup query
+    materializes, the session CacheManager must be empty — a
+    long-lived session calling these repeatedly must not accumulate
+    dead cached relations."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_blocked,
+        dedup_simhash,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert curate_training_corpus(spark, sf_dir).count() > 0
+    assert cm.isEmpty(), "curate_training_corpus leaked persisted frames"
+    for fn in (dedup_minhash_lsh, dedup_ngram_blocked, dedup_simhash):
+        fn(spark, sf_dir).count()
+        assert cm.isEmpty(), f"{fn.__name__} leaked persisted frames"
