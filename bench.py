@@ -28,7 +28,13 @@ the build is its own timed head; amortized serving cost is exactly
 what the pair of numbers demonstrates).
 
 Each query is materialized with a ``count()`` over the full result —
-we time plan execution, not Arrow transfer to the driver.
+we time plan execution, not Arrow transfer to the driver. Head
+authors: ``count()`` lets Catalyst PRUNE columns nobody consumes —
+a per-row operator whose cost lives entirely in an unread column
+(e.g. a window-carried value) is deleted from the counted plan
+(measured: 0.29 s vs 8.56 s on a 20 M-row as-of join). A head must
+end in an aggregate/filter that consumes its computed columns
+(plans/temporal.py doctrine) or its number measures a scan.
 """
 
 from __future__ import annotations
@@ -80,6 +86,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "resample_locf",
+    "rate_of_change",
     "ivf_index_build",
     "ivf_query_batch",
 ]
@@ -104,6 +111,10 @@ EXTRA_HEADS = {
     "resample_locf": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
         "resample_locf_head",
+    ),
+    "rate_of_change": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "rate_of_change_head",
     ),
     "ivf_index_build": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",

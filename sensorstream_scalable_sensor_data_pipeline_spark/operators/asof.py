@@ -23,10 +23,25 @@ Implementation — the union + ordered-window trick, one shuffle total:
 Scale shape: ONE hash-partitioned sort per key — the same cost as any
 keyed window — versus the naive inequality join, which is a range
 join that degenerates to per-key cross products. No broadcast
-requirement on either side; skewed keys split under AQE like any
-window shuffle. The oracle twin is DuckDB's native ``ASOF LEFT JOIN``
-— native semantics pin ours exactly (inclusive ≤, null when no state
-precedes).
+requirement on either side. The oracle twin is DuckDB's native
+``ASOF LEFT JOIN`` — native semantics pin ours exactly (inclusive ≤,
+null when no state precedes).
+
+SKEW: a window partitions by the key alone, so ONE task sorts and
+scans a hot key's entire history serially — AQE cannot split a window
+partition the way it splits a skewed join. Measured (8 M rows,
+local[8], carried value consumed): all rows on one key 4.7-8.1 s vs
+1.7-3.3 s spread over 32 keys — a 2.5-4.7× funnel that grows linearly
+with the hot key's row count (tests/test_asof.py pins correctness
+under a 2 M-row hot key). Escape hatch when one key dominates:
+range-split by coarse time bucket — window on (key, bucket) so each
+bucket sorts independently, then carry each bucket's LAST state onto
+the next bucket's head with a second window over the per-bucket
+summaries (a parallel prefix pass: the summary table has one row per
+(key, bucket) and is orders smaller). Same two-level decomposition
+:func:`resample_locf` uses for its grid; salting (operators/skew.py)
+does NOT apply — window order within the key must survive the split,
+so the split must follow time, not a random salt.
 """
 
 from __future__ import annotations

@@ -23,9 +23,20 @@ Workload shapes (at sf0.1: ~100 k events, ~32 keys):
 * ``rate_of_change_head`` — per-key first derivative: one keyed
   window, pure column math.
 
-Each returns the operator's full output (the ``count()`` in bench.py
-materializes every row), so the timing covers the real shuffle work,
-not a clipped sample.
+MEASUREMENT HONESTY — every head ends in a small per-key summary that
+CONSUMES the operator's computed columns. bench.py materializes heads
+with ``count()``, and Catalyst prunes columns nobody reads: for a
+per-row operator whose expensive work lives entirely in an unread
+column, pruning deletes the operator from the counted plan — measured
+on ``asof_join`` at 20 M rows: 0.29 s for the bare count (Window
+node GONE from the optimized plan) vs 8.56 s with the carried value
+consumed. The summary aggregate (count + avg over the value columns)
+forces full evaluation while adding one tiny keyed agg — the
+realistic consumption shape anyway (dashboards aggregate enriched
+readings; nobody materializes 100 TB of joined rows to look at them).
+``range_join_head`` is the exception: its join condition and
+cardinality already consume the interval bounds, so it returns raw
+pairs (the pair count IS the result).
 """
 
 from __future__ import annotations
@@ -59,9 +70,14 @@ def _calib_state(ev: DataFrame) -> DataFrame:
 
 def asof_join_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return asof_join(
+    enriched = asof_join(
         ev, _calib_state(ev), on="user_id", time_col="ts",
         value_cols=["calib_value"],
+    )
+    return enriched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.count("calib_value").alias("n_calibrated"),
+        F.avg("calib_value").alias("avg_calib"),
     )
 
 
@@ -82,12 +98,22 @@ def range_join_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def resample_locf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return resample_locf(
+    grid = resample_locf(
         ev.select("user_id", "ts", "value"), on="user_id", time_col="ts",
         value_cols=["value"], step_seconds=900,
+    )
+    return grid.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_grid_points"),
+        F.count("value").alias("n_filled"),
+        F.avg("value").alias("avg_value"),
     )
 
 
 def rate_of_change_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return rate_of_change(ev, on="user_id", time_col="ts", value_col="value")
+    rated = rate_of_change(ev, on="user_id", time_col="ts", value_col="value")
+    return rated.groupBy("user_id").agg(
+        F.count("rate_per_s").alias("n_rates"),
+        F.avg(F.abs(F.col("rate_per_s"))).alias("mean_abs_rate"),
+        F.max(F.abs(F.col("rate_per_s"))).alias("max_abs_rate"),
+    )

@@ -268,6 +268,49 @@ def test_rate_of_change_matches_duckdb(spark, duck, sf_dir):
     assert j.filter(F.col("rate_per_s").isNotNull()).count() == 0
 
 
+def test_asof_join_hot_key_skew_correctness(spark):
+    """One hot key carrying 2M readings (every other key's volume is
+    negligible): the keyed-window sort serializes in a single task —
+    the operator's skew funnel (quantified in the asof_join docstring:
+    2.5-4.7x at 8M rows vs a 32-key spread). This pins that the hot
+    path stays CORRECT under that load: carried values are exact at
+    state boundaries and the row count is preserved."""
+    n = 2_000_000
+    left = spark.range(n).select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    left = left.unionByName(
+        spark.range(10).select(
+            F.lit(2).alias("k"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        )
+    )
+    # state changes every 1000 s on the hot key only
+    right = spark.range(n // 1000).select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 1000).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = asof_join(left, right, "k", "ts", ["v"])
+    agg = out.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_filled"),
+        F.sum("v").alias("s"),
+    ).collect()
+    by_k = {r["k"]: r for r in agg}
+    assert by_k[1]["n"] == n and by_k[1]["n_filled"] == n
+    # v at offset t is floor(t/1000): sum over t in [0, n) is
+    # 1000 * sum(j for j in [0, n/1000)) = 1000 * (m-1)m/2
+    m = n // 1000
+    assert int(by_k[1]["s"]) == 1000 * (m - 1) * m // 2
+    assert by_k[2]["n"] == 10 and by_k[2]["n_filled"] == 0  # no state on key 2
+    # NB: the exact sum equality above is the boundary check — it only
+    # holds if every offset t carries floor(t/1000), i.e. each state
+    # change applies inclusively AT its instant and persists until the
+    # next one.
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
