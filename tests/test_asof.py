@@ -268,6 +268,62 @@ def test_rate_of_change_matches_duckdb(spark, duck, sf_dir):
     assert j.filter(F.col("rate_per_s").isNotNull()).count() == 0
 
 
+def test_asof_join_bucketed_equals_plain(spark, sf_dir):
+    """The range-split variant is a pure execution-strategy change:
+    its output must equal asof_join's exactly, for bucket sizes that
+    put many empty buckets between states (1h), align with the data
+    (1d), and degenerate to a single bucket (10y)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    want = sorted(
+        (r["event_id"], r["calib_value"])
+        for r in asof_join(ev, _calib(ev), "user_id", "ts", ["calib_value"]).collect()
+    )
+    for bs in (3600, 86_400, 10 * 365 * 86_400):
+        got = sorted(
+            (r["event_id"], r["calib_value"])
+            for r in asof_join_bucketed(
+                ev, _calib(ev), "user_id", "ts", ["calib_value"], bucket_seconds=bs
+            ).collect()
+        )
+        assert got == want, f"bucket_seconds={bs} diverged"
+
+
+def test_asof_join_bucketed_null_state_across_buckets(spark):
+    """NULL-state semantics must survive the split: a state row with a
+    NULL field in an EARLIER bucket still masks older non-null state
+    for rows in later buckets (the incoming-state carry attaches the
+    whole row, NULLs included — no coalesce leak-through)."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t(1)), (1, t(7)), (1, t(13))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), 10.0, "a"), (1, t(6), None, "b")],
+        "k long, ts timestamp, v double, u string",
+    )
+    got = {
+        r["ts"].hour: (r["v"], r["u"])
+        for r in asof_join_bucketed(
+            left, right, "k", "ts", ["v", "u"], bucket_seconds=3600
+        ).collect()
+    }
+    assert got[1] == (10.0, "a")
+    # buckets 7 and 13 have no in-bucket state; incoming is the t(6)
+    # row whose v is genuinely NULL — must NOT fall back to 10.0
+    assert got[7] == (None, "b")
+    assert got[13] == (None, "b")
+
+
 def test_asof_join_hot_key_skew_correctness(spark):
     """One hot key carrying 2M readings (every other key's volume is
     negligible): the keyed-window sort serializes in a single task —
