@@ -1,0 +1,77 @@
+"""Streaming face of the temporal-join family (§2.10 × §2.12).
+
+The batch as-of join (operators/asof.py) enriches each reading with
+the latest state row at or before its timestamp. Production sensor
+pipelines need the same against a LIVE reading stream: calibration /
+configuration state lives in a slowly-changing table, readings arrive
+continuously, and every micro-batch must attach the state that was
+current at each reading's event time.
+
+Spark's native stream-static join is equality-only, and event-time
+window functions with unbounded frames are unsupported on streams —
+so the engine composes the stream-static as-of the production way:
+``foreachBatch`` runs the BATCH as-of against the static state table
+on each micro-batch. This is exactly correct under any batching:
+as-of enrichment is per-row (a reading's answer depends only on the
+reading and the state table, never on which batch carried it), so
+re-batching, re-ordering across batches, and replay after failure all
+yield identical rows — the property the equivalence test pins by
+streaming the same data in several micro-batches.
+
+Scale notes: per micro-batch the state table joins via the usual one
+keyed window (or broadcast, when the state fits); the stream side
+never accumulates state-store entries for this operator (stateless
+per batch), so there is no watermark requirement. A fast-changing
+state table is the one thing this pattern does NOT cover — that is a
+stream-stream interval join, which needs both sides watermarked and
+a bounded join window.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import asof_join
+from sensorstream_scalable_sensor_data_pipeline_spark.session import prepare_session
+
+
+def stream_asof_enrich(
+    spark: SparkSession,
+    stream: DataFrame,
+    state: DataFrame,
+    on: str,
+    time_col: str,
+    value_cols: list[str],
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """Drain a bounded reading stream through per-micro-batch as-of
+    enrichment against a static ``state`` table into a checkpointed
+    parquet sink; returns the read-back result.
+
+    ``stream`` must be a streaming DataFrame carrying ``on``,
+    ``time_col`` and any passthrough columns; ``state`` is a batch
+    frame with (on, time_col, value_cols). The ``availableNow``
+    trigger makes this testable as batch while keeping the exact
+    production plan (swap the trigger for continuous ingestion).
+    """
+    prepare_session(spark)
+    out = out_dir or tempfile.mkdtemp(prefix="asof_stream_out_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asof_stream_ckpt_")
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        asof_join(batch_df, state, on, time_col, value_cols).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    return spark.read.parquet(out)

@@ -367,6 +367,37 @@ def test_asof_join_hot_key_skew_correctness(spark):
     # next one.
 
 
+def test_stream_asof_enrich_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming face of the as-of join: the same readings delivered
+    across FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file
+    landing dir) through per-batch as-of enrichment must equal the
+    batch as-of over the whole table — as-of against static state is
+    per-row, so batching must be invisible."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    state = _calib(ev)
+    landing = str(tmp_path / "landing")
+    ev.repartition(4).write.parquet(landing)
+    phys = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    got = stream_asof_enrich(
+        spark, stream, state, "user_id", "ts", ["calib_value"],
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    want = asof_join(ev, state, "user_id", "ts", ["calib_value"])
+    pairs = lambda df: sorted(
+        (r["event_id"], r["calib_value"]) for r in df.collect()
+    )
+    assert pairs(got) == pairs(want)
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
