@@ -312,3 +312,43 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank",
     )
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP — revenue by (region, nation), with nation
+    subtotals rolling up to region totals and a grand total, plus
+    ``grouping_id`` so consumers can tell a real NULL from a subtotal
+    row. The reference has no grouping-sets surface at all (SURVEY
+    §2.4); this closes that analytics gap the Catalyst-native way:
+    ``rollup(...)`` expands to grouping sets inside ONE hash
+    aggregate — partial aggregation still collapses map-side, so the
+    shuffle carries one row per (grouping-set, group), not one per
+    input row. Not registered (driver registry sits at its 50-row
+    cap); DuckDB ``GROUP BY ROLLUP`` local oracle in
+    tests/test_queries_vs_oracle.py."""
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey"), F.col("r_name")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey"), F.col("n_name")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_totalprice")
+    )
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("r_name", "n_name", "revenue", "n_orders", "gid")
+    )

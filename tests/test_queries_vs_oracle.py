@@ -41,6 +41,37 @@ def test_w3_session_window_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "w3_session_window")
 
 
+def test_sales_rollup_matches_oracle(spark, duck, sf_dir):
+    """Hierarchical ROLLUP (region → nation → grand total) vs DuckDB's
+    GROUP BY ROLLUP with GROUPING id bits — local-oracle (registry at
+    the 50-row cap). Exact dsum accumulation keeps subtotal doubles
+    bit-identical across engines."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.analytics import (
+        sales_rollup,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import (
+        dsum_sql,
+    )
+
+    sdf = sales_rollup(spark, sf_dir).toPandas()
+    oracle = f"""
+    SELECT r.r_name, n.n_name,
+           {dsum_sql('o.o_totalprice')} AS revenue,
+           count(*) AS n_orders,
+           GROUPING(r.r_name, n.n_name) AS gid
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """
+    ddf = duck.sql(oracle).df()
+    assert_frames_match(sdf, ddf, "sales_rollup")
+    # shape sanity: one grand-total row; one subtotal per region
+    assert (sdf["gid"] == 3).sum() == 1
+    assert (sdf["gid"] == 1).sum() == sdf.loc[sdf["gid"] == 0, "r_name"].nunique()
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """The trained-quantizer ANN must actually find neighbors: recall@5
     against the exact brute-force ranking. nprobe=2 of k=10
