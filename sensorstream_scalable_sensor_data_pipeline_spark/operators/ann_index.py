@@ -50,10 +50,20 @@ def build_ivf_index(
     out_dir: str,
     k: int = 10,
     sample_per_mille: int | None = None,
+    quantize: bool = False,
 ) -> str:
     """Train the quantizer and materialize ``centroids/`` +
     ``lists/`` (inverted lists as ``partitionBy(j)`` directories).
-    ``emb`` must carry (vec_id, embedding). Returns ``out_dir``."""
+    ``emb`` must carry (vec_id, embedding). Returns ``out_dir``.
+
+    ``quantize=True`` stores the lists as SQ8 ``(codes, scale)``
+    (operators/quantize.py) instead of float arrays — FAISS's
+    IndexIVFScalarQuantizer tier: ~4× narrower list scans on the
+    serving path for a small recall cost (ranking fidelity pinned in
+    tests). ``n2`` is computed on the DEQUANTIZED vector so query-time
+    cosines are exactly the cosines of the reconstructed vectors —
+    scoring needs no knowledge of how lists are stored beyond the
+    dequantize step."""
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
         ivf_train,
     )
@@ -70,12 +80,37 @@ def build_ivf_index(
     assigned = corpus_d.groupBy("vec_id").agg(
         F.min_by("j", F.struct("dist", "j")).alias("j")
     )
-    lists = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        "j",
-        "vec_id",
-        "embedding",
-        grid_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
-    )
+    joined = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    if quantize:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+
+        codes, scale = quantize_embedding(F.col("embedding"))
+        staged = joined.select(
+            "j", "vec_id", codes.alias("codes"), scale.alias("scale")
+        )
+        # Stage the dequantized array as an attribute before the dot:
+        # grid_dot over a raw transform() would nest HOFs (the
+        # dedup_fuzzy codegen cliff).
+        staged = staged.withColumn(
+            "_deq", dequantize_embedding(F.col("codes"), F.col("scale"))
+        )
+        lists = staged.select(
+            "j",
+            "vec_id",
+            "codes",
+            "scale",
+            grid_dot(F.col("_deq"), F.col("_deq")).alias("n2"),
+        )
+    else:
+        lists = joined.select(
+            "j",
+            "vec_id",
+            "embedding",
+            grid_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+        )
     lists.write.mode("overwrite").partitionBy("j").parquet(
         os.path.join(out_dir, "lists")
     )
@@ -125,6 +160,18 @@ def query_ivf_index(
     # ≤ k distinct centroid ids for the whole batch — driver-bounded.
     probe_js = sorted({r["j"] for r in probes.select("j").distinct().collect()})
     lists = load_ivf_lists(spark, index_dir, probe_js)
+    if "codes" in lists.columns:
+        # SQ8-stored lists: reconstruct vectors AFTER partition
+        # pruning, so the narrow (codes, scale) form is what crosses
+        # the scan; staged as an attribute before the dot (HOF
+        # nesting discipline).
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
+            dequantize_embedding,
+        )
+
+        lists = lists.withColumn(
+            "embedding", dequantize_embedding(F.col("codes"), F.col("scale"))
+        ).select("j", "vec_id", "embedding", "n2")
     scored = (
         F.broadcast(probes.join(qs, "query_id"))
         .join(lists, "j")

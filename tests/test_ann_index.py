@@ -64,6 +64,39 @@ def test_index_layout_on_disk(spark, sf_dir, tmp_path):
     assert cent.count() == 10
 
 
+def test_quantized_ivf_index_serves_with_high_agreement(spark, sf_dir, tmp_path):
+    """SQ8-stored inverted lists (codes+scale instead of floats) must
+    keep the IVF contract: same partition layout, every query
+    answered, and neighbor sets in high agreement with the
+    float-stored index (quantization only perturbs near-ties)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fidx = build_ivf_index(spark, emb, str(tmp_path / "f"), k=10)
+    qidx = build_ivf_index(spark, emb, str(tmp_path / "q"), k=10, quantize=True)
+    # storage form: codes+scale, no float embedding column on disk
+    qlists = spark.read.parquet(os.path.join(qidx, "lists"))
+    assert "codes" in qlists.columns and "embedding" not in qlists.columns
+    assert dict(qlists.dtypes)["codes"] == "array<tinyint>"
+    assert len(
+        [d for d in os.listdir(os.path.join(qidx, "lists")) if d.startswith("j=")]
+    ) == 10
+    queries = emb.filter(F.expr("vec_id % 100 = 0")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fpairs = {
+        (r["query_id"], r["nbr_id"])
+        for r in query_ivf_index(spark, fidx, queries, k=5, nprobe=2).collect()
+    }
+    qpairs = {
+        (r["query_id"], r["nbr_id"])
+        for r in query_ivf_index(spark, qidx, queries, k=5, nprobe=2).collect()
+    }
+    n_queries = queries.count()
+    assert len(qpairs) == 5 * n_queries  # every query fully answered
+    assert len(fpairs & qpairs) / len(fpairs) >= 0.8
+
+
 def test_ivf_train_sampled_path_produces_k_seeds(spark, sf_dir):
     """The hash-bucket training sample has SPARSE vec_ids, where the
     dense-id modulo seeding would select ~k·per_mille/1000 seeds
