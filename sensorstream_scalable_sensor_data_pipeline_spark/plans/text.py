@@ -319,6 +319,52 @@ def docs_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring, the cheap honest tier: mean unigram
+    log-probability per document under the corpus's own
+    Laplace-smoothed unigram model (the shape of CCNet-style
+    perplexity filtering, with the n-gram LM reduced to n=1 so the
+    whole thing is two aggregates and a join — no model artifact,
+    no UDF). Low scores flag boilerplate/garbage whose tokens are
+    improbable under the corpus distribution.
+
+    Plan shape: (1) one explode + map-side-combined token count →
+    vocab table (+ two scalar totals to the driver: N, V); (2) one
+    keyed join tokens × vocab (broadcast when the vocab fits — here
+    it does; at web scale the join is an ordinary keyed shuffle,
+    AQE-skew-splittable on stopwords) → per-doc aggregate. Per-token
+    ``ln`` values are floored onto a 1e-6 grid and summed as BIGINTs
+    so the per-doc mean is partition-order independent; the DuckDB
+    twin (tests) replays everything except libm's last ulp, so the
+    local oracle compares with a 2e-6 tolerance instead of the usual
+    hash. Not registered (registry at the driver's 50-row cap)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        tokenize_lower,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokenize_lower(F.col("text")).alias("_tk"))
+    toks = staged.select("doc_id", F.explode("_tk").alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    totals = vocab.agg(
+        F.sum("n_t").alias("N"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    n_total, v_size = int(totals["N"]), int(totals["V"])
+    lp = F.log(
+        (F.col("n_t") + 1).cast("double") / F.lit(float(n_total + v_size))
+    )
+    scored = toks.join(F.broadcast(vocab), "token").select(
+        "doc_id", F.floor(lp * F.lit(1_000_000.0)).cast("long").alias("_g")
+    )
+    return scored.groupBy("doc_id").agg(
+        (
+            (F.sum("_g").cast("double") / F.lit(1_000_000.0))
+            / F.count(F.lit(1))
+        ).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE training-data curation flow as one composition —
     what a real corpus pipeline runs end to end (not registered: the

@@ -460,6 +460,49 @@ def test_quantized_topk_recall(spark, sf_dir):
     assert len(exact & quantized) / len(exact) >= 0.8
 
 
+def test_unigram_logprob_matches_duckdb(spark, duck, sf_dir):
+    """Corpus-trained unigram quality scores vs DuckDB replaying the
+    same Laplace model and grid summation. ln() may differ in libm's
+    last ulp between engines, so scores compare within 2e-6 (the grid
+    step) rather than by hash; token counts compare exactly."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        unigram_logprob_score,
+    )
+
+    got = {
+        r["doc_id"]: (r["mean_logprob"], r["n_tokens"])
+        for r in unigram_logprob_score(spark, sf_dir).collect()
+    }
+    oracle = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS n_t FROM tk GROUP BY token
+    ), tot AS (
+      SELECT sum(n_t) AS N, count(*) AS V FROM vocab
+    )
+    SELECT doc_id,
+           (CAST(sum(CAST(FLOOR(ln(CAST(n_t + 1 AS DOUBLE) / (N + V)) * 1000000.0) AS BIGINT)) AS DOUBLE)
+              / 1000000.0) / count(*) AS mean_logprob,
+           count(*) AS n_tokens
+    FROM tk JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+    want = {
+        int(r.doc_id): (float(r.mean_logprob), int(r.n_tokens))
+        for r in duck.sql(oracle).df().itertuples()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][1] == want[d][1], d  # token counts exact
+        assert abs(got[d][0] - want[d][0]) <= 2e-6, (d, got[d], want[d])
+    # sanity: scores are negative log-probs and boilerplate-ish docs
+    # (rare tokens) score lower than average
+    assert all(s < 0 for s, _ in got.values())
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
