@@ -503,6 +503,39 @@ def test_unigram_logprob_matches_duckdb(spark, duck, sf_dir):
     assert all(s < 0 for s, _ in got.values())
 
 
+def test_profile_numeric_matches_duckdb(spark, duck, sf_dir):
+    """One-pass numeric profile vs DuckDB column aggregates with
+    quantile_cont — both interpolate between closest ranks on exactly
+    sorted doubles, so even the quantiles hash-compare."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.profile import (
+        profile_numeric,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    def col_sql(c):
+        qs = ", ".join(
+            f"quantile_cont(CAST({c} AS DOUBLE), {q}) AS q{int(q*100):02d}"
+            for q in (0.05, 0.25, 0.5, 0.75, 0.95)
+        )
+        return f"""
+        SELECT '{c}' AS "column",
+               CAST(count({c}) AS DOUBLE) AS n,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n_null,
+               CAST(min(CAST({c} AS DOUBLE)) AS DOUBLE) AS min,
+               CAST(max(CAST({c} AS DOUBLE)) AS DOUBLE) AS max,
+               {qs}
+        FROM lineitem
+        """
+    oracle = " UNION ALL ".join(
+        col_sql(c) for c in ("l_quantity", "l_extendedprice", "l_discount")
+    )
+    assert_frames_match(got.toPandas(), duck.sql(oracle).df(), "profile_numeric")
+    # approx path runs and respects bounds (not oracle-exact)
+    ap = profile_numeric(li, ["l_quantity"], approx=True).collect()[0]
+    assert ap["min"] <= ap["q50"] <= ap["max"]
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
