@@ -536,6 +536,88 @@ def test_profile_numeric_matches_duckdb(spark, duck, sf_dir):
     assert ap["min"] <= ap["q50"] <= ap["max"]
 
 
+def test_incremental_dedup_two_batches_equals_one_shot(spark, sf_dir, tmp_path):
+    """Splitting the corpus into two ingest batches must accept the
+    same CONTENT set as one-shot exact dedup, history must win across
+    batches, and re-ingesting an already-accepted batch must accept
+    nothing (idempotent re-ingest, the reference's core property)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        fingerprint_docs,
+        ingest_batch,
+        read_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    sdir = str(tmp_path / "state")
+    a1 = ingest_batch(spark, b1, sdir)
+    a2 = ingest_batch(spark, b2, sdir)
+    accepted_fp = {
+        r["fp"]
+        for r in fingerprint_docs(
+            a1.unionByName(a2), "doc_id", "text"
+        ).select("fp").collect()
+    }
+    # one-shot reference: distinct content fingerprints of the corpus
+    want_fp = {
+        r["fp"] for r in fingerprint_docs(docs, "doc_id", "text").select("fp").distinct().collect()
+    }
+    assert accepted_fp == want_fp
+    # every accepted fingerprint exactly once in state
+    state = read_state(spark, sdir)
+    assert state.count() == state.select("fp").distinct().count() == len(want_fp)
+    # idempotent re-ingest: nothing new
+    a3 = ingest_batch(spark, b1, sdir)
+    assert a3.count() == 0
+    assert read_state(spark, sdir).count() == len(want_fp)
+    # history-wins: duplicate content in batch 2 of something accepted
+    # in batch 1 must not appear in a2
+    fp1 = {r["fp"] for r in fingerprint_docs(a1, "doc_id", "text").select("fp").collect()}
+    fp2 = {r["fp"] for r in fingerprint_docs(a2, "doc_id", "text").select("fp").collect()}
+    assert not (fp1 & fp2)
+
+
+def test_sketches_respect_error_bounds(spark, sf_dir):
+    """HLL distinct estimates must land within the advertised relative
+    error of the exact counts; the Count-Min sketch must never
+    underestimate a token's frequency and overestimates must stay
+    within eps*N."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketches import (
+        approx_distinct_counts,
+        token_count_min_sketch,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        tokenize_lower,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "event_type"]
+    approx = {
+        r["column"]: r["approx_distinct"]
+        for r in approx_distinct_counts(ev, cols, rsd=0.05).collect()
+    }
+    for c in cols:
+        exact = ev.select(c).distinct().count()
+        assert abs(approx[c] - exact) <= max(2, 4 * 0.05 * exact), (c, approx[c], exact)
+
+    docs = load_table(spark, sf_dir, "documents")
+    cms = token_count_min_sketch(docs, eps=0.001, delta=0.01)
+    tok = docs.select(tokenize_lower(F.col("text")).alias("_tk")).select(
+        F.explode("_tk").alias("token")
+    )
+    counts = {r["token"]: r["cnt"] for r in tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).orderBy(F.desc("cnt")).limit(30).collect()}
+    n_total = tok.count()
+    for t, exact in counts.items():
+        est = cms.estimate(t)
+        assert est >= exact, (t, est, exact)  # one-sided error
+        assert est <= exact + 0.001 * n_total * 2, (t, est, exact)
+    # an absent token estimates (near-)zero
+    assert cms.estimate("zz-never-a-token-zz") <= 0.001 * n_total * 2
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
