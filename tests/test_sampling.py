@@ -618,6 +618,53 @@ def test_sketches_respect_error_bounds(spark, sf_dir):
     assert cms.estimate("zz-never-a-token-zz") <= 0.001 * n_total * 2
 
 
+def test_scrub_docs_matches_duckdb_and_semantics(spark, duck, sf_dir):
+    """Scrubbed text and per-pattern redaction counts vs DuckDB
+    replaying the same ordered regexp chain (patterns live in the
+    Java∩RE2 subset), plus targeted semantics on synthetic spans."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.scrub import (
+        SCRUB_PATTERNS,
+        scrub_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = scrub_docs(docs).select("doc_id", "text", "n_url", "n_email", "n_ipv4")
+    (u_pat, u_rep), (e_pat, e_rep), (i_pat, i_rep) = [
+        (p, r) for _, p, r in SCRUB_PATTERNS
+    ]
+    oracle = f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{u_pat}', '{u_rep}', 'g'),
+             '{e_pat}', '{e_rep}', 'g'),
+             '{i_pat.replace("'", "''")}', '{i_rep}', 'g') AS text,
+           len(regexp_extract_all(text, '{u_pat}')) AS n_url,
+           len(regexp_extract_all(regexp_replace(text, '{u_pat}', '{u_rep}', 'g'),
+               '{e_pat}')) AS n_email,
+           len(regexp_extract_all(regexp_replace(regexp_replace(text,
+               '{u_pat}', '{u_rep}', 'g'), '{e_pat}', '{e_rep}', 'g'),
+               '{i_pat}')) AS n_ipv4
+    FROM documents
+    """
+    assert_frames_match(got.toPandas(), duck.sql(oracle).df(), "scrub_docs")
+
+    synth = spark.createDataFrame(
+        [
+            (1, "mail me at alice@example.com or visit https://x.io/a?u=b@c.de now"),
+            (2, "server 10.0.0.1 and 192.168.1.255, no pii here"),
+            (3, "plain text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_docs(synth).collect()}
+    assert out[1]["text"] == "mail me at <EMAIL> or visit <URL> now"
+    assert out[1]["n_url"] == 1 and out[1]["n_email"] == 1  # b@c.de inside the URL
+    assert out[2]["text"] == "server <IP> and <IP>, no pii here"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["text"] == "plain text"
+    assert out[3]["n_url"] == out[3]["n_email"] == out[3]["n_ipv4"] == 0
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
