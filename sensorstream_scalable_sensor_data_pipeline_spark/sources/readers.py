@@ -153,3 +153,51 @@ def read_kafka_stream(spark: SparkSession, **options: str) -> DataFrame:
     option dict is exercised by tests here.
     """
     return spark.readStream.format("kafka").options(**options).load()
+
+
+#: Schema for a JSONL document corpus — the interchange format
+#: training-data pipelines actually receive (one JSON object per
+#: line: id, text, optional source/metadata).
+JSONL_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Document-corpus JSONL reader with an EXPLICIT schema and
+    quarantined corrupt lines — how web-scale text corpora land
+    (Common Crawl derivatives, dataset dumps are line-delimited
+    JSON). Never ``inferSchema``: inference is a full extra pass and
+    silently retypes columns when a shard lacks a field — the same
+    discipline as the Kafka value parser (streaming/kafka_face.py).
+
+    PERMISSIVE mode + a corrupt-record column quarantines malformed
+    lines instead of failing the 10^5-file job at 99 % — callers
+    split on ``{corrupt_col} IS NULL`` and route the rest to a
+    quarantine sink. (Spark requires selecting+caching or a
+    filter-on-other-columns to observe the corrupt column; returning
+    the raw frame leaves that choice to the caller.) JSONL is
+    splittable line-by-line, so parallelism is standard
+    ``maxPartitionBytes`` file splitting — no small-files trap beyond
+    parquet's.
+    """
+    st = schema if schema is not None else JSONL_DOCS_SCHEMA
+    if corrupt_col not in [f.name for f in st.fields]:
+        st = T.StructType(
+            list(st.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
+    return (
+        spark.read.schema(st)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -665,6 +665,34 @@ def test_scrub_docs_matches_duckdb_and_semantics(spark, duck, sf_dir):
     assert out[3]["n_url"] == out[3]["n_email"] == out[3]["n_ipv4"] == 0
 
 
+def test_read_jsonl_docs_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL corpus ingestion: explicit schema, good lines parse,
+    malformed lines land in the corrupt column instead of failing the
+    job, and missing optional fields read as NULL (never silently
+    retyped)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
+        read_jsonl_docs,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "source": "web"}\n'
+        '{"doc_id": 2, "text": "no source field"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 4, "text": "ok", "source": null}\n'
+    )
+    df = read_jsonl_docs(spark, str(p)).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["source"] == "web"
+    assert rows[2]["source"] is None
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
