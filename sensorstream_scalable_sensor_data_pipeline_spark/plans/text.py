@@ -319,6 +319,40 @@ def docs_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prepare_training_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_tokens: int = 2048,
+    holdout_per_mille: int = 100,
+) -> DataFrame:
+    """The last mile of the corpus pipeline: curated survivors →
+    packed training windows. Composes :func:`curate_training_corpus`
+    (scrub-ready gate → exact dedup → LSH near-dup drop → split) with
+    ``pack_fixed_windows`` on the TRAIN split only — holdout documents
+    must never share a packed window with training data, which
+    packing after splitting guarantees by construction.
+
+    Output: one row per training document with its packed placement
+    ``(doc_id, n_tokens, shard, offset, start_window, end_window,
+    n_windows)`` — the manifest a packed-example writer consumes.
+    Plan shape: the curation result is already materialized (tiny);
+    packing adds one hash exchange + one per-shard cumsum window
+    (plan-pinned in tests/test_plans.py)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.packing import (
+        pack_fixed_windows,
+    )
+
+    curated = curate_training_corpus(
+        spark, sf_dir, holdout_per_mille=holdout_per_mille
+    )
+    train = curated.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    packed = pack_fixed_windows(train, "doc_id", "n_tokens", max_tokens)
+    return train.join(packed, "doc_id").select(
+        "doc_id", "n_tokens", "shard", "offset",
+        "start_window", "end_window", "n_windows",
+    )
+
+
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring, the cheap honest tier: mean unigram
     log-probability per document under the corpus's own
@@ -365,7 +399,9 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_training_corpus(
+    spark: SparkSession, sf_dir: str, holdout_per_mille: int = 100
+) -> DataFrame:
     """The COMPLETE training-data curation flow as one composition —
     what a real corpus pipeline runs end to end (not registered: the
     registry sits at the driver's 50-row cap; every stage is
@@ -467,7 +503,7 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.8)
     unique = drop_near_duplicates(exact_unique, pairs)
 
-    out = hash_split(unique, "doc_id", holdout_per_mille=100).select(
+    out = hash_split(unique, "doc_id", holdout_per_mille=holdout_per_mille).select(
         "doc_id", "n_tokens", "split"
     )
     return materialize_and_release(out, exact_unique, sh, bands)

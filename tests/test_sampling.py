@@ -737,6 +737,39 @@ def test_compression_ratio_discriminates_boilerplate(spark, sf_dir):
     assert again == {i: r["compressed_bytes"] for i, r in out.items()}
 
 
+def test_prepare_training_windows_end_to_end(spark, sf_dir):
+    """Curated corpus → packed training windows: every train-split
+    survivor gets exactly one placement, holdout documents never
+    appear, per-shard offsets are gapless, and window ids are
+    consistent with offsets and token counts."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+        prepare_training_windows,
+    )
+
+    max_tokens = 256
+    out = prepare_training_windows(spark, sf_dir, max_tokens=max_tokens).collect()
+    curated = curate_training_corpus(spark, sf_dir).collect()
+    train_ids = {r["doc_id"] for r in curated if r["split"] == "train"}
+    holdout_ids = {r["doc_id"] for r in curated if r["split"] == "holdout"}
+    got_ids = [r["doc_id"] for r in out]
+    assert sorted(got_ids) == sorted(set(got_ids))  # one placement each
+    assert set(got_ids) == train_ids
+    assert not (set(got_ids) & holdout_ids)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["offset"])
+        expect = 0
+        for r in rs:
+            assert r["offset"] == expect  # gapless concatenation
+            assert r["start_window"] == r["offset"] // max_tokens
+            assert r["end_window"] == (r["offset"] + r["n_tokens"] - 1) // max_tokens
+            assert r["n_windows"] == r["end_window"] - r["start_window"] + 1
+            expect += r["n_tokens"]
+
+
 def test_curation_releases_all_persists(spark, sf_dir):
     """No persist leaks (r3/r4 verdict): after the curation
     composition and each internally-persisting registered dedup query
