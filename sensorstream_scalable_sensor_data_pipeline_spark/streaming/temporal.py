@@ -32,6 +32,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import asof_join
 from sensorstream_scalable_sensor_data_pipeline_spark.session import prepare_session
@@ -75,3 +76,48 @@ def stream_asof_enrich(
     )
     q.awaitTermination(await_seconds)
     return spark.read.parquet(out)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """True stream-STREAM containment join — the streaming face of
+    ``operators/asof.py::range_join``: every left reading paired with
+    every same-key interval containing its event time, where BOTH
+    sides arrive as streams (readings and, e.g., live maintenance
+    windows).
+
+    This is Structured Streaming's native interval join: both sides
+    watermarked, and the join condition carries the time bound
+    (``time BETWEEN start AND end``), which is what lets the state
+    store evict buffered rows — a reading older than
+    ``end − watermark`` can never match a future interval and is
+    dropped. Without the time bound the join would be rejected
+    (unbounded state). Returns the streaming frame; drain with
+    ``streaming/pipeline.py::drain_to_memory`` (append mode) or a
+    checkpointed sink. For bounded input the drained result equals
+    the batch ``range_join`` exactly (pinned in tests).
+
+    Scale notes: state per key ≈ rows within one watermark horizon on
+    each side; the join itself is the ordinary keyed shuffle. The
+    bucketed-explode trick ``range_join`` uses in batch is NOT needed
+    here — the state store already indexes by key and evicts by time,
+    so Spark never materializes a per-key cross product beyond the
+    watermark window.
+    """
+    l = left.withWatermark(time_col, watermark).alias("l")
+    r = intervals.withWatermark(start_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"l.{time_col}") >= F.col(f"r.{start_col}"))
+        & (F.col(f"l.{time_col}") <= F.col(f"r.{end_col}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "l.*", *[F.col(f"r.{c}") for c in intervals.columns if c != on]
+    )

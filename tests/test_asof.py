@@ -398,6 +398,51 @@ def test_stream_asof_enrich_equals_batch(spark, sf_dir, tmp_path):
     assert pairs(got) == pairs(want)
 
 
+def test_stream_interval_join_equals_batch_range_join(spark, sf_dir):
+    """Stream-stream containment join (both sides watermarked, time
+    bound in the condition) drained over bounded input must equal the
+    batch range_join pair set exactly."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        range_join,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+        stream_events,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_interval_join,
+    )
+
+    def wins_of(df):
+        return df.filter(F.col("event_id") % 151 == 0).select(
+            F.col("event_id").alias("win_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        )
+
+    s_ev = stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    s_wins = wins_of(stream_events(spark, sf_dir))
+    joined = stream_interval_join(
+        s_ev, s_wins, on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts",
+    )
+    got = {
+        (r["event_id"], r["win_id"])
+        for r in drain_to_memory(joined, output_mode="append").collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    want = {
+        (r["event_id"], r["win_id"])
+        for r in range_join(
+            ev, wins_of(load_table(spark, sf_dir, "events")),
+            on="user_id", time_col="ts",
+            start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
