@@ -271,3 +271,40 @@ def test_pack_fixed_windows_single_shard_window(spark, sf_dir):
     assert plan.count("Exchange") == 1  # hash by shard, nothing global
     assert "rangepartitioning" not in plan.lower()  # no global sort
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed equi-joins must run with ZERO shuffle: the write
+    pre-paid it. This is the amortization argument for bucketing a
+    daily-joined fact table — pinned at the plan level (no Exchange
+    above either scan), and the join result must equal the plain
+    join's."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    try:
+        write_bucketed_table(ev, "ev_bucketed", "user_id", n_buckets=8)
+        write_bucketed_table(agg, "agg_bucketed", "user_id", n_buckets=8)
+        a = spark.table("ev_bucketed")
+        b = spark.table("agg_bucketed")
+        # disable broadcast so the join must pick SMJ/shuffle-hash —
+        # the bucket metadata is what removes the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = joined.count()
+        want = ev.join(agg, "user_id").count()
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS agg_bucketed")
