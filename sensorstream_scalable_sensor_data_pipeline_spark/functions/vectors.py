@@ -69,3 +69,52 @@ def grid_cosine_sql(a: str, b: str) -> str:
         f"({grid_dot_sql(a, b)}"
         f" / (sqrt({grid_dot_sql(a, a)}) * sqrt({grid_dot_sql(b, b)})))"
     )
+
+
+def rademacher_project(emb: Column, dim_in: int, dim_out: int) -> Column:
+    """Johnson-Lindenstrauss random projection onto ``dim_out``
+    deterministic Rademacher (±1) directions — the cheap
+    dimensionality reduction for 100 TB embedding pipelines (shrink
+    vectors BEFORE the expensive ANN/dedup passes; pairwise geometry
+    survives to within the JL distortion bound).
+
+    The planes are the same seeded md5 ±1 construction the sign-LSH
+    family uses (plans/similarity.py::_plane_sign with table id
+    ``jl``): plane p's i-th component is +1 iff the first hex digit
+    of md5("jl:p:i") is odd — reproducible in any engine, no
+    randomness at run time. Each output component is an exact grid
+    dot (floor onto the µ-grid, BIGINT sum, one final divide), scaled
+    by 1/√dim_out per the JL normalization — so projections are
+    bit-identical across partitionings and engines.
+
+    Pure codegen column math over a materialized attribute (HOF
+    staging discipline applies — pass an attribute, not an
+    expression).
+    """
+    import hashlib
+
+    def sign(p: int, i: int) -> float:
+        h = hashlib.md5(f"jl:{p}:{i}".encode()).hexdigest()[0]
+        return 1.0 if int(h, 16) % 2 else -1.0
+
+    import math
+
+    scale = 1.0 / math.sqrt(dim_out)
+    comps = []
+    for p in range(dim_out):
+        planes = F.array(*[F.lit(sign(p, i)) for i in range(dim_in)])
+        terms = F.zip_with(
+            emb,
+            planes,
+            lambda x, s: F.floor(
+                s * x.cast("double") * F.lit(GRID)
+            ).cast(_ACC),
+        )
+        dot = (
+            F.aggregate(terms, F.lit(0).cast(_ACC), lambda a, v: a + v).cast(
+                "double"
+            )
+            / F.lit(GRID)
+        )
+        comps.append(dot * F.lit(scale))
+    return F.array(*comps)
