@@ -51,6 +51,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dedup_state_rows(
+    right: DataFrame, keys: list[str], time_col: str, value_cols: list[str]
+) -> DataFrame:
+    """One state row per (key, instant): max over the FULL value
+    struct — a first-column tie falls through to the later fields, so
+    the survivor is a total-order pick, never Spark's physical row
+    order. Same shuffle shape as any keyed dedup (one hash aggregate
+    with map-side combine)."""
+    packed = right.select(*keys, time_col, F.struct(*value_cols).alias("_s"))
+    out = packed.groupBy(*keys, time_col).agg(F.max("_s").alias("_s"))
+    return out.select(
+        *keys, time_col, *[F.col("_s")[c].alias(c) for c in value_cols]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -67,20 +82,22 @@ def asof_join(
     :func:`asof_join_bucketed` uses to split a hot key by time
     bucket). ``right`` must be unique per (key, time); duplicate
     state rows at the same instant are resolved deterministically
-    (max value wins) before the join so results never depend on
-    physical row order.
-    """
-    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup import (
-        key_dedup_deterministic,
-    )
+    (max over the FULL value struct, field order = ``value_cols``) so
+    results never depend on physical row order even when the first
+    value column ties and later ones differ.
 
+    ``value_cols`` may not collide with ``left`` column names — the
+    output would carry two columns with one name (silently ambiguous
+    downstream), so the collision raises instead.
+    """
     keys = [on] if isinstance(on, str) else list(on)
-    r = key_dedup_deterministic(
-        right.select(*keys, time_col, *value_cols),
-        [*keys, time_col],
-        value_cols[0],
-        keep="max",
-    )
+    clash = sorted(set(value_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"value_cols {clash} collide with left columns; rename the "
+            "left columns (or the right value columns) before the as-of join"
+        )
+    r = _dedup_state_rows(right, keys, time_col, value_cols)
     l_cols = [c for c in left.columns]
     # The whole state row travels as ONE struct: non-null on every
     # right row even when its fields are NULL, so last(ignorenulls)
@@ -158,15 +175,9 @@ def asof_join_bucketed(
     with :func:`asof_join` (including NULL-state carry across bucket
     boundaries) is pinned in tests/test_asof.py.
     """
-    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup import (
-        key_dedup_deterministic,
-    )
-
     us = 1_000_000 * bucket_seconds
     bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(us))
-    r = key_dedup_deterministic(
-        right.select(on, time_col, *value_cols), [on, time_col], value_cols[0], keep="max"
-    )
+    r = _dedup_state_rows(right, [on], time_col, value_cols)
     l_cols = [c for c in left.columns]
     lb = left.withColumn("_bk", bucket)
     rb = r.withColumn("_bk", bucket).withColumn("_present", F.lit(1))

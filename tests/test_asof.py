@@ -93,6 +93,42 @@ def test_asof_join_null_state_values(spark):
     assert got[32] == (300.0, None)  # not (300.0, 'b')
 
 
+def test_asof_join_same_instant_tie_breaks_on_full_struct(spark):
+    """Duplicate state rows at one (key, instant) whose FIRST value
+    column ties but later columns differ: the survivor is max over the
+    whole value struct, so the result is identical under any physical
+    row order (pinned by shuffling the state side)."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, t(15))], "k long, ts timestamp")
+    dup_state = [
+        (1, t(10), 5.0, "zzz"),
+        (1, t(10), 5.0, "aaa"),  # first col ties; 'zzz' must win
+        (1, t(10), 5.0, "mmm"),
+    ]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            dup_state, "k long, ts timestamp, v double, u string"
+        ).repartition(nparts)
+        row = asof_join(left, right, "k", "ts", ["v", "u"]).collect()[0]
+        assert (row["v"], row["u"]) == (5.0, "zzz")
+
+
+def test_asof_join_rejects_value_col_collision(spark):
+    """A value column whose name already exists on the left would emit
+    two same-named output columns — the operator raises instead."""
+    import datetime as dt
+
+    import pytest
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, 9.0)], "k long, ts timestamp, v double")
+    right = spark.createDataFrame([(1, t, 1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "ts", ["v"])
+
+
 def test_range_join_matches_duckdb(spark, duck, sf_dir):
     """Bucketed containment join vs the plain BETWEEN join in DuckDB:
     every (reading, window) pair whose window contains the reading,
