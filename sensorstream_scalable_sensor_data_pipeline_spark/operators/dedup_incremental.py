@@ -5,41 +5,55 @@ A training corpus is not built in one shot: batches land daily and
 each batch must be deduplicated against EVERYTHING already accepted
 — the incremental generalization of ``dedup_exact``, exactly the way
 the reference's cutoff/dedup pair (main_pipeline.py:328,331-341)
-generalizes to content identity. The state is a parquet table of
-accepted content fingerprints, partitioned by a hash prefix:
+generalizes to content identity.
 
-* ``ingest_batch``: fingerprint the batch (md5 of normalized
-  tokens — the same identity ``dedup_exact`` uses), drop
-  within-batch duplicates (min-id survivor), LEFT ANTI join against
-  the state table to drop anything history already holds, then
-  append the survivors' fingerprints to the state.
-* State layout ``partitionBy(fp_prefix)`` (first hex digit, 16
-  dirs): the anti-join shuffles both sides by fingerprint; the
-  prefix partitioning keeps state files bounded and lets a
-  prefix-bucketed reader co-locate. The state table carries ONE row
-  per accepted document (fingerprint + doc_id), orders smaller than
-  the corpus text.
+Durable layout under ``state_dir`` — two tables, both written
+batch-at-a-time so every write is atomic at the batch granularity:
 
-Idempotency: re-ingesting a batch that was already accepted yields
-zero new documents (every fingerprint anti-joins away) and appends
-nothing — the property the tests pin, alongside two-batch ≡ one-shot
-equivalence.
+* ``accepted/batch=<id>/`` — the surviving rows themselves (all
+  original columns), written FIRST. This is the artifact downstream
+  consumes; it exists on disk before the fingerprint state ever
+  mentions its documents.
+* ``fingerprints/batch=<id>/fp_prefix=<hex>/`` — one row per accepted
+  document (fingerprint + doc id), derived from the STAGED files (not
+  the lazy plan), written SECOND. A batch's fingerprints count as
+  state only once its ``_SUCCESS`` marker exists; partial part-files
+  from a crashed append are invisible to :func:`read_state`.
+
+Crash consistency — the ordering makes every window safe:
+
+* die before/while staging: state unchanged, staging overwritten on
+  re-run — clean recompute;
+* die while appending fingerprints: the batch dir has no
+  ``_SUCCESS``, so state still excludes it; re-run overwrites both
+  dirs — clean;
+* die after the fingerprint commit: the accepted rows are already
+  durable in ``accepted/batch=<id>``; re-running with the same
+  ``batch_id`` short-circuits and returns them (state records
+  nothing the corpus does not hold — the pre-round-6 design's
+  ``localCheckpoint`` loss window is gone).
+
+Idempotency: re-ingesting already-accepted CONTENT (a fresh
+``batch_id``) accepts nothing — every fingerprint anti-joins away;
+re-running the same ``batch_id`` after a crash resumes to the
+one-shot result.
 
 Scale notes: the anti-join is one keyed shuffle on a uniform 128-bit
 key (never all-pairs); at 100 TB the state side is the small one by
-construction. Appends are atomic at the file level (parquet append of
-new part-files); a failed run before the append leaves state
-unchanged — re-run safe. Concurrent ingests should serialize through
-the run lock (schedule.py), same as the reference's
-``max_active_runs=1``.
+construction. ``fp_prefix`` (first hex digit) keeps per-batch state
+files bucketed for prefix-co-located readers. Concurrent ingests
+should serialize through the run lock (schedule.py), same as the
+reference's ``max_active_runs=1``.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup import (
     key_dedup_deterministic,
@@ -62,14 +76,43 @@ def fingerprint_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle + Path for ``path`` — works for
+    local, HDFS, and s3a URIs alike (the same resolution Spark's own
+    writers use), so the commit protocol is not local-fs-only."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _committed_batch_dirs(spark: SparkSession, root: str) -> list[str]:
+    """Batch subdirs of ``root`` whose Spark write committed (has the
+    ``_SUCCESS`` marker). Partial part-files from a crashed append
+    live in an unmarked dir and are excluded — the reader-side half of
+    the per-batch atomic commit."""
+    fs, jroot = _fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        if not st.isDirectory():
+            continue
+        p = st.getPath()
+        if p.getName().startswith("batch=") and fs.exists(
+            p.suffix("/_SUCCESS")
+        ):
+            out.append(p.toString())
+    return sorted(out)
+
+
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """The accepted-fingerprint table, or None before the first
-    ingest."""
-    path = os.path.join(state_dir, "fingerprints")
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    """The accepted-fingerprint table (committed batches only), or
+    None before the first successful ingest."""
+    root = posixpath.join(state_dir, "fingerprints")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
         return None
+    return spark.read.option("basePath", root).parquet(*dirs)
 
 
 def ingest_batch(
@@ -78,11 +121,34 @@ def ingest_batch(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Deduplicate ``batch`` within itself and against all previously
-    accepted content, persist the survivors' fingerprints, and return
-    the surviving rows (all original columns). Min-id survivor within
-    a batch; history always wins across batches."""
+    accepted content, durably stage the survivors, commit their
+    fingerprints to state, and return the surviving rows (all
+    original columns, read back from the staged files). Min-id
+    survivor within a batch; history always wins across batches.
+
+    Pass a stable ``batch_id`` to make a failed run resumable: if the
+    batch already committed, the call returns its staged rows without
+    recomputing (and without double-appending state). Omitted, a
+    fresh id is generated and the call has pure content semantics —
+    re-ingesting accepted content under a new id accepts nothing.
+    """
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex
+    staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
+    fp_dir = posixpath.join(state_dir, "fingerprints", f"batch={bid}")
+
+    def _staged(schema: StructType) -> DataFrame:
+        # Explicit schema: a batch whose survivors are empty writes a
+        # part-file-less dir that schema inference cannot read.
+        return spark.read.schema(schema).parquet(staged_dir)
+
+    fs, _ = _fs(spark, state_dir)
+    fp_success = _fs(spark, posixpath.join(fp_dir, "_SUCCESS"))[1]
+    if batch_id is not None and fs.exists(fp_success):
+        return _staged(batch.schema)  # fully committed — resume
+
     fps = fingerprint_docs(batch, id_col, text_col)
     within = key_dedup_deterministic(fps, ["fp"], id_col, keep="min")
     state = read_state(spark, state_dir)
@@ -90,12 +156,17 @@ def ingest_batch(
         fresh = within.join(state.select("fp"), "fp", "left_anti")
     else:
         fresh = within
-    # Materialize the survivor set BEFORE appending state: the append
-    # must not re-trigger (and re-randomize) upstream computation, and
-    # the returned frame must not observe the state rows it just
-    # wrote. Survivor fingerprints are one row per accepted doc.
-    fresh = fresh.localCheckpoint(eager=True)
-    fresh.select("fp", "fp_prefix", F.col(id_col)).write.mode("append").partitionBy(
-        "fp_prefix"
-    ).parquet(os.path.join(state_dir, "fingerprints"))
-    return batch.join(fresh.select(F.col(id_col)), id_col)
+
+    # 1) Stage the survivors (the durable artifact) BEFORE any state
+    #    mutation; overwrite makes a re-run of a crashed attempt clean.
+    batch.join(fresh.select(F.col(id_col)), id_col).write.mode(
+        "overwrite"
+    ).parquet(staged_dir)
+    accepted = _staged(batch.schema)
+
+    # 2) Commit fingerprints DERIVED FROM THE STAGED FILES — state can
+    #    only ever record documents that are already durable.
+    fingerprint_docs(accepted, id_col, text_col).select(
+        "fp", "fp_prefix", F.col(id_col)
+    ).write.mode("overwrite").partitionBy("fp_prefix").parquet(fp_dir)
+    return accepted

@@ -578,6 +578,78 @@ def test_incremental_dedup_two_batches_equals_one_shot(spark, sf_dir, tmp_path):
     assert not (fp1 & fp2)
 
 
+def test_incremental_dedup_crash_consistency(spark, sf_dir, tmp_path):
+    """Every crash window re-runs to the one-shot result: state can
+    never record documents the downstream corpus does not durably
+    hold.  Simulated by re-running from the on-disk artifacts each
+    failure point leaves behind."""
+    import shutil
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        fingerprint_docs,
+        ingest_batch,
+        read_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    sdir = str(tmp_path / "state")
+
+    a1 = ingest_batch(spark, b1, sdir, batch_id="b1")
+    n1 = a1.count()
+    assert n1 > 0
+
+    # Crash window A: died AFTER the fingerprint commit, before the
+    # caller consumed the output. Re-run with the same batch_id must
+    # return the staged survivors (NOT the empty set the anti-join
+    # alone would yield — the pre-round-6 data-loss window).
+    again = ingest_batch(spark, b1, sdir, batch_id="b1")
+    assert again.count() == n1
+    assert {r["fp"] for r in fingerprint_docs(again, "doc_id", "text").collect()} == {
+        r["fp"] for r in fingerprint_docs(a1, "doc_id", "text").collect()
+    }
+
+    # Crash window B: batch 2 died BETWEEN staging and the state
+    # append — survivors staged, fingerprints dir missing entirely.
+    a2 = ingest_batch(spark, b2, sdir, batch_id="b2")
+    n2 = a2.count()
+    shutil.rmtree(tmp_path / "state" / "fingerprints" / "batch=b2")
+    assert read_state(spark, sdir).count() == n1  # b2 rolled back
+    redo = ingest_batch(spark, b2, sdir, batch_id="b2")
+    assert redo.count() == n2
+    assert read_state(spark, sdir).count() == n1 + n2
+
+    # Crash window C: a partial (uncommitted) state append — part
+    # files present, no _SUCCESS. read_state must not see it.
+    junk = tmp_path / "state" / "fingerprints" / "batch=junk" / "fp_prefix=0"
+    junk.mkdir(parents=True)
+    src = next(
+        p
+        for p in (tmp_path / "state" / "fingerprints" / "batch=b1").rglob(
+            "*.parquet"
+        )
+    )
+    shutil.copy(src, junk / "part-junk.parquet")
+    assert read_state(spark, sdir).count() == n1 + n2  # unchanged
+
+    # Net result across all recoveries == one-shot content set.
+    got = {
+        r["fp"]
+        for r in fingerprint_docs(
+            again.unionByName(redo), "doc_id", "text"
+        ).select("fp").collect()
+    }
+    want = {
+        r["fp"]
+        for r in fingerprint_docs(docs, "doc_id", "text")
+        .select("fp")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
 def test_sketches_respect_error_bounds(spark, sf_dir):
     """HLL distinct estimates must land within the advertised relative
     error of the exact counts; the Count-Min sketch must never
