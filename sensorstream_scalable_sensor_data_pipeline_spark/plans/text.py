@@ -324,10 +324,12 @@ def prepare_training_windows(
     sf_dir: str,
     max_tokens: int = 2048,
     holdout_per_mille: int = 100,
+    scrub: bool = False,
 ) -> DataFrame:
     """The last mile of the corpus pipeline: curated survivors →
     packed training windows. Composes :func:`curate_training_corpus`
-    (scrub-ready gate → exact dedup → LSH near-dup drop → split) with
+    (optional PII scrub → gate → exact dedup → LSH near-dup drop →
+    split; ``scrub=True`` redacts upstream of fingerprinting) with
     ``pack_fixed_windows`` on the TRAIN split only — holdout documents
     must never share a packed window with training data, which
     packing after splitting guarantees by construction.
@@ -343,7 +345,7 @@ def prepare_training_windows(
     )
 
     curated = curate_training_corpus(
-        spark, sf_dir, holdout_per_mille=holdout_per_mille
+        spark, sf_dir, holdout_per_mille=holdout_per_mille, scrub=scrub
     )
     train = curated.filter(F.col("split") == "train").select("doc_id", "n_tokens")
     packed = pack_fixed_windows(train, "doc_id", "n_tokens", max_tokens)
@@ -400,7 +402,10 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curate_training_corpus(
-    spark: SparkSession, sf_dir: str, holdout_per_mille: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    holdout_per_mille: int = 100,
+    scrub: bool = False,
 ) -> DataFrame:
     """The COMPLETE training-data curation flow as one composition —
     what a real corpus pipeline runs end to end (not registered: the
@@ -408,9 +413,18 @@ def curate_training_corpus(
     individually oracle-checked and this composition is pinned by
     tests/test_sampling.py):
 
-    quality gate → exact dedup (md5 canonical, min-id survivor) →
-    MinHash+LSH near-dup pairs → connected-components resolution →
-    canonical drop → deterministic train/holdout split.
+    [optional PII scrub] → quality gate → exact dedup (md5 canonical,
+    min-id survivor) → MinHash+LSH near-dup pairs →
+    connected-components resolution → canonical drop → deterministic
+    train/holdout split.
+
+    ``scrub=True`` applies :func:`~...operators.scrub.scrub_text`
+    BEFORE tokenization, so the gate, the content fingerprint, and
+    the shingles all see redacted text — two documents identical
+    except for a rotating tracking URL become exact duplicates and
+    dedup together (the recall repair scrub.py's docstring argues
+    for; pinned by tests/test_sampling.py). Chained regexp_replace
+    column math: the stage adds zero shuffles and zero persists.
 
     Scale shape: column-math gates (scan speed) → one hash agg →
     blocked LSH joins on candidates only → O(diameter) component
@@ -455,6 +469,12 @@ def curate_training_corpus(
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    if scrub:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.scrub import (
+            scrub_text,
+        )
+
+        docs = docs.withColumn("text", scrub_text(F.col("text")))
     staged = docs.select(
         "doc_id", "text", tokenize_lower(F.col("text")).alias("_tk")
     )
