@@ -58,15 +58,27 @@ def stream_asof_enrich(
     frame with (on, time_col, value_cols). The ``availableNow``
     trigger makes this testable as batch while keeping the exact
     production plan (swap the trigger for continuous ingestion).
-    """
+
+    ``foreachBatch`` is at-least-once — a micro-batch can be
+    re-delivered after a failure — so the sink must be idempotent per
+    ``batch_id``: each batch lands in its own ``_batch_id=<id>``
+    partition via DYNAMIC partition overwrite, so a replayed batch
+    replaces its own files instead of appending duplicates (exactly-
+    once output under replay; pinned by re-invoking a batch handler
+    in tests)."""
     prepare_session(spark)
     out = out_dir or tempfile.mkdtemp(prefix="asof_stream_out_")
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asof_stream_ckpt_")
 
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
-        asof_join(batch_df, state, on, time_col, value_cols).write.mode(
-            "append"
-        ).parquet(out)
+        (
+            asof_join(batch_df, state, on, time_col, value_cols)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
 
     q = (
         stream.writeStream.foreachBatch(_enrich)
@@ -75,7 +87,7 @@ def stream_asof_enrich(
         .start()
     )
     q.awaitTermination(await_seconds)
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).drop("_batch_id")
 
 
 def stream_latest_state(
@@ -143,6 +155,7 @@ def stream_interval_join(
     start_col: str,
     end_col: str,
     watermark: str = "30 days",
+    max_duration: str = "30 days",
 ) -> DataFrame:
     """True stream-STREAM containment join — the streaming face of
     ``operators/asof.py::range_join``: every left reading paired with
@@ -151,28 +164,40 @@ def stream_interval_join(
     windows).
 
     This is Structured Streaming's native interval join: both sides
-    watermarked, and the join condition carries the time bound
-    (``time BETWEEN start AND end``), which is what lets the state
-    store evict buffered rows — a reading older than
-    ``end − watermark`` can never match a future interval and is
-    dropped. Without the time bound the join would be rejected
-    (unbounded state). Returns the streaming frame; drain with
-    ``streaming/pipeline.py::drain_to_memory`` (append mode) or a
-    checkpointed sink. For bounded input the drained result equals
-    the batch ``range_join`` exactly (pinned in tests).
+    watermarked, and the join condition bounds each side's event time
+    against the OTHER side's *watermarked* column in both directions
+    — that is what lets the state store evict buffered rows on both
+    sides. ``l.time >= r.start`` bounds the readings side; the
+    intervals side needs ``l.time <= r.start + max_duration`` (the
+    raw ``l.time <= r.end`` exactness filter involves the
+    non-watermarked ``end_col``, so Spark cannot derive an intervals-
+    side eviction horizon from it — with only that bound, interval
+    state would grow without bound). ``max_duration`` is therefore a
+    hard CAP on interval length the caller must size: any part of an
+    interval beyond ``start + max_duration`` is treated as expired
+    and readings there do not match. Returns the streaming frame;
+    drain with ``streaming/pipeline.py::drain_to_memory`` (append
+    mode) or a checkpointed sink. For bounded input whose intervals
+    respect the cap, the drained result equals the batch
+    ``range_join`` exactly (pinned in tests, including the cap's
+    truncation behavior).
 
-    Scale notes: state per key ≈ rows within one watermark horizon on
-    each side; the join itself is the ordinary keyed shuffle. The
-    bucketed-explode trick ``range_join`` uses in batch is NOT needed
-    here — the state store already indexes by key and evicts by time,
-    so Spark never materializes a per-key cross product beyond the
-    watermark window.
+    Scale notes: state per key ≈ rows within one
+    watermark + max_duration horizon on each side; the join itself is
+    the ordinary keyed shuffle. The bucketed-explode trick
+    ``range_join`` uses in batch is NOT needed here — the state store
+    already indexes by key and evicts by time, so Spark never
+    materializes a per-key cross product beyond the horizon.
     """
     l = left.withWatermark(time_col, watermark).alias("l")
     r = intervals.withWatermark(start_col, watermark).alias("r")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col(f"l.{time_col}") >= F.col(f"r.{start_col}"))
+        & (
+            F.col(f"l.{time_col}")
+            <= F.col(f"r.{start_col}") + F.expr(f"INTERVAL {max_duration}")
+        )
         & (F.col(f"l.{time_col}") <= F.col(f"r.{end_col}"))
     )
     return l.join(r, cond, "inner").select(

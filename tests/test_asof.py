@@ -434,6 +434,93 @@ def test_stream_asof_enrich_equals_batch(spark, sf_dir, tmp_path):
     assert pairs(got) == pairs(want)
 
 
+def test_stream_asof_enrich_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying every micro-batch into
+    the SAME output dir (fresh checkpoint, same 4-file source => same
+    batch ids) must leave the result identical — each batch dynamically
+    overwrites its own _batch_id partition instead of appending
+    duplicates."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    state = _calib(ev)
+    landing = str(tmp_path / "landing")
+    ev.repartition(4).write.parquet(landing)
+    phys = spark.read.parquet(landing).schema
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(phys)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        return stream_asof_enrich(
+            spark, stream, state, "user_id", "ts", ["calib_value"],
+            out_dir=str(tmp_path / "out"), checkpoint_dir=ckpt,
+        )
+
+    first = run(str(tmp_path / "ckpt1")).count()
+    replayed = run(str(tmp_path / "ckpt2"))  # full redelivery
+    assert replayed.count() == first
+    want = asof_join(ev, state, "user_id", "ts", ["calib_value"])
+    pairs = lambda df: sorted(
+        (r["event_id"], r["calib_value"]) for r in df.collect()
+    )
+    assert pairs(replayed) == pairs(want)
+
+
+def test_stream_interval_join_caps_interval_length(spark, sf_dir):
+    """max_duration is a hard cap: with intervals LONGER than the cap,
+    the streamed result must equal the batch range_join against
+    end-clamped intervals (matches beyond start+max_duration expire
+    with the state store, by design)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        range_join,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+        stream_events,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_interval_join,
+    )
+
+    def wins_of(df):
+        return df.filter(F.col("event_id") % 151 == 0).select(
+            F.col("event_id").alias("win_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        )
+
+    s_ev = stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    joined = stream_interval_join(
+        s_ev, wins_of(stream_events(spark, sf_dir)),
+        on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts",
+        max_duration="2 hours",  # cap < the 6-hour interval length
+    )
+    got = {
+        (r["event_id"], r["win_id"])
+        for r in drain_to_memory(joined, output_mode="append").collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    clamped = wins_of(load_table(spark, sf_dir, "events")).withColumn(
+        "end_ts",
+        F.least(F.col("end_ts"), F.col("start_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    want = {
+        (r["event_id"], r["win_id"])
+        for r in range_join(
+            ev, clamped, on="user_id", time_col="ts",
+            start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_stream_interval_join_equals_batch_range_join(spark, sf_dir):
     """Stream-stream containment join (both sides watermarked, time
     bound in the condition) drained over bounded input must equal the
