@@ -90,6 +90,13 @@ def rademacher_project(emb: Column, dim_in: int, dim_out: int) -> Column:
     Pure codegen column math over a materialized attribute (HOF
     staging discipline applies — pass an attribute, not an
     expression).
+
+    Length discipline: an embedding whose length differs from
+    ``dim_in`` (or a NULL embedding) RAISES at execution instead of
+    silently emitting NULL components — ``zip_with`` pads the shorter
+    array with nulls, which would poison every downstream ANN/dedup
+    distance unnoticed. Filter bad rows explicitly upstream if they
+    are expected.
     """
     import hashlib
 
@@ -117,4 +124,12 @@ def rademacher_project(emb: Column, dim_in: int, dim_out: int) -> Column:
             / F.lit(GRID)
         )
         comps.append(dot * F.lit(scale))
-    return F.array(*comps)
+    return F.when(F.size(emb) == F.lit(dim_in), F.array(*comps)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("rademacher_project: embedding length "),
+                F.coalesce(F.size(emb).cast("string"), F.lit("NULL")),
+                F.lit(f" != dim_in {dim_in}"),
+            )
+        )
+    )

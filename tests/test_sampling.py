@@ -578,6 +578,43 @@ def test_incremental_dedup_two_batches_equals_one_shot(spark, sf_dir, tmp_path):
     assert not (fp1 & fp2)
 
 
+def test_curation_scrub_repairs_dedup_recall(spark, tmp_path):
+    """scrub=True runs the PII scrub UPSTREAM of fingerprinting: two
+    documents identical except for a rotating tracking URL must dedup
+    to one survivor (without scrub both survive), and the composition
+    stays persist-clean."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches and the birds sing near {} in the morning"
+    )
+    other = (
+        "a completely different sentence about the weather and the sea "
+        "with many simple words that we say today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base.format("http://track.example.com/?id=AAA111")),
+            (2, base.format("http://track.example.com/?id=ZZZ999")),
+            (3, other),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    plain = curate_training_corpus(spark, sf)
+    assert {r["doc_id"] for r in plain.collect()} == {1, 2, 3}
+    scrubbed = curate_training_corpus(spark, sf, scrub=True)
+    # min-id survivor of the now-identical pair, plus the distinct doc
+    assert {r["doc_id"] for r in scrubbed.collect()} == {1, 3}
+    assert cm.isEmpty(), "scrubbed curation leaked persisted frames"
+
+
 def test_incremental_dedup_crash_consistency(spark, sf_dir, tmp_path):
     """Every crash window re-runs to the one-shot result: state can
     never record documents the downstream corpus does not durably
@@ -840,6 +877,37 @@ def test_prepare_training_windows_end_to_end(spark, sf_dir):
             assert r["end_window"] == (r["offset"] + r["n_tokens"] - 1) // max_tokens
             assert r["n_windows"] == r["end_window"] - r["start_window"] + 1
             expect += r["n_tokens"]
+
+
+def test_rademacher_projection_rejects_length_mismatch(spark):
+    """A vector whose length differs from dim_in (or a NULL vector)
+    must RAISE, not silently emit NULL components that poison
+    downstream ANN distances."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+        rademacher_project,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    assert (
+        len(
+            ok.select(rademacher_project(F.col("embedding"), 4, 2).alias("p"))
+            .first()["p"]
+        )
+        == 2
+    )
+    for bad_rows in ([(2, [1.0, 2.0])], [(3, None)]):
+        bad = spark.createDataFrame(
+            bad_rows, "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(SparkRuntimeException, match="rademacher_project"):
+            bad.select(
+                rademacher_project(F.col("embedding"), 4, 2).alias("p")
+            ).collect()
 
 
 def test_rademacher_projection_preserves_geometry(spark, sf_dir):
