@@ -147,6 +147,104 @@ def stream_latest_state(
     )
 
 
+def stream_state_enrich_pipeline(
+    spark: SparkSession,
+    state_stream: DataFrame,
+    reading_stream: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+    work_dir: str,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """The composed fast-changing-state pipeline the two pieces above
+    exist for — state changes arrive as a STREAM (not a static
+    table), readings arrive as a stream, and every reading must
+    attach the state current at its event time:
+
+    1. *Maintain*: :func:`stream_latest_state` folds the state stream
+       into a live latest-per-key table; each micro-batch's emissions
+       land in an idempotent ``_batch_id`` partition of a durable
+       state log (at-least-once replay overwrites, never duplicates).
+       Emissions are monotone (late/replayed rows never regress), so
+       ``max_by`` over the log IS the maintained table at any moment.
+    2. *Enrich*: per reading micro-batch, the BATCH as-of join runs
+       against the maintained table as it stands, into an idempotent
+       partitioned sink (same protocol as
+       :func:`stream_asof_enrich`).
+
+    Both queries use ``availableNow`` so the composition is testable
+    end-to-end; in production they run concurrently and enrichment
+    simply sees the freshest drained state. Readings that outrun
+    state delivery attach the newest state visible at their batch's
+    processing time — the inherent freshness race of ANY external
+    state store; when state is fully drained first (as the
+    equivalence test forces), the result equals the batch as-of
+    against the final maintained table exactly.
+
+    Scale notes: the state log holds one row per (key, state batch) —
+    O(state events), compacted to O(keys) by the per-batch ``max_by``
+    read; the enrich side is the usual one keyed window per batch.
+    ``value_col`` must not collide with a reading column
+    (:func:`~...operators.asof.asof_join` raises).
+    """
+    import posixpath
+
+    prepare_session(spark)
+    state_log = posixpath.join(work_dir, "state_log")
+    out = posixpath.join(work_dir, "enriched")
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_log)
+        )
+
+    live = stream_latest_state(state_stream, on, time_col, value_col)
+    q1 = (
+        live.writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", posixpath.join(work_dir, "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(await_seconds)
+
+    def _current_state() -> DataFrame:
+        log = spark.read.parquet(state_log)
+        return (
+            log.groupBy(on)
+            .agg(F.max(F.struct("ts_us", value_col)).alias("_s"))
+            .select(
+                on,
+                F.timestamp_micros(F.col("_s.ts_us")).alias(time_col),
+                F.col(f"_s.{value_col}").alias(value_col),
+            )
+        )
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            asof_join(batch_df, _current_state(), on, time_col, [value_col])
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q2 = (
+        reading_stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", posixpath.join(work_dir, "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(await_seconds)
+    return spark.read.parquet(out).drop("_batch_id")
+
+
 def stream_interval_join(
     left: DataFrame,
     intervals: DataFrame,

@@ -617,6 +617,55 @@ def test_stream_latest_state_equals_batch_max_by(spark, sf_dir, tmp_path):
         assert got[k][0] == want[k][0], k  # latest timestamp matches
 
 
+def test_stream_state_enrich_pipeline_equals_batch(spark, sf_dir, tmp_path):
+    """The composed pipeline (state STREAM → maintained latest-state
+    table → per-batch as-of on a reading stream) across forced
+    4-micro-batch delivery on BOTH streams must equal the batch as-of
+    against the final maintained table, and the maintained table must
+    equal the batch max_by over the state events."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        normalize_event_ts,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_state_enrich_pipeline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select("event_id", "user_id", "ts")
+    states = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id", "ts", F.col("value").alias("calib")
+    )
+
+    def landed_stream(df, name):
+        landing = str(tmp_path / name)
+        df.repartition(4).write.parquet(landing)
+        phys = spark.read.parquet(landing).schema
+        return normalize_event_ts(
+            spark.readStream.schema(phys)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+
+    got = stream_state_enrich_pipeline(
+        spark,
+        landed_stream(states, "state_landing"),
+        landed_stream(readings, "reading_landing"),
+        on="user_id",
+        time_col="ts",
+        value_col="calib",
+        work_dir=str(tmp_path / "work"),
+    )
+    # final maintained table == batch latest state per key
+    final_state = states.groupBy("user_id").agg(
+        F.max_by(F.struct("ts", "calib"), F.struct("ts", "calib")).alias("s")
+    ).select("user_id", "s.ts", "s.calib")
+    want = asof_join(readings, final_state, "user_id", "ts", ["calib"])
+    pairs = lambda df: sorted(
+        (r["event_id"], r["calib"]) for r in df.collect()
+    )
+    assert pairs(got) == pairs(want)
+
+
 def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     plan = (
