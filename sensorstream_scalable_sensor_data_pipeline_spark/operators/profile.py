@@ -22,7 +22,7 @@ no longer oracle-exact by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Quantiles reported by default: quartiles + tails.
@@ -70,4 +70,76 @@ def profile_numeric(
     stat_cols = ", ".join(f"`{s}`" for s in stats)
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (`column`, {stat_cols})"
+    )
+
+
+def profile_delta(
+    before: DataFrame,
+    after: DataFrame,
+    quantiles: tuple[float, ...] = DEFAULT_QUANTILES,
+    drift_threshold: float = 0.25,
+    null_rate_threshold: float = 0.01,
+) -> DataFrame:
+    """The daily drift alert :func:`profile_numeric` motivates: join
+    two profiles of the same columns (yesterday's corpus vs today's,
+    input vs output of a transform) and flag what moved.
+
+    Per column, each quantile's shift is normalized by the BEFORE
+    profile's central spread ``max(q95 − q05, |q50|·1e-6, 1e-12)`` —
+    scale-free, so a 10-unit shift on a 1000-unit-wide distribution
+    is small while the same shift on a 1-unit-wide one screams.
+    ``drift`` is the worst normalized quantile shift (``drift_stat``
+    names the quantile); ``null_rate_delta`` is the absolute change
+    in null fraction. ``flagged`` = drift over ``drift_threshold`` OR
+    |Δnull rate| over ``null_rate_threshold``.
+
+    Input frames are one row per profiled column (the long form
+    ``profile_numeric`` emits), so this is driver-free column math on
+    two tiny tables — one inner join, no data-sized work. Columns
+    present in only one profile (schema drift of the worst kind) are
+    kept via a full outer join with NULL stats and always flagged.
+    """
+    qnames = [f"q{int(q * 100):02d}" for q in quantiles]
+    b, a = before.alias("b"), after.alias("a")
+    j = b.join(a, F.col("b.column") == F.col("a.column"), "full_outer")
+
+    def rate(side: str) -> Column:
+        n, nn = F.col(f"{side}.n"), F.col(f"{side}.n_null")
+        return nn / F.nullif(n + nn, F.lit(0.0))
+
+    spread = F.greatest(
+        F.col("b.q95") - F.col("b.q05"),
+        F.abs(F.col("b.q50")) * F.lit(1e-6),
+        F.lit(1e-12),
+    )
+    shifts = F.array(
+        *[
+            F.struct(
+                (F.abs(F.col(f"a.{q}") - F.col(f"b.{q}")) / spread).alias(
+                    "shift"
+                ),
+                F.lit(q).alias("stat"),
+            )
+            for q in qnames
+        ]
+    )
+    worst = F.array_max(F.filter(shifts, lambda s: s["shift"].isNotNull()))
+    missing = F.col("b.column").isNull() | F.col("a.column").isNull()
+    out = j.select(
+        F.coalesce(F.col("b.column"), F.col("a.column")).alias("column"),
+        worst["shift"].alias("drift"),
+        worst["stat"].alias("drift_stat"),
+        rate("b").alias("null_rate_before"),
+        rate("a").alias("null_rate_after"),
+        (rate("a") - rate("b")).alias("null_rate_delta"),
+        missing.alias("missing_side"),
+    )
+    return out.withColumn(
+        "flagged",
+        F.col("missing_side")
+        | (F.coalesce(F.col("drift"), F.lit(0.0)) > F.lit(drift_threshold))
+        | (
+            F.abs(F.coalesce(F.col("null_rate_delta"), F.lit(0.0)))
+            > F.lit(null_rate_threshold)
+        ),
     )

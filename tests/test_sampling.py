@@ -578,6 +578,48 @@ def test_incremental_dedup_two_batches_equals_one_shot(spark, sf_dir, tmp_path):
     assert not (fp1 & fp2)
 
 
+def test_profile_delta_flags_shift_and_null_drift(spark, sf_dir):
+    """The drift alert over two profiles: a shifted column flags with
+    the expected normalized magnitude, an unshifted column stays
+    quiet, injected nulls flag through the null-rate path, and a
+    column missing from one side always flags."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.profile import (
+        profile_delta,
+        profile_numeric,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    before = profile_numeric(li, ["l_quantity", "l_discount", "l_tax"])
+    shifted = li.select(
+        (F.col("l_quantity") + 10).alias("l_quantity"),  # hard shift
+        "l_discount",  # untouched
+        # ~20% nulls, values unchanged where present
+        F.when(F.col("l_orderkey") % 5 != 0, F.col("l_tax")).alias("l_tax"),
+    )
+    after = profile_numeric(shifted, ["l_quantity", "l_discount", "l_tax"])
+    d = {
+        r["column"]: r
+        for r in profile_delta(before, after, drift_threshold=0.2).collect()
+    }
+
+    bq = {r["column"]: r for r in before.collect()}
+    spread = bq["l_quantity"]["q95"] - bq["l_quantity"]["q05"]
+    assert d["l_quantity"]["flagged"]
+    assert abs(d["l_quantity"]["drift"] - 10.0 / spread) < 1e-9
+    assert not d["l_discount"]["flagged"]
+    assert d["l_discount"]["drift"] < 1e-12
+    assert d["l_tax"]["flagged"]  # null-rate path
+    assert d["l_tax"]["null_rate_delta"] > 0.15
+    # schema drift: column only in the before profile
+    d2 = {
+        r["column"]: r
+        for r in profile_delta(
+            before, profile_numeric(shifted, ["l_quantity"])
+        ).collect()
+    }
+    assert d2["l_discount"]["flagged"] and d2["l_discount"]["missing_side"]
+
+
 def test_curation_scrub_repairs_dedup_recall(spark, tmp_path):
     """scrub=True runs the PII scrub UPSTREAM of fingerprinting: two
     documents identical except for a rotating tracking URL must dedup
