@@ -89,6 +89,13 @@ HEADLINE = [
     "rate_of_change",
     "ivf_index_build",
     "ivf_query_batch",
+    # Round 6: the SQ8 serving tier vs the float tier (r5 verdict #5)
+    # and the hot-key skew pair (r5 verdict #6) — plain vs bucketed
+    # as-of on a deliberately skewed 6.4 M-row workload. The 26 heads
+    # above are unchanged for round-over-round comparability.
+    "ivf_query_batch_sq8",
+    "asof_join_skewed",
+    "asof_join_skewed_bucketed",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -123,6 +130,18 @@ EXTRA_HEADS = {
     "ivf_query_batch": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
         "ivf_query_batch",
+    ),
+    "ivf_query_batch_sq8": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
+        "ivf_query_batch_sq8",
+    ),
+    "asof_join_skewed": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "asof_join_skewed_head",
+    ),
+    "asof_join_skewed_bucketed": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "asof_join_skewed_bucketed_head",
     ),
 }
 

@@ -80,3 +80,32 @@ def ivf_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(
         spark, _index_dir, _queries(spark, sf_dir), k=5, nprobe=2
     )
+
+
+#: Scratch SQ8 index, same per-process protocol as ``_index_dir``.
+_index_dir_sq8: str | None = None
+
+
+def ivf_query_batch_sq8_setup(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed setup: build the SQ8-quantized index (lists stored as
+    ``(codes, scale)`` — 4× narrower than float arrays)."""
+    global _index_dir_sq8
+    out = os.path.join(tempfile.mkdtemp(prefix="ivf_bench_sq8_"), "index")
+    build_ivf_index(
+        spark, load_table(spark, sf_dir, "embeddings"), out, k=10, quantize=True
+    )
+    _index_dir_sq8 = out
+
+
+def ivf_query_batch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed serving head against the SQ8 index — same query batch and
+    same plan as ``ivf_query_batch`` except the pruned list scan reads
+    the narrow (codes, scale) form and dequantizes AFTER pruning. The
+    float-vs-SQ8 delta between the two heads is the quantized tier's
+    whole argument (cheaper serving scans); ranking agreement vs the
+    float index is pinned in tests/test_similarity*."""
+    if _index_dir_sq8 is None:
+        ivf_query_batch_sq8_setup(spark, sf_dir)
+    return query_ivf_index(
+        spark, _index_dir_sq8, _queries(spark, sf_dir), k=5, nprobe=2
+    )

@@ -109,6 +109,79 @@ def resample_locf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic amplification for the skew heads: sf0.1's 100 k
+#: events × 64 = 6.4 M rows, half of them on ONE key — enough rows
+#: that the plain window's single hot-key sort dominates its stage.
+SKEW_AMPLIFY = 64
+
+
+def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key workload built from the events table, deterministically:
+    every event replicated SKEW_AMPLIFY× (with a microsecond shift per
+    replica so timestamps stay distinct), and all even user_ids folded
+    onto key 0 — one key carries ~50 % of all rows. Scan-side explode,
+    no shuffle."""
+    ev = _events(spark, sf_dir)
+    amplified = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(SKEW_AMPLIFY - 1))).alias("_rep"),
+    )
+    return amplified.select(
+        (F.col("event_id") * SKEW_AMPLIFY + F.col("_rep")).alias("event_id"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + F.col("_rep")).alias("ts"),
+        "value",
+    )
+
+
+def _skewed_summary(enriched: DataFrame) -> DataFrame:
+    return enriched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.count("calib_value").alias("n_calibrated"),
+        F.avg("calib_value").alias("avg_calib"),
+    )
+
+
+def asof_join_skewed_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN as-of on the hot-key workload — the funnel case the
+    module docstring of operators/asof.py quantifies: one task sorts
+    the hot key's ~3.2 M-row history serially."""
+    ev = _skewed_events(spark, sf_dir)
+    st = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id", "ts", F.col("value").alias("calib_value")
+    )
+    return _skewed_summary(
+        asof_join(ev, st, on="user_id", time_col="ts", value_cols=["calib_value"])
+    )
+
+
+def asof_join_skewed_bucketed_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The escape hatch on the same workload: asof_join_bucketed
+    splits the hot key by day bucket (30-day span → ~30 independent
+    sorts). Identical output to the plain head (equivalence pinned at
+    sf0.001 in tests/test_asof.py); the head-to-head delta in
+    BENCH_r{N} is the hot-key win's standing perf evidence."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    ev = _skewed_events(spark, sf_dir)
+    st = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id", "ts", F.col("value").alias("calib_value")
+    )
+    return _skewed_summary(
+        asof_join_bucketed(
+            ev, st, on="user_id", time_col="ts",
+            value_cols=["calib_value"], bucket_seconds=86_400,
+        )
+    )
+
+
 def rate_of_change_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     rated = rate_of_change(ev, on="user_id", time_col="ts", value_col="value")

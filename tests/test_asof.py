@@ -403,6 +403,33 @@ def test_asof_join_hot_key_skew_correctness(spark):
     # next one.
 
 
+def test_skewed_bench_heads_are_equivalent(spark, sf_dir):
+    """The bench skew pair (plain vs bucketed as-of on the hot-key
+    workload, one key carrying ~50% of rows) must produce identical
+    per-key summaries — the bucketed head's number is only evidence
+    if it computes the same thing."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal import (
+        asof_join_skewed_bucketed_head,
+        asof_join_skewed_head,
+    )
+
+    rows = lambda df: sorted(
+        (
+            r["user_id"],
+            r["n_readings"],
+            r["n_calibrated"],
+            None if r["avg_calib"] is None else round(r["avg_calib"], 9),
+        )
+        for r in df.collect()
+    )
+    plain = rows(asof_join_skewed_head(spark, sf_dir))
+    bucketed = rows(asof_join_skewed_bucketed_head(spark, sf_dir))
+    assert plain == bucketed
+    # the workload is actually skewed: key 0 holds ~half the rows
+    counts = {u: n for u, n, _, _ in plain}
+    assert counts[0] > 0.4 * sum(counts.values())
+
+
 def test_stream_asof_enrich_equals_batch(spark, sf_dir, tmp_path):
     """Streaming face of the as-of join: the same readings delivered
     across FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file
