@@ -71,6 +71,55 @@ def hash_split(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget_tokens: dict[str, int],
+    salt: str | None = "mixture",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Training-mixture construction: downsample each stratum (e.g.
+    language, domain, quality tier) to approximately its TOKEN budget
+    — the way a pretraining mixture is specified ("300 B English web,
+    30 B code, ..."), not in document counts.
+
+    Two steps, both deterministic: (1) one map-side-combined aggregate
+    measures each stratum's total tokens (one row per stratum to the
+    driver — bounded by mixture size, never data-sized); (2) each
+    stratum's keep-rate ``min(1000, ceil(budget/total·1000))`` feeds
+    :func:`stratified_hash_sample`, so selection is the usual
+    content-keyed scan-speed filter — re-runs, re-partitions, and
+    incremental extensions of the corpus keep their selections.
+    Strata absent from ``budget_tokens`` are dropped (rate 0).
+
+    Returns ``(sampled frame, per-mille rates)`` — the rates are the
+    reproducibility artifact to log with the run. Quantization: rates
+    are per-mille floors of the hash space, so realized token counts
+    land within ~0.1% of ``rate/1000 × total`` plus per-document
+    granularity; budgets above a stratum's total keep the whole
+    stratum (rate 1000).
+    """
+    import math
+
+    totals = {
+        r[strata_col]: int(r["_t"])
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(tokens_col)).alias("_t"))
+        .collect()
+    }
+    rates = {}
+    for stratum, budget in budget_tokens.items():
+        total = totals.get(stratum, 0)
+        if total <= 0:
+            continue
+        rates[stratum] = min(BUCKETS, math.ceil(budget / total * BUCKETS))
+    sampled = stratified_hash_sample(
+        df, key_col, strata_col, rates, default_per_mille=0, salt=salt
+    )
+    return sampled, rates
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,
