@@ -20,7 +20,11 @@ round-over-round deltas unactionable (r4's +41 % `sim_ann_signlsh`
 swing on byte-identical code; r3's e2e +14 %). Separate JVMs keep
 every rep cold — an in-JVM repeat would measure the JIT-warm path and
 break comparability with earlier rounds' cold numbers. All samples
-ship in the JSON (``samples``) so spread is visible.
+ship in the JSON (``samples``) so spread is visible. When a head's
+spread exceeds ~1.5×, the machine was contended: compare MIN-of-reps
+and head-vs-control ratios across rounds, never absolute medians
+(COVERAGE.md "Round-6 bench attribution" — r5's uniform 1.25-3.9×
+inflation on frozen code re-measured at ×0.98-1.23 on a quiet box).
 
 Heads with a ``<name>_setup`` hook in their EXTRA_HEADS module run it
 BEFORE the timer (e.g. ``ivf_query_batch`` builds the index untimed —

@@ -48,8 +48,9 @@ def test_all_headline_heads_resolve():
 def test_r2_heads_still_benched():
     assert R2_HEADS <= set(bench.HEADLINE)
     # 20 carried heads (r2 set + curate_training_corpus) + r5's
-    # temporal family and persisted-IVF build/serve pair.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 26
+    # temporal family and persisted-IVF build/serve pair + r6's SQ8
+    # serving tier and hot-key skew pair.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 29
     assert {
         "curate_training_corpus",
         "asof_join",
@@ -58,13 +59,17 @@ def test_r2_heads_still_benched():
         "rate_of_change",
         "ivf_index_build",
         "ivf_query_batch",
+        "ivf_query_batch_sq8",
+        "asof_join_skewed",
+        "asof_join_skewed_bucketed",
     } <= set(bench.HEADLINE)
 
 
 def test_setup_hooks_resolve():
     """A head with an untimed setup hook must expose it under the
-    documented name; ivf_query_batch depends on it for the
+    documented name; the serving heads depend on it for the
     build/serve separation."""
-    mod, attr = bench.EXTRA_HEADS["ivf_query_batch"]
-    m = importlib.import_module(mod)
-    assert callable(getattr(m, f"{attr}_setup"))
+    for head in ("ivf_query_batch", "ivf_query_batch_sq8"):
+        mod, attr = bench.EXTRA_HEADS[head]
+        m = importlib.import_module(mod)
+        assert callable(getattr(m, f"{attr}_setup"))
