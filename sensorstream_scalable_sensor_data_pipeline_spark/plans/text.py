@@ -355,6 +355,47 @@ def prepare_training_windows(
     )
 
 
+def audit_split_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    holdout_per_mille: int = 100,
+    n: int = 8,
+) -> DataFrame:
+    """The decontamination report a training run files next to its
+    eval numbers: run the curation split, then measure every holdout
+    document's token-``n``-gram overlap against the TRAIN side
+    (operators/decontaminate.py). The split already guarantees no
+    shared *document* (hash-disjoint by construction — and near-dups
+    were dropped upstream); this audits the residual risk of shared
+    *content* between distinct surviving documents, which document-
+    level splitting cannot see.
+
+    Returns the per-holdout-doc contamination frame ``(doc_id,
+    n_grams, n_overlap, contamination_frac, contaminated)`` — the
+    artifact to gate an eval release on. Shape: curation (tiny
+    result) → two semi-joins to re-attach text → the gram-set join
+    (keyed on uniform md5 hashes, never all-pairs)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    assigned = curate_training_corpus(
+        spark, sf_dir, holdout_per_mille=holdout_per_mille
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.join(
+        assigned.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    holdout = docs.join(
+        assigned.filter(F.col("split") == "holdout").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return ngram_contamination(train, holdout, n=n)
+
+
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring, the cheap honest tier: mean unigram
     log-probability per document under the corpus's own
@@ -406,6 +447,8 @@ def curate_training_corpus(
     sf_dir: str,
     holdout_per_mille: int = 100,
     scrub: bool = False,
+    max_dup_line_frac: float | None = None,
+    max_top_ngram_frac: float | None = None,
 ) -> DataFrame:
     """The COMPLETE training-data curation flow as one composition —
     what a real corpus pipeline runs end to end (not registered: the
@@ -425,6 +468,16 @@ def curate_training_corpus(
     dedup together (the recall repair scrub.py's docstring argues
     for; pinned by tests/test_sampling.py). Chained regexp_replace
     column math: the stage adds zero shuffles and zero persists.
+
+    ``max_dup_line_frac`` / ``max_top_ngram_frac`` (default off)
+    additionally gate on the Gopher-style repetition signals
+    (operators/repetition.py): documents whose duplicate-line
+    fraction or top-bigram share exceeds the threshold are dropped
+    via one LEFT SEMI join against the per-doc signal frame —
+    exploded-then-keyed aggregates, so enabling the gate adds keyed
+    shuffles but nothing all-pairs. Documents too short to have
+    n-gram stats pass the n-gram check (the token-count gate below
+    owns that case).
 
     Scale shape: column-math gates (scan speed) → one hash agg →
     blocked LSH joins on candidates only → O(diameter) component
@@ -475,6 +528,20 @@ def curate_training_corpus(
         )
 
         docs = docs.withColumn("text", scrub_text(F.col("text")))
+    if max_dup_line_frac is not None or max_top_ngram_frac is not None:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.repetition import (
+            repetition_signals,
+        )
+
+        sig = repetition_signals(docs, id_col="doc_id", text_col="text")
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_ngram_frac is not None:
+            cond = cond & F.coalesce(
+                F.col("top_ngram_frac") <= max_top_ngram_frac, F.lit(True)
+            )
+        docs = docs.join(sig.filter(cond).select("doc_id"), "doc_id", "left_semi")
     staged = docs.select(
         "doc_id", "text", tokenize_lower(F.col("text")).alias("_tk")
     )

@@ -182,6 +182,77 @@ def test_sample_to_token_budget(spark, duck, sf_dir):
     assert abs(realized["s0"] - budgets["s0"]) / budgets["s0"] < 0.35
 
 
+def test_curation_repetition_gate(spark, tmp_path):
+    """The optional repetition gate: a spam document (one line
+    repeated, one dominating bigram) is dropped when thresholds are
+    set, kept when the gate is off; the clean document survives both
+    ways and the composition stays persist-clean."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches and the birds sing in the morning air today"
+    )
+    spam = "\n".join(["buy cheap pills now and the deal is great"] * 12)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, spam)], "doc_id long, text string"
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    plain = {r["doc_id"] for r in curate_training_corpus(spark, sf).collect()}
+    assert plain == {1, 2}
+    gated = {
+        r["doc_id"]
+        for r in curate_training_corpus(
+            spark, sf, max_dup_line_frac=0.3, max_top_ngram_frac=0.2
+        ).collect()
+    }
+    assert gated == {1}
+    assert cm.isEmpty(), "repetition-gated curation leaked persists"
+
+
+def test_audit_split_contamination_runs(spark, sf_dir):
+    """The audit composition: one row per holdout survivor, counts
+    consistent (overlap never exceeds the gram count), and the
+    flagged set equals rows with positive overlap under the strict
+    default."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        audit_split_contamination,
+        curate_training_corpus,
+    )
+
+    report = audit_split_contamination(spark, sf_dir, n=8).collect()
+    n_holdout = (
+        curate_training_corpus(spark, sf_dir)
+        .filter(F.col("split") == "holdout")
+        .count()
+    )
+    assert len(report) == n_holdout
+    for r in report:
+        assert 0 <= r["n_overlap"] <= r["n_grams"]
+        assert r["contaminated"] == (r["n_overlap"] > 0)
+
+
+def test_corpus_quality_plans_have_no_cartesian(spark, sf_dir):
+    """Neither new operator may ever plan an all-pairs join: no
+    CartesianProduct / BroadcastNestedLoopJoin nodes at any size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plans = [
+        repetition_signals(docs)._jdf.queryExecution().executedPlan().toString(),
+        ngram_contamination(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )._jdf.queryExecution().executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_ngram_contamination_planted_leak(spark):
     """A planted 8-gram shared between one train doc and one eval doc
     must flag exactly that eval doc; a short eval doc (< n tokens)
