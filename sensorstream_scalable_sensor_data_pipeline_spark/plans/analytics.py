@@ -352,3 +352,42 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "n_name", "revenue", "n_orders", "gid")
     )
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two INDEPENDENT dimensions — revenue by
+    (region, order priority) with every marginal: per-region totals,
+    per-priority totals, and the grand total in one pass. The
+    complement of :func:`sales_rollup` (whose dimensions are
+    hierarchical); together they cover Spark's grouping-sets surface.
+    Same execution shape: ``cube(...)`` expands inside ONE hash
+    aggregate with map-side partial aggregation — the shuffle carries
+    one row per (grouping-set, group), 4× the groups of a flat
+    aggregate here, not 4× the data. Not registered (50-row cap);
+    DuckDB ``GROUP BY CUBE`` local oracle."""
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey"), F.col("r_name")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_totalprice"), F.col("o_orderpriority")
+    )
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.cube("r_name", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("r_name", "o_orderpriority", "revenue", "n_orders", "gid")
+    )

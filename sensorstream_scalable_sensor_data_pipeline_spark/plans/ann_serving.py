@@ -100,10 +100,18 @@ def ivf_query_batch_sq8_setup(spark: SparkSession, sf_dir: str) -> None:
 def ivf_query_batch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed serving head against the SQ8 index — same query batch and
     same plan as ``ivf_query_batch`` except the pruned list scan reads
-    the narrow (codes, scale) form and dequantizes AFTER pruning. The
-    float-vs-SQ8 delta between the two heads is the quantized tier's
-    whole argument (cheaper serving scans); ranking agreement vs the
-    float index is pinned in tests/test_similarity*."""
+    the narrow (codes, scale) form and dequantizes AFTER pruning;
+    ranking agreement vs the float index is pinned in tests.
+
+    MEASUREMENT HONESTY: at sf0.1's 2 000-vector corpus the pair
+    measures the CPU trade, not the I/O trade — the whole list scan
+    is a few hundred KB either way, so the float head wins slightly
+    (SQ8 pays a per-row ``zip_with`` dequantize for a scan-byte
+    saving that rounds to zero here). SQ8's argument is I/O-bound
+    serving at corpus scale: 4× fewer bytes per pruned-partition
+    read when lists are TB-sized and cold. The head exists so the
+    CPU overhead side of that trade is a recorded number rather than
+    a guess."""
     if _index_dir_sq8 is None:
         ivf_query_batch_sq8_setup(spark, sf_dir)
     return query_ivf_index(

@@ -110,9 +110,8 @@ def resample_locf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Deterministic amplification for the skew heads: sf0.1's 100 k
-#: events × 64 = 6.4 M rows, half of them on ONE key — enough rows
-#: that the plain window's single hot-key sort dominates its stage.
-SKEW_AMPLIFY = 64
+#: events × 256 = 25.6 M rows, half of them on ONE key.
+SKEW_AMPLIFY = 256
 
 
 def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +147,22 @@ def _skewed_summary(enriched: DataFrame) -> DataFrame:
 
 
 def asof_join_skewed_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PLAIN as-of on the hot-key workload — the funnel case the
-    module docstring of operators/asof.py quantifies: one task sorts
-    the hot key's ~3.2 M-row history serially."""
+    """PLAIN as-of on the hot-key workload: one task sorts the hot
+    key's ~12.8 M-row history serially.
+
+    MEASUREMENT HONESTY: at bench scale this pair reads as a WASH —
+    Spark's window sort radix-sorts the 8-byte (ts, is_r) prefix at
+    ~50 M rows/s, so a 12.8 M-row serial sort costs well under a
+    second and the scan+explode dominates both heads. The funnel the
+    bucketed variant exists for appears when the hot key's sort run
+    EXCEEDS one task's memory and spills (the controlled experiment
+    in operators/asof.py's docstring: 8 M rows under local[8]'s
+    per-task budget measured 2.5-4.7× serial penalty) — i.e. at the
+    100 TB deployment's per-executor budget, not at any size a local
+    bench can hold in RAM. The pair still earns its place: identical
+    results under deliberate 50 %-on-one-key skew (equivalence
+    pinned), and the bucketed head's flat cost curve IS the evidence
+    that the escape hatch adds only fixed overhead."""
     ev = _skewed_events(spark, sf_dir)
     st = ev.filter(F.col("event_id") % 97 == 0).select(
         "user_id", "ts", F.col("value").alias("calib_value")

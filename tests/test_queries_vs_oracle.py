@@ -72,6 +72,35 @@ def test_sales_rollup_matches_oracle(spark, duck, sf_dir):
     assert (sdf["gid"] == 1).sum() == sdf.loc[sdf["gid"] == 0, "r_name"].nunique()
 
 
+def test_sales_cube_matches_oracle(spark, duck, sf_dir):
+    """Full CUBE over (region, priority) vs DuckDB GROUP BY CUBE —
+    all four grouping sets, gid bits included."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.analytics import (
+        sales_cube,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import (
+        dsum_sql,
+    )
+
+    sdf = sales_cube(spark, sf_dir).toPandas()
+    oracle = f"""
+    SELECT r.r_name, o.o_orderpriority,
+           {dsum_sql('o.o_totalprice')} AS revenue,
+           count(*) AS n_orders,
+           GROUPING(r.r_name, o.o_orderpriority) AS gid
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE(r.r_name, o.o_orderpriority)
+    """
+    ddf = duck.sql(oracle).df()
+    assert_frames_match(sdf, ddf, "sales_cube")
+    # all four grouping sets present; exactly one grand total
+    assert set(sdf["gid"].unique()) == {0, 1, 2, 3}
+    assert (sdf["gid"] == 3).sum() == 1
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """The trained-quantizer ANN must actually find neighbors: recall@5
     against the exact brute-force ranking. nprobe=2 of k=10
