@@ -53,6 +53,69 @@ def test_write_sized_parquet_and_validate(spark, sf_dir, tmp_path):
         assert cnt <= 1000
 
 
+def test_write_range_sorted_disjoint_footers(spark, sf_dir, tmp_path):
+    """Range-clustered layout: every output file's parquet footer
+    (min, max) range on the sort column is DISJOINT from every
+    other's — the property that makes min/max file skipping effective
+    for range predicates — and the data round-trips unchanged."""
+    import pyarrow.parquet as pq
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+        write_range_sorted,
+    )
+
+    out = str(tmp_path / "ranged")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    write_range_sorted(ev, out, sort_col="event_id", n_files=4)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(os.path.join(out, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_compact_parquet_dir(spark, sf_dir, tmp_path):
+    """Compaction: a many-small-files layout (one file per micro-batch
+    append) collapses to right-sized files with identical data; the
+    swap leaves no staging debris; sort_col re-clusters."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+        compact_parquet_dir,
+    )
+
+    out = str(tmp_path / "fragmented")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    for k in range(8):  # simulate 8 tiny appended micro-batches
+        ev.filter(F.col("event_id") % 8 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    want = ev.count()
+    before, after = compact_parquet_dir(
+        spark, out, target_records_per_file=100_000, sort_col="event_id"
+    )
+    assert before >= 8 and after < before
+    got = spark.read.parquet(out)
+    assert got.count() == want
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+    assert not os.path.exists(out + "_old")
+    assert not os.path.exists(out + "_compact_staging")
+
+
 def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
     out = str(tmp_path / "bykey")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
