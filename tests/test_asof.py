@@ -498,6 +498,44 @@ def test_stream_asof_enrich_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert pairs(replayed) == pairs(want)
 
 
+def test_stream_sink_compaction_roundtrip(spark, sf_dir, tmp_path):
+    """The maintenance story end-to-end: the per-micro-batch enrich
+    sink leaves one-file-per-batch fragments; compacting the sink dir
+    reduces files and preserves the enrichment result exactly."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+        compact_parquet_dir,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    state = _calib(ev)
+    landing = str(tmp_path / "landing")
+    ev.repartition(4).write.parquet(landing)
+    phys = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = str(tmp_path / "out")
+    stream_asof_enrich(
+        spark, stream, state, "user_id", "ts", ["calib_value"],
+        out_dir=out, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    pairs = lambda df: sorted(
+        (r["event_id"], r["calib_value"]) for r in df.collect()
+    )
+    want = pairs(spark.read.parquet(out).drop("_batch_id"))
+    before, after = compact_parquet_dir(spark, out, sort_col="event_id")
+    assert after < before
+    assert pairs(spark.read.parquet(out)) == want
+    assert not os.path.exists(out + "_old")
+
+
 def test_stream_interval_join_caps_interval_length(spark, sf_dir):
     """max_duration is a hard cap: with intervals LONGER than the cap,
     the streamed result must equal the batch range_join against
