@@ -1,0 +1,250 @@
+"""MERGE / upsert into partitioned parquet, and SCD Type-2 dimension
+maintenance (§2.12 sink extensions).
+
+The reference pipeline maintains per-sensor state snapshots by
+overwriting whole datasets (main_pipeline.py's overwrite-mode sinks).
+At 100 TB the unit of rewrite must be the PARTITION, not the table:
+``merge_upsert`` expresses ``MERGE INTO`` (update matched keys, insert
+new ones) as
+
+1. read ONLY the partitions the updates touch (an IN-list partition
+   filter — static pruning, never a full scan);
+2. anti-join those partitions' rows against the update keys (the rows
+   being replaced drop out);
+3. union the updates and rewrite JUST those partitions via dynamic
+   partition overwrite (``write_partitioned`` — the Hive-style
+   primitive every engine without a transactional table format uses).
+
+Cost is proportional to the touched partitions, never the table. A
+transactional format (Delta/Iceberg/Hudi) would make step 3 atomic
+across partitions; on plain parquet a mid-write failure can leave a
+partition mix of old/new — the same contract as Hive dynamic
+overwrite, documented here rather than hidden.
+
+PARTITION-STABILITY CONTRACT: by default the key must determine its
+partition (partition column derived from the key or an immutable
+attribute — the overwhelmingly common layout, e.g. ``region`` of a
+sensor). If updates can MOVE a key across partitions, the stale copy
+would survive in its old partition (dynamic overwrite only rewrites
+partitions present in the new data). ``keys_move_partitions=True``
+handles that case correctly by also rewriting the partitions where
+matched keys currently live — at the price of one key-semi-join scan
+of the table to find them (broadcastable: the update key set is small
+by merge's nature).
+
+``scd2_apply`` is the warehouse-classic slowly-changing-dimension
+type 2: instead of overwriting a changed attribute row, close it
+(``valid_to`` = change instant) and open a new current row — the full
+history stays queryable with an as-of predicate (the batch analog of
+operators/asof.py's temporal join). Pure DataFrame transform — joins
++ unions, one shuffle class on the key — so it is locally
+DuckDB-oracle-checkable; persist the result with ``merge_upsert`` or
+a plain sized write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.writers import (
+    write_partitioned,
+)
+
+#: Open rows' ``valid_to`` — a sentinel far-future instant, not NULL,
+#: so as-of predicates are one BETWEEN (NULL-safe comparisons drag
+#: every query; the warehouse convention).
+SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    keys_move_partitions: bool = False,
+) -> None:
+    """MERGE ``updates`` into the partitioned parquet table at
+    ``table_path``: matched keys are replaced by their update row,
+    unmatched keys are inserted. Only touched partitions are read or
+    rewritten. ``updates`` must carry the table's full schema
+    (including ``partition_col``); ``key_cols`` must not include the
+    partition column (it may *be* part of the logical key — list it
+    anyway; the partition filter handles the physical side).
+    """
+    if partition_col in key_cols:
+        raise ValueError(
+            "partition_col is handled physically; key_cols must list only "
+            "non-partition key columns"
+        )
+    # Touched partitions: the updates' own, plus — when keys may move —
+    # wherever the matched keys currently live.
+    touched = updates.select(partition_col).distinct()
+    try:
+        current = spark.read.parquet(table_path)
+        table_exists = True
+    except Exception as exc:  # narrow: only a missing table is "empty"
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+            exc
+        ):
+            raise
+        table_exists = False
+    if table_exists and keys_move_partitions:
+        moved = (
+            current.join(
+                F.broadcast(updates.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            .select(partition_col)
+            .distinct()
+        )
+        touched = touched.unionByName(moved).distinct()
+    # The touched-partition list is bounded by the merge granularity
+    # (what dynamic overwrite rewrites anyway) — driver-safe collect.
+    parts = [r[0] for r in touched.collect()]
+    if table_exists:
+        kept = (
+            current.filter(F.col(partition_col).isin(parts))
+            .join(
+                F.broadcast(updates.select(*key_cols).distinct()),
+                key_cols,
+                "left_anti",
+            )
+        )
+        merged = kept.unionByName(updates.select(*kept.columns))
+    else:
+        merged = updates
+    emptied: set = set()
+    if table_exists and keys_move_partitions:
+        # Dynamic overwrite only rewrites partitions PRESENT in the new
+        # data: a partition fully emptied by moved-away keys is never
+        # touched, so its stale rows would survive. Find those BEFORE
+        # the write (afterwards the lineage would re-read the mutated
+        # table); one extra job over the pruned merge inputs, only
+        # paid on the moving-keys path.
+        present = {
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        } | {r[0] for r in kept.select(partition_col).distinct().collect()}
+        emptied = set(parts) - present
+    write_partitioned(
+        merged,
+        table_path,
+        [partition_col],
+        mode="overwrite" if table_exists else "append",
+        dynamic_partition_overwrite=table_exists,
+    )
+    _delete_partitions(spark, table_path, partition_col, emptied)
+
+
+def _delete_partitions(spark, table_path: str, partition_col: str, values) -> None:
+    """Remove `<col>=<value>` partition directories via Hadoop's
+    FileSystem API (works on any supported scheme, not just local).
+    Values must be directory-name-safe (the same contract Spark's own
+    partitioned writes place on partition values)."""
+    if not values:
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{partition_col}={v}")
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str,
+) -> DataFrame:
+    """Bootstrap an SCD2 dimension from an initial snapshot: every row
+    opens at its effective instant and stays current."""
+    return snapshot.select(
+        *key_cols,
+        *attr_cols,
+        F.col(effective_col).cast("timestamp").alias("valid_from"),
+        F.lit(SCD2_OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str,
+) -> DataFrame:
+    """Apply one batch of attribute updates to an SCD2 dimension.
+
+    ``dim`` carries (key_cols, attr_cols, valid_from, valid_to,
+    is_current); ``updates`` carries (key_cols, attr_cols,
+    effective_col) with AT MOST ONE row per key (pre-aggregate a
+    multi-change batch to its latest row first — enforced here with a
+    runtime check-free contract; violations surface as duplicate
+    current rows in tests). Per key:
+
+    * attrs changed (any field, NULL-safe struct inequality) → the
+      open row closes at the update's effective instant and a new
+      current row opens there;
+    * attrs identical → no-op (no spurious version);
+    * new key → new current row;
+    * closed history rows pass through untouched.
+
+    Shape: one broadcastable equi-join of the CURRENT slice against
+    the update batch + unions — no windows, one shuffle class on the
+    key. Updates effective BEFORE a key's current ``valid_from``
+    would write inverted intervals; they raise downstream-visible
+    negative-duration rows rather than silently reorder (late
+    dimension changes need the full-history rebuild path, same as
+    every SCD2 warehouse)."""
+    closed = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current"))
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+        F.col(effective_col).cast("timestamp").alias("_eff"),
+    )
+    j = cur.join(u, key_cols, "full_outer")
+    same = F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+        F.struct(*[F.col(f"_u_{c}").alias(c) for c in attr_cols])
+    )
+    matched_new = F.col("_eff").isNotNull() & F.col("valid_from").isNotNull()
+    # 1: unmatched current rows + unchanged matches, as-is
+    keep_cur = j.filter(
+        F.col("valid_from").isNotNull() & (F.col("_eff").isNull() | same)
+    ).select(*cur.columns)
+    # 2: changed matches — the closing version of the old row
+    close_old = j.filter(matched_new & ~same).select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.col("_eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # 3: changed matches + brand-new keys — the opening current row
+    open_new = j.filter(
+        F.col("_eff").isNotNull()
+        & (F.col("valid_from").isNull() | ~same)
+    ).select(
+        *key_cols,
+        *[F.col(f"_u_{c}").alias(c) for c in attr_cols],
+        F.col("_eff").alias("valid_from"),
+        F.lit(SCD2_OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(keep_cur).unionByName(close_old).unionByName(open_new)
+
+
+def asof_snapshot(dim: DataFrame, at: str) -> DataFrame:
+    """The dimension as it stood at instant ``at`` — one BETWEEN over
+    the version intervals (valid_from inclusive, valid_to exclusive:
+    a row closing at t and its successor opening at t never both
+    match). This is what joins against fact tables for
+    point-in-time-correct enrichment."""
+    t = F.lit(at).cast("timestamp")
+    return dim.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t)).drop(
+        "is_current"
+    )
