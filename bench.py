@@ -100,6 +100,12 @@ HEADLINE = [
     "ivf_query_batch_sq8",
     "asof_join_skewed",
     "asof_join_skewed_bucketed",
+    # Round 6 (session 2): the learned-cluster semantic dedup chain,
+    # the rolling-anomaly window, and native streaming sessionization.
+    # The 29 heads above are unchanged for comparability.
+    "semdedup",
+    "rolling_zscore",
+    "stream_sessionize",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -146,6 +152,18 @@ EXTRA_HEADS = {
     "asof_join_skewed_bucketed": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
         "asof_join_skewed_bucketed_head",
+    ),
+    "semdedup": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup",
+        "semdedup_head",
+    ),
+    "rolling_zscore": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "rolling_zscore_head",
+    ),
+    "stream_sessionize": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.streaming.sessions",
+        "stream_sessionize_head",
     ),
 }
 

@@ -322,3 +322,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= 0.3
     )
+
+
+# ------------------------------------------------- semdedup bench head
+
+
+def semdedup_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head for operators/semdedup.py: the full train → assign →
+    within-cluster pair → τ-cut chain over the embeddings table, ended
+    in a summary that CONSUMES the cosines (plans/temporal.py
+    measurement doctrine — an unread cosine column would let Catalyst
+    prune the pair math out of the counted plan). τ sits at the
+    dedup_embedding_cosine threshold so the cut produces real pairs at
+    bench scale; k targets ~n/20-sized clusters (the SemDeDup scaling
+    rule: k grows with n to hold cluster size — and the quadratic
+    pair term — constant)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.semdedup import (
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = semdedup_pairs(spark, emb, k=20, tau=0.3)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("cosine").alias("avg_cosine"),
+        F.max("cosine").alias("max_cosine"),
+    )

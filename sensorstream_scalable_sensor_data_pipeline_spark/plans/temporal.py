@@ -202,3 +202,24 @@ def rate_of_change_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.abs(F.col("rate_per_s"))).alias("mean_abs_rate"),
         F.max(F.abs(F.col("rate_per_s"))).alias("max_abs_rate"),
     )
+
+
+def rolling_zscore_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head for operators/anomaly.py::rolling_zscore: every
+    event scored against its key's trailing 7 days (one keyed RANGE
+    window over exact grid sums), summarized per key so the z column
+    is consumed (measurement-honesty doctrine above)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.anomaly import (
+        rolling_zscore,
+    )
+
+    ev = _events(spark, sf_dir)
+    scored = rolling_zscore(
+        ev, on="user_id", time_col="ts", value_col="value",
+        window_seconds=7 * 24 * 3600, z_threshold=2.0,
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.avg(F.abs(F.col("zscore"))).alias("avg_abs_z"),
+    )

@@ -91,3 +91,19 @@ def stream_sessionize(
         ev.withWatermark("ts", watermark_delay), gap_minutes
     )
     return drain_to_memory(agg, output_mode="append")
+
+
+def stream_sessionize_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head: drain the full event stream into sessions (the
+    complete-mode oracle shape — state for every session, the
+    worst-case path) and summarize per user so session bounds and
+    counts are consumed."""
+    sessions = stream_sessionize(spark, sf_dir)
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.avg(
+            F.unix_micros(F.col("session_end"))
+            - F.unix_micros(F.col("session_start"))
+        ).alias("avg_session_us"),
+    )

@@ -49,8 +49,9 @@ def test_r2_heads_still_benched():
     assert R2_HEADS <= set(bench.HEADLINE)
     # 20 carried heads (r2 set + curate_training_corpus) + r5's
     # temporal family and persisted-IVF build/serve pair + r6's SQ8
-    # serving tier and hot-key skew pair.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 29
+    # serving tier, hot-key skew pair, and the semdedup/anomaly/
+    # streaming-session trio.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 32
     assert {
         "curate_training_corpus",
         "asof_join",
@@ -62,6 +63,9 @@ def test_r2_heads_still_benched():
         "ivf_query_batch_sq8",
         "asof_join_skewed",
         "asof_join_skewed_bucketed",
+        "semdedup",
+        "rolling_zscore",
+        "stream_sessionize",
     } <= set(bench.HEADLINE)
 
 
