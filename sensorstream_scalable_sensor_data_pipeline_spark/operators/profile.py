@@ -143,3 +143,57 @@ def profile_delta(
             > F.lit(null_rate_threshold)
         ),
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo_edge,
+    hi_edge, n) for EVERY bin 0..bins−1, empty ones included (chart
+    consumers want a dense axis). Bounds default to the column's
+    min/max (one scalar aggregate); values at exactly ``hi`` fold
+    into the last bin (the standard closed-top convention), values
+    outside explicit bounds are clamped into the edge bins, NULLs are
+    dropped.
+
+    One partial-aggregated groupBy over floor((x−lo)/w) — counts
+    shuffle ≤ ``bins`` rows — plus a ``sequence`` spine for the empty
+    bins. Edges are lo + i·w in IEEE doubles (engine-stable given the
+    same bounds)."""
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    spark = df.sparkSession
+    v = F.col(col).cast("double")
+    if lo is None or hi is None:
+        b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = float(b["lo"]) if lo is None else lo
+        hi = float(b["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    w = (hi - lo) / bins
+    bin_c = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(bin_c.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+    )
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi_edge"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )

@@ -139,3 +139,40 @@ def stratified_hash_sample(
     for stratum, pm in sorted(fractions_per_mille.items()):
         thresh = F.when(F.col(strata_col) == stratum, F.lit(pm)).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str | None = "stratum",
+) -> DataFrame:
+    """EXACT stratified sample: precisely ``min(n, |group|)`` rows per
+    group, deterministically — the per-source cap every training-data
+    mixture needs (``sampleBy`` is per-partition pseudo-random: only
+    approximate fractions, and a repartition reshuffles the picks).
+
+    Rows are ranked inside each group by the salted md5 of their key
+    (uniform ⇒ a uniform without-replacement draw; content-keyed ⇒ the
+    same rows win on every run, any partitioning, any engine) and the
+    first ``n`` kept. Ties on the full 32-hex digest are broken by the
+    key itself, so even adversarial inputs order totally.
+
+    Scale shape: ONE keyed window (hash-partition + sort per group) —
+    the operators/asof.py cost class, with the same hot-group caveat;
+    rank-k selection never collects anything to the driver."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql import Window
+
+    s = F.col(key_col).cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(f"{salt}:"), s)
+    h = F.md5(s)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
