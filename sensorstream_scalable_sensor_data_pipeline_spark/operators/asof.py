@@ -370,3 +370,44 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    on: str,
+    start_col: str,
+    end_col: str,
+    min_gap_seconds: int = 0,
+) -> DataFrame:
+    """Coalesce overlapping/adjacent intervals per key into maximal
+    islands — maintenance windows into outage spans, session
+    fragments into sessions: (key, start, end, n_merged). Intervals
+    closer than ``min_gap_seconds`` (end-to-start) also merge;
+    inclusive touch (end == next start) always merges.
+
+    Gaps-and-islands on intervals: one keyed window ordered by
+    (start, end) computes the running max of PRIOR ends; a new island
+    opens where the current start clears that high-water mark by more
+    than the gap. Then one aggregate per island. Same one-sort-per-key
+    cost class as every keyed window here (module SKEW note applies);
+    ties order deterministically via the (start, end) sort."""
+    gap_us = int(min_gap_seconds) * 1_000_000
+    w = Window.partitionBy(on).orderBy(start_col, end_col)
+    prev_max_end = F.max(F.unix_micros(F.col(end_col))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (F.unix_micros(F.col(start_col)) > prev_max_end + F.lit(gap_us)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = intervals.withColumn("_new", new_island)
+    islanded = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islanded.groupBy(on, "_isl").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("_isl")
