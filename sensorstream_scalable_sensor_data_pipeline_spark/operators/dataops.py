@@ -1,0 +1,172 @@
+"""Data-ops tooling: snapshot diffs and declarative expectation
+gates (§2.12 extensions — the operational shell around the pipeline).
+
+The reference validates schemas on ingest (SURVEY §2 P2/P3); real
+deployments also need (a) "what changed between yesterday's table and
+today's?" — migration validation, silent-upstream-change detection,
+CDC without a log — and (b) "does this batch meet its contract?" —
+the dbt-test / Great-Expectations-style gate that blocks a bad batch
+before it lands.
+
+Both are pure DataFrame composition:
+
+* :func:`table_diff` — one full-outer join on the key, NULL-safe
+  struct comparison over the compared columns; emits only differing
+  rows tagged added/removed/changed. Cost: one co-partitioned join —
+  at 100 TB run it per-partition-slice (compose with the partition
+  filters) or on bucketed tables (sources/writers.py) where it
+  shuffles nothing.
+* :func:`validate_expectations` — every rule compiles into ONE shared
+  aggregate pass (no per-rule jobs): each check contributes a
+  conditional-count column, so a 30-rule contract costs one scan.
+  Returns a per-rule report frame; :func:`expect_or_raise` is the
+  gate form (raise on any violation, with counts in the message).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff keyed on ``key_cols``: (keys..., change,
+    before, after) where ``change`` ∈ added|removed|changed and
+    before/after are structs of the compared columns (NULL on the
+    missing side). Unchanged rows are absent. Comparison is NULL-safe
+    per column (NULL == NULL), so nullable columns never false-flag.
+    ``compare_cols`` defaults to every shared non-key column."""
+    if compare_cols is None:
+        shared = [c for c in before.columns if c in set(after.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+    b = before.select(
+        *key_cols, F.struct(*compare_cols).alias("_b"), F.lit(1).alias("_inb")
+    )
+    a = after.select(
+        *key_cols, F.struct(*compare_cols).alias("_a"), F.lit(1).alias("_ina")
+    )
+    j = b.join(a, key_cols, "full_outer")
+    same = F.struct(
+        *[F.col("_b")[c].alias(c) for c in compare_cols]
+    ).eqNullSafe(F.struct(*[F.col("_a")[c].alias(c) for c in compare_cols]))
+    change = (
+        F.when(F.col("_inb").isNull(), F.lit("added"))
+        .when(F.col("_ina").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *key_cols,
+            "change",
+            F.col("_b").alias("before"),
+            F.col("_a").alias("after"),
+        )
+    )
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative rule: ``name`` labels the report row;
+    ``predicate`` is a boolean Column that must hold for EVERY row
+    (violations = rows where it is false or NULL)."""
+
+    name: str
+    predicate: Column
+
+
+def expect_not_null(col: str) -> Expectation:
+    return Expectation(f"not_null:{col}", F.col(col).isNotNull())
+
+
+def expect_in_range(col: str, lo: float, hi: float) -> Expectation:
+    return Expectation(
+        f"in_range:{col}[{lo},{hi}]", F.col(col).between(lo, hi)
+    )
+
+
+def expect_matches(col: str, pattern: str) -> Expectation:
+    return Expectation(
+        f"matches:{col}", F.col(col).rlike(pattern)
+    )
+
+
+def expect_in_set(col: str, values: list) -> Expectation:
+    return Expectation(f"in_set:{col}", F.col(col).isin(values))
+
+
+def validate_expectations(
+    df: DataFrame, rules: list[Expectation]
+) -> DataFrame:
+    """Evaluate every row-level rule in ONE aggregate pass: returns
+    (rule, n_rows, n_violations, passed). A violation is a row where
+    the predicate is false OR NULL (an unevaluable contract is a
+    broken contract — NULL-in ≠ pass)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate rule names")
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(
+            F.when(~F.coalesce(r.predicate, F.lit(False)), 1).otherwise(0)
+        ).alias(f"_v{i}")
+        for i, r in enumerate(rules)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    report = [
+        (r.name, int(row["_n"]), int(row[f"_v{i}"]))
+        for i, r in enumerate(rules)
+    ]
+    return spark.createDataFrame(
+        [(n, t, v, v == 0) for n, t, v in report],
+        "rule string, n_rows long, n_violations long, passed boolean",
+    )
+
+
+def expect_or_raise(df: DataFrame, rules: list[Expectation]) -> None:
+    """The gate form: raise ``ValueError`` naming every failed rule
+    with its violation count; pass silently otherwise."""
+    bad = [
+        (r["rule"], r["n_violations"])
+        for r in validate_expectations(df, rules).collect()
+        if not r["passed"]
+    ]
+    if bad:
+        detail = ", ".join(f"{n} ({v} rows)" for n, v in bad)
+        raise ValueError(f"expectation gate failed: {detail}")
+
+
+def expect_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-uniqueness check (needs its own aggregate — uniqueness is
+    not row-local): returns the duplicated key values with counts;
+    empty frame = contract holds. One hash aggregate."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def expect_references(
+    df: DataFrame, col: str, dim: DataFrame, dim_col: str
+) -> DataFrame:
+    """Referential-integrity check: rows of ``df`` whose ``col`` has
+    no match in ``dim.dim_col`` (NULLs pass — compose with
+    expect_not_null to forbid them). One broadcastable anti-join."""
+    return df.filter(F.col(col).isNotNull()).join(
+        F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct()),
+        col,
+        "left_anti",
+    )
