@@ -60,17 +60,19 @@ def assign_clusters(
     k: int,
     sample_per_mille: int | None = None,
     probes: int = 1,
+    with_dist: bool = False,
 ) -> DataFrame:
     """Train the coarse quantizer and assign every vector to its
-    ``probes`` nearest centroids: (vec_id, j[, probe_rank]).
+    ``probes`` nearest centroids: (vec_id, j[, probe_rank][, dist]).
 
     One trained-centroid broadcast + one min_by (or bounded top-p)
     partial aggregate — the same argmin shape as the IVF build, tie
     on distance → smaller j, so assignment is engine-deterministic.
     ``sample_per_mille`` trains on the deterministic hash-bucket
     sample when a full training pass is too much (ivf_train's sampled
-    seeding path).
-    """
+    seeding path). ``with_dist`` (single-probe only) also returns the
+    grid-L2 distance to the assigned centroid — what the
+    centroid-distance keep policies rank on."""
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
         _grid_l2,
         ivf_train,
@@ -78,6 +80,8 @@ def assign_clusters(
 
     if probes < 1:
         raise ValueError("probes must be >= 1")
+    if with_dist and probes != 1:
+        raise ValueError("with_dist supports only probes=1")
     cent = spark.createDataFrame(
         ivf_train(spark, emb, k, sample_per_mille=sample_per_mille),
         "j int, c array<double>",
@@ -90,9 +94,13 @@ def assign_clusters(
         )
     )
     if probes == 1:
-        return d.groupBy("vec_id").agg(
-            F.min_by("j", F.struct("dist", "j")).alias("j")
+        best = d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "j")).alias("_b")
         )
+        cols = ["vec_id", F.col("_b.j").alias("j")]
+        if with_dist:
+            cols.append(F.col("_b.dist").alias("dist"))
+        return best.select(*cols)
     # Bounded top-p per vector WITHOUT a row_number window over the
     # ×k fan-out: collect the k (dist, j) pairs map-side via a partial
     # aggregate, sort the k-element array, slice p. k is the (small)
@@ -172,6 +180,15 @@ def semdedup_pairs(
     return materialize_and_release(pairs, side)
 
 
+#: Survivor policies for :func:`semantic_dedup`. ``min_id`` keeps the
+#: smallest id (the cheap canonical choice every other dedup family
+#: uses); ``centroid_far`` keeps the member FARTHEST from its cluster
+#: centroid — the published SemDeDup choice (edge examples carry more
+#: signal than prototypical ones); ``centroid_near`` keeps the most
+#: prototypical member (the summarization-flavored inverse).
+KEEP_POLICIES = ("min_id", "centroid_far", "centroid_near")
+
+
 def semantic_dedup(
     spark: SparkSession,
     docs: DataFrame,
@@ -181,19 +198,54 @@ def semantic_dedup(
     tau: float = SEMDEDUP_TAU,
     sample_per_mille: int | None = None,
     probes: int = 1,
+    keep: str = "min_id",
 ) -> DataFrame:
-    """End-to-end semantic dedup: keep one canonical document (min id)
-    per semantic-duplicate cluster. ``emb.vec_id`` must equal
-    ``docs[id_col]``. Pairs → transitive closure → anti-join — the
-    same resolution tail as every other dedup family
-    (dedup_fuzzy.py::drop_near_duplicates), so chained near-dups
-    collapse to one survivor and non-duplicates pass through
-    untouched."""
+    """End-to-end semantic dedup: keep ONE document per
+    semantic-duplicate cluster, chosen by ``keep`` (KEEP_POLICIES).
+    ``emb.vec_id`` must equal ``docs[id_col]``. Pairs → transitive
+    closure → survivor pick → anti-join; chained near-dups collapse
+    to one survivor and non-duplicates pass through untouched.
+
+    The centroid policies rank members by their grid-L2 distance to
+    the assigned centroid (ties → the id completes a total order), at
+    the cost of ONE extra keyed aggregate over the components — the
+    assignment distances are already computed by the pair stage's
+    training pass and are re-derived here from the same deterministic
+    quantizer, so both passes agree exactly. ``probes`` > 1 is
+    min_id-only (a multi-probed doc has several centroid distances;
+    the policy would be ambiguous)."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         drop_near_duplicates,
+        dup_components,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import (
+        anti_filter,
     )
 
+    if keep not in KEEP_POLICIES:
+        raise ValueError(f"keep must be one of {KEEP_POLICIES}, got {keep!r}")
+    if keep != "min_id" and probes != 1:
+        raise ValueError("centroid keep policies support only probes=1")
     pairs = semdedup_pairs(
         spark, emb, k, tau=tau, sample_per_mille=sample_per_mille, probes=probes
     )
-    return drop_near_duplicates(docs, pairs, id_col=id_col)
+    if keep == "min_id":
+        return drop_near_duplicates(docs, pairs, id_col=id_col)
+    comp = dup_components(pairs)
+    assigned = assign_clusters(
+        spark, emb, k, sample_per_mille=sample_per_mille, with_dist=True
+    )
+    ranked = comp.join(
+        assigned.select(F.col("vec_id").alias("doc_id"), "dist"), "doc_id"
+    )
+    pick = F.struct(F.col("dist"), F.col("doc_id"))
+    agg = (
+        F.max_by("doc_id", pick) if keep == "centroid_far" else F.min_by("doc_id", pick)
+    )
+    survivors = ranked.groupBy("rep").agg(agg.alias("keep_id"))
+    losers = (
+        comp.join(survivors, "rep")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return anti_filter(docs, losers, id_col, broadcast_keys=False)
