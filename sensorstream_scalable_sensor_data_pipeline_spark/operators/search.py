@@ -117,3 +117,102 @@ def keyword_search(
         raise ValueError(f"query {query!r} tokenizes to nothing")
     scored = bm25_scores(docs, list(q), id_col, text_col, k1=k1, b=b)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    RAG-ingestion complement to operators/packing.py (packing
+    concatenates docs into training windows; this fans one doc out
+    into retrieval chunks): (id, chunk_id, chunk_text, n_tokens),
+    chunk_id 0-based in document order.
+
+    Chunk starts step by ``window_tokens − overlap_tokens``; the last
+    chunk may be short but is never empty, and a document shorter
+    than one window yields exactly one chunk (itself). Pure Catalyst:
+    one tokenize, one bounded ``sequence`` of start offsets, one
+    ``posexplode`` + ``slice`` — no shuffle at all; the fan-out is
+    ~n_tokens/step rows per doc, decided row-locally at scan speed."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        tokenize_lower,
+    )
+
+    if window_tokens <= 0:
+        raise ValueError("window_tokens must be positive")
+    if not 0 <= overlap_tokens < window_tokens:
+        raise ValueError("need 0 <= overlap_tokens < window_tokens")
+    step = window_tokens - overlap_tokens
+    staged = docs.select(
+        F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk")
+    ).withColumn("_n", F.size("_tk"))
+    # Last start = the smallest multiple of step reaching the doc's
+    # tail (ceil((n − w)/step)·step for n > w, else 0): the final
+    # chunk touches the end and no chunk is fully covered by its
+    # predecessor's overlap. n_chunks = last/step + 1.
+    last = F.when(
+        F.col("_n") > window_tokens,
+        F.expr(
+            f"CAST((_n - {window_tokens} + {step} - 1) DIV {step} AS INT)"
+            f" * {step}"
+        ),
+    ).otherwise(F.lit(0))
+    chunks = staged.select(
+        id_col,
+        "_tk",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), last, F.lit(step))).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    sliced = F.slice(F.col("_tk"), F.col("_start") + 1, F.lit(window_tokens))
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.least(
+            F.lit(window_tokens), F.greatest(F.col("_n") - F.col("_start"), F.lit(0))
+        ).cast("int").alias("n_tokens"),
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result lists (the standard
+    hybrid-retrieval combiner — BM25 ∪ ANN without score
+    calibration): score(d) = Σ_lists 1/(k + rank_d), documents
+    missing from a list contribute nothing. Returns (id, rrf_score,
+    n_lists) ordered by (score desc, id). Ranks must be 1-based.
+
+    One union + one hash aggregate — list results are top-k-sized, so
+    this is driver-free but trivially cheap at any corpus scale."""
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    )

@@ -119,3 +119,161 @@ def test_search_rejects_empty(spark, sf_dir):
         bm25_scores(docs, [])
     with pytest.raises(ValueError):
         keyword_search(docs, "   ")
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.search import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, s = 32, 24  # overlap 8
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, w, 8).collect()
+    }
+    want = {
+        (int(d), int(c)): (t, int(n))
+        for d, c, t, n in duck.execute(rf"""
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(regexp_replace(text,
+                       '^\s+|\s+$', '', 'g')), '\s+') AS toks
+              FROM documents
+            ),
+            d AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+            st AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0,
+                       CASE WHEN n > {w}
+                            THEN ((n - {w} + {s} - 1) // {s}) * {s}
+                            ELSE 0 END, {s})) AS start
+              FROM d
+            )
+            SELECT doc_id, start // {s} AS chunk_id,
+                   array_to_string(toks[start + 1 :
+                                        least(start + {w}, n)], ' ') AS txt,
+                   least({w}, n - start) AS n_tokens
+            FROM st
+        """).fetchall()
+    }
+    assert got == want and got
+
+
+def test_chunk_documents_coverage_and_short_doc(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.search import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, 4, 2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in rows if r["doc_id"] == 1]
+    assert d1 == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t2 t3 t4 t5", 4),
+        (2, "t4 t5 t6 t7", 4),
+        (3, "t6 t7 t8 t9", 4),
+    ]
+    # every token covered; last chunk reaches the end
+    d2 = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in rows if r["doc_id"] == 2]
+    assert d2 == [(0, "a b c", 3)]  # short doc -> itself, once
+    # zero overlap reconstructs the document exactly
+    rec = sorted(
+        chunk_documents(docs.filter("doc_id = 1"), 3, 0).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert " ".join(r["chunk_text"] for r in rec) == " ".join(toks)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 4, 4)
+
+
+# ------------------------------------------------------------------ rrf
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], k=60).collect()
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in rows}
+    exp = {
+        10: (1 / 61, 1),
+        11: (1 / 62 + 1 / 61, 2),
+        12: (1 / 63, 1),
+        13: (1 / 62, 1),
+    }
+    assert set(got) == set(exp)
+    for d, (s, n) in exp.items():
+        assert got[d][1] == n
+        assert abs(got[d][0] - s) < 1e-15
+    # ordering: doc 11 (both lists) first
+    assert rows[0]["doc_id"] == 11
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rrf_hybrid_bm25_plus_embedding(spark, sf_dir):
+    """Hybrid retrieval shape: BM25 top-k fused with an embedding
+    cosine top-k (exact brute force over the embeddings table keyed to
+    doc ids). The fused list contains the head of both lists."""
+    from pyspark.sql import Window
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.search import (
+        keyword_search,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = keyword_search(docs, "window merge", k=10).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    )
+    # stand-in dense list: nearest docs to doc 0 by embedding cosine
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import grid_dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    q = emb.filter("doc_id = 0").select(
+        F.col("embedding").alias("qe"), F.lit(1).alias("_j")
+    )
+    cos = grid_dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(grid_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(grid_dot(F.col("qe"), F.col("qe")))
+    )
+    dense = (
+        emb.withColumn("_j", F.lit(1))
+        .join(F.broadcast(q), "_j")
+        .filter("doc_id != 0")
+        .select("doc_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+            ),
+        )
+        .limit(10)
+    )
+    fused = rrf_fuse([kw.select("doc_id", "rank"), dense.select("doc_id", "rank")])
+    ids = [r["doc_id"] for r in fused.collect()]
+    assert kw.collect()[0]["doc_id"] in ids
+    assert dense.collect()[0]["doc_id"] in ids
+    assert len(ids) == len(set(ids))
