@@ -194,3 +194,83 @@ def write_bucketed_table(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+def morton_code(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave of pre-normalized integer columns
+    (each in [0, 2^bits)): bit b of column i lands at position
+    b·n_cols + i. Pure Catalyst bit math (shiftright/AND/shiftleft/OR
+    unrolled bits× per column) — whole-stage codegen, no UDF. 2-3
+    columns × ≤21 bits keeps the code in a signed 64-bit long."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return code
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Multi-dimension clustered layout (SURVEY §4 scale tooling —
+    the 2-D+ complement of :func:`write_range_sorted`): rows are
+    range-partitioned and sorted by the MORTON CODE of the listed
+    numeric columns, so file locality follows the Z-curve and every
+    file's parquet footer carries a NARROW (min, max) range on EVERY
+    listed column — range-sorting one column leaves the others
+    full-span in each file (no pruning on them), while Z-order
+    shrinks all of them to ~globally_span/2^(level/n_cols). This is
+    Delta/Iceberg's OPTIMIZE ZORDER BY expressed with nothing but
+    Catalyst bit math + a range exchange.
+
+    Columns are min/max-normalized onto the 2^``bits`` grid first
+    (one scalar aggregate); NULLs map to grid 0 (they sort first,
+    same as a plain sort). The write costs the same single range
+    exchange as the 1-D layout."""
+    from pyspark.sql import functions as F
+
+    if mode not in WRITE_MODES:
+        raise ValueError(f"write mode must be one of {WRITE_MODES}, got {mode!r}")
+    if not 1 <= bits <= 21:
+        raise ValueError("bits must be in [1, 21]")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_mn_{c}"), F.max(v).alias(f"_mx_{c}")]
+    b = df.agg(*aggs).collect()[0]
+    grid = (1 << bits) - 1
+    norm = []
+    for c in cols:
+        lo, hi = float(b[f"_mn_{c}"]), float(b[f"_mx_{c}"])
+        v = F.col(c).cast("double")
+        if hi > lo:
+            scaled = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(grid)))
+        else:
+            scaled = F.lit(0)
+        norm.append(
+            F.coalesce(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(grid)), F.lit(0)
+            ).cast("long")
+        )
+    staged = df.withColumn("_z", morton_code(norm, bits))
+    (
+        staged.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
