@@ -197,3 +197,48 @@ def histogram_fixed(
         )
         .orderBy("bin")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    approx: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """Percentile clipping for training-data robustness: every listed
+    column clamped into its [p_lo, p_hi] quantile range (the standard
+    heavy-tail guard before normalization/featurization). NULLs pass
+    through. ``suffix`` writes clipped values to ``<col><suffix>``
+    instead of replacing.
+
+    ONE aggregate pass computes every bound (the profile_numeric
+    discipline — never one job per column); exact interpolated
+    percentiles by default (DuckDB ``quantile_cont``-equal), t-digest
+    ``approx=True`` for the 100 TB path. The clamp itself is
+    scan-speed column math."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    fn = "approx_percentile" if approx else "percentile"
+    aggs = []
+    for c in cols:
+        aggs.append(F.expr(f"{fn}({c}, {p_lo})").alias(f"_lo_{c}"))
+        aggs.append(F.expr(f"{fn}({c}, {p_hi})").alias(f"_hi_{c}"))
+    b = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        lo, hi = b[f"_lo_{c}"], b[f"_hi_{c}"]
+        if lo is None:
+            clipped = F.col(c)  # all-NULL column: nothing to clip
+        else:
+            # guard NULLs explicitly: least/greatest SKIP nulls, so an
+            # unguarded clamp would turn NULL into the lower bound
+            clipped = F.when(
+                F.col(c).isNotNull(),
+                F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi)),
+            )
+        out = out.withColumn(f"{c}{suffix}", clipped)
+    return out

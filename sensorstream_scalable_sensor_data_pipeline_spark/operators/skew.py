@@ -55,3 +55,40 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def diagnose_skew(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+    hot_share: float = 0.01,
+) -> DataFrame:
+    """Join/agg pre-flight: the ``top`` heaviest key values with row
+    counts, corpus share, and the strategy a planner would pick —
+    (keys..., n_rows, share, strategy) where strategy is
+
+    * ``salt``   — share ≥ ``hot_share``: one task would own ≥ that
+      fraction of the shuffle; spread it (salted_join / AQE skew
+      split / the as-of bucketing hatch for windows);
+    * ``hash``   — below the threshold: an ordinary hash shuffle is
+      fine.
+
+    One map-side-combined count aggregate + a TakeOrdered head — the
+    diagnosis never shuffles more than (distinct keys) rows and
+    collects nothing. Run it on a sample for quick checks; counts
+    scale linearly so shares are sample-stable."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.count()
+    share = F.col("n_rows").cast("double") / F.lit(float(total))
+    return (
+        counts.select(
+            *key_cols,
+            "n_rows",
+            share.alias("share"),
+            F.when(share >= float(hot_share), F.lit("salt"))
+            .otherwise(F.lit("hash"))
+            .alias("strategy"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top)
+    )
