@@ -1,0 +1,109 @@
+"""Streaming SCD2 maintenance (streaming/dimensions.py): multi-batch
+drain equals the batch-sequential chain, replay is a fixpoint, the
+in-batch collapse is deterministic."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+    scd2_apply,
+    scd2_init,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.streaming.dimensions import (
+    apply_scd2_batch,
+    latest_per_key,
+    stream_scd2_maintain,
+)
+
+KEYS, ATTRS, EFF = ["k"], ["name", "site"], "eff"
+SCHEMA = "k long, name string, site string, eff timestamp"
+
+B0 = [
+    (1, "sensor-a", "site-1", "2024-01-01 00:00:00"),
+    (2, "sensor-b", "site-1", "2024-01-01 00:00:00"),
+]
+B1 = [
+    (1, "sensor-a", "site-2", "2024-02-01 00:00:00"),  # moved
+    (3, "sensor-c", "site-3", "2024-02-01 00:00:00"),  # new
+]
+B2 = [
+    (1, "sensor-a2", "site-2", "2024-03-01 00:00:00"),  # renamed
+    (2, "sensor-b", "site-1", "2024-03-01 00:00:00"),  # unchanged
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, n, s, e) for k, n, s, e in rows], "k long, name string, site string, eff string"
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+
+
+def _dim_set(df):
+    return {
+        (r["k"], r["name"], r["site"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_stream_drain_equals_batch_chain(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate([B0, B1, B2]):
+        _df(spark, rows).coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = glob.glob(str(tmp_path / f"s{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, f"{i:03d}.parquet"))
+        time.sleep(0.05)
+    phys = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    dim_dir = str(tmp_path / "dim")
+    got = stream_scd2_maintain(
+        spark, stream, dim_dir, KEYS, ATTRS, EFF,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    want = scd2_init(_df(spark, B0), KEYS, ATTRS, EFF)
+    for rows in [B1, B2]:
+        want = scd2_apply(want, _df(spark, rows), KEYS, ATTRS, EFF)
+    assert _dim_set(got) == _dim_set(want)
+    # history depth: key 1 has three versions, key 2 one
+    k1 = [t for t in _dim_set(got) if t[0] == 1]
+    assert len(k1) == 3 and sum(1 for t in k1 if t[5]) == 1
+
+
+def test_replayed_batch_is_fixpoint(spark, tmp_path):
+    dim_dir = str(tmp_path / "dim")
+    apply_scd2_batch(spark, dim_dir, _df(spark, B0), KEYS, ATTRS, EFF)
+    apply_scd2_batch(spark, dim_dir, _df(spark, B1), KEYS, ATTRS, EFF)
+    before = _dim_set(spark.read.parquet(dim_dir))
+    # at-least-once delivery: the SAME batch lands again
+    apply_scd2_batch(spark, dim_dir, _df(spark, B1), KEYS, ATTRS, EFF)
+    assert _dim_set(spark.read.parquet(dim_dir)) == before
+
+
+def test_latest_per_key_collapse_deterministic(spark):
+    rows = [
+        (1, "x", "s1", "2024-01-01 00:00:00"),
+        (1, "y", "s2", "2024-01-02 00:00:00"),  # newer wins
+        (2, "a", "s1", "2024-01-01 00:00:00"),
+        (2, "b", "s1", "2024-01-01 00:00:00"),  # tie -> max attrs struct
+    ]
+    out = {
+        r["k"]: (r["name"], r["site"])
+        for r in latest_per_key(_df(spark, rows), KEYS, ATTRS, EFF).collect()
+    }
+    assert out == {1: ("y", "s2"), 2: ("b", "s1")}
+    shuffled = latest_per_key(
+        _df(spark, rows).repartition(7), KEYS, ATTRS, EFF
+    )
+    assert {
+        r["k"]: (r["name"], r["site"]) for r in shuffled.collect()
+    } == out
