@@ -201,3 +201,30 @@ def read_jsonl_docs(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None):
+    """ORC scan (format breadth next to parquet/CSV/JSONL — ORC ships
+    in Spark with the same predicate-pushdown and column-pruning
+    machinery as parquet; a user migrating a Hive-era ORC lake points
+    this at their files unchanged). ``columns`` prunes at the reader
+    (ReadSchema, not a post-scan select)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int = 100_000,
+) -> None:
+    """ORC sink with the same bounded-file-size discipline as
+    write_sized_parquet."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .orc(path)
+    )

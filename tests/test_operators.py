@@ -362,3 +362,27 @@ def test_dsum_invariant_under_partitioning(spark, sf_dir):
         for n in (1, 3, 17)
     }
     assert len(results) == 1, results
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink: byte-faithful roundtrip from the parquet
+    supplier table, with filters pushed to the ORC scan."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    p = str(tmp_path / "sup_orc")
+    write_orc(sup, p)
+    back = read_orc(spark, p, columns=["s_suppkey", "s_acctbal"])
+    assert back.columns == ["s_suppkey", "s_acctbal"]
+    want = {(r["s_suppkey"], r["s_acctbal"]) for r in sup.select("s_suppkey", "s_acctbal").collect()}
+    assert {(r["s_suppkey"], r["s_acctbal"]) for r in back.collect()} == want
+    plan = (
+        back.filter(F.col("s_acctbal") > 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "s_acctbal" in plan.split("PushedFilters")[1][:120]
