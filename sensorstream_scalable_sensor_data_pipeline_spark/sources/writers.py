@@ -274,3 +274,60 @@ def write_zorder(
         .option("maxRecordsPerFile", str(max_records_per_file))
         .parquet(path)
     )
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> dict:
+    """Parquet write + integrity manifest: after the data commits, a
+    ``_manifest.json`` records the read-back row count and a schema
+    fingerprint (md5 of the DDL string). Readers call
+    :func:`verify_manifest` to detect silent partial copies, schema
+    drift, or lost files BEFORE consuming — the poor-engine's
+    transaction-log check, and cheap: one count + one metadata read.
+    Returns the manifest dict."""
+    import hashlib
+    import json
+    import os
+
+    write_sized_parquet(df, path, "overwrite", max_records_per_file)
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    manifest = {
+        "rows": back.count(),
+        "schema_md5": hashlib.md5(back.schema.simpleString().encode()).hexdigest(),
+        "schema": back.schema.simpleString(),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def verify_manifest(spark: SparkSession, path: str) -> dict:
+    """Check a dataset against its ``_manifest.json``: raises on a
+    row-count or schema-fingerprint mismatch (files lost/added or
+    schema drifted since the manifest was cut); returns the manifest
+    on success. Underscore-prefixed files are invisible to Spark's
+    parquet reader, so the manifest never pollutes the scan."""
+    import hashlib
+    import json
+    import os
+
+    mpath = os.path.join(path, "_manifest.json")
+    if not os.path.exists(mpath):
+        raise RuntimeError(f"no _manifest.json under {path}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    back = spark.read.parquet(path)
+    rows = back.count()
+    smd5 = hashlib.md5(back.schema.simpleString().encode()).hexdigest()
+    problems = []
+    if rows != manifest["rows"]:
+        problems.append(f"rows {rows} != manifest {manifest['rows']}")
+    if smd5 != manifest["schema_md5"]:
+        problems.append("schema fingerprint mismatch")
+    if problems:
+        raise RuntimeError(f"manifest check failed for {path}: " + "; ".join(problems))
+    return manifest
