@@ -411,3 +411,120 @@ def merge_intervals(
         F.max(end_col).alias(end_col),
         F.count(F.lit(1)).alias("n_merged"),
     ).drop("_isl")
+
+
+def asof_join_ext(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    time_col: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """:func:`asof_join` generalized to full pandas-``merge_asof``
+    parity: ``direction`` ∈ backward (latest state at-or-before — the
+    base operator), forward (earliest state at-or-after), nearest
+    (whichever is closer in time; EXACT ties prefer backward, pandas
+    semantics); ``tolerance_seconds`` nulls a match further than the
+    tolerance from the reading (inclusive bound, like pandas).
+
+    Same one-keyed-window machinery per direction — forward is the
+    backward pass under a reversed sort (state still wins ties so the
+    at-or-after inclusive bound holds); nearest runs both passes over
+    a row-tagged left and arbitrates per row with an exact ``_rid``
+    equi-join (the tag, not (key, time), is the join key — duplicate
+    reading timestamps stay distinct rows). The state row's OWN
+    timestamp rides inside the carried struct to make tolerance and
+    nearest decidable; it never leaks into the output schema."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward | forward | nearest")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError("tolerance_seconds must be >= 0")
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = sorted(set(value_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"value_cols {clash} collide with left columns; rename before joining"
+        )
+    tol_us = (
+        None if tolerance_seconds is None else int(tolerance_seconds * 1_000_000)
+    )
+    lts = F.unix_micros(F.col(time_col))
+
+    def within_tol(state) -> F.Column:
+        if tol_us is None:
+            return F.lit(True)
+        return F.abs(state["_sts"] - lts) <= F.lit(tol_us)
+
+    l_cols = list(left.columns)
+    if direction in ("backward", "forward"):
+        carried = _ext_pass(
+            left, right, keys, time_col, value_cols, direction == "forward"
+        )
+        st = F.when(
+            F.col("_state").isNotNull() & within_tol(F.col("_state")),
+            F.col("_state"),
+        )
+        return carried.select(*l_cols, *[st[c].alias(c) for c in value_cols])
+    tagged_left = left.withColumn("_rid", F.monotonically_increasing_id())
+    back = _ext_pass(tagged_left, right, keys, time_col, value_cols, False)
+    fwd = _ext_pass(tagged_left, right, keys, time_col, value_cols, True)
+    j = back.withColumnRenamed("_state", "_sb").join(
+        fwd.select("_rid", F.col("_state").alias("_sf")), "_rid"
+    )
+    db = F.abs(F.col("_sb")["_sts"] - lts)
+    df_ = F.abs(F.col("_sf")["_sts"] - lts)
+    b_ok = F.col("_sb").isNotNull() & within_tol(F.col("_sb"))
+    f_ok = F.col("_sf").isNotNull() & within_tol(F.col("_sf"))
+    pick = (
+        F.when(b_ok & f_ok, F.when(db <= df_, F.col("_sb")).otherwise(F.col("_sf")))
+        .when(b_ok, F.col("_sb"))
+        .when(f_ok, F.col("_sf"))
+    )
+    return j.select(*l_cols, *[pick[c].alias(c) for c in value_cols])
+
+
+def _ext_pass(
+    tagged_left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_cols: list[str],
+    forward: bool,
+) -> DataFrame:
+    """One direction of :func:`asof_join_ext`: the union+window carry
+    with the state timestamp inside the struct, left rows returned
+    with the carried ``_state`` column still attached."""
+    r = _dedup_state_rows(right, keys, time_col, value_cols)
+    l_cols = list(tagged_left.columns)
+    tagged_r = r.select(
+        *[F.col(k) for k in keys],
+        F.col(time_col),
+        F.lit(1).alias("_is_r"),
+        F.struct(
+            F.unix_micros(F.col(time_col)).alias("_sts"), *value_cols
+        ).alias("_state"),
+    )
+    state_type = tagged_r.schema["_state"].dataType
+    tl = tagged_left.select(
+        *l_cols, F.lit(0).alias("_is_r"), F.lit(None).cast(state_type).alias("_state")
+    )
+    for c in l_cols:
+        if c not in keys and c != time_col:
+            tagged_r = tagged_r.withColumn(
+                c, F.lit(None).cast(dict(tagged_left.dtypes)[c])
+            )
+    u = tl.unionByName(tagged_r.select(*tl.columns))
+    order = (
+        [F.col(time_col).desc(), F.col("_is_r").desc()]
+        if forward
+        else [F.col(time_col).asc(), F.col("_is_r").desc()]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_state", F.last("_state", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_r") == 0)
