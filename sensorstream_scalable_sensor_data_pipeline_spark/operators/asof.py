@@ -528,3 +528,77 @@ def _ext_pass(
     )
     carried = u.withColumn("_state", F.last("_state", ignorenulls=True).over(w))
     return carried.filter(F.col("_is_r") == 0)
+
+
+def downsample(
+    readings: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+    every_seconds: int,
+) -> DataFrame:
+    """Regular-grid DOWNsampling — the complement of
+    :func:`resample_locf` (which fills gaps upward): per key and
+    step-aligned bucket, the standard compaction aggregate set
+    (n / mean / min / max / first / last by time). TimescaleDB's
+    ``time_bucket`` + continuous-aggregate shape; what a 1 Hz feed
+    becomes before long-term storage.
+
+    One map-side-combined hash aggregate — no window, no sort: first/
+    last are ``min_by``/``max_by`` over (time, value) structs, mean
+    is the grid-exact dsum (engine-stable, aggfns doctrine)."""
+    if every_seconds <= 0:
+        raise ValueError("every_seconds must be positive")
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.aggfns import dsum
+
+    step = int(every_seconds)
+    bucket = F.expr(
+        f"timestamp_seconds((unix_micros({time_col}) div 1000000 div {step}) * {step})"
+    )
+    v = F.col(value_col)
+    tie = F.struct(F.col(time_col), v)
+    return readings.groupBy(
+        F.col(on), bucket.alias("bucket_start")
+    ).agg(
+        F.count(v).alias("n"),
+        (dsum(v) / F.count(v)).alias("mean"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.min_by(value_col, tie).alias("first"),
+        F.max_by(value_col, tie).alias("last"),
+    )
+
+
+def rolling_agg(
+    readings: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing-window statistics per reading (current row included):
+    n / sum / mean / min / max over the key's last ``window_seconds``
+    — the moving-average / envelope family every sensor dashboard
+    draws, and the shared machinery under :mod:`operators.anomaly`'s
+    z-score. One keyed RANGE window; sum and mean come from the exact
+    integer grid (engine-stable under any partitioning)."""
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    us = F.unix_micros(F.col(time_col))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(us)
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    v = F.col(value_col).cast("double")
+    g = F.sum(F.floor(v * F.lit(1_000_000.0)).cast("long")).over(w)
+    n = F.count(v).over(w)
+    s = g.cast("double") / F.lit(1_000_000.0)
+    return readings.select(
+        *readings.columns,
+        n.alias("w_n"),
+        s.alias("w_sum"),
+        (s / n).alias("w_mean"),
+        F.min(v).over(w).alias("w_min"),
+        F.max(v).over(w).alias("w_max"),
+    )
