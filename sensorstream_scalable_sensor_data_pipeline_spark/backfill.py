@@ -78,11 +78,8 @@ def plan_backfill(
     Empty list = layout complete for the range."""
     if chunk_months < 1:
         raise ValueError("chunk_months must be >= 1")
-    missing = [
-        ym
-        for ym in expected_months(start, end)
-        if ym not in existing_months(state_path)
-    ]
+    have = existing_months(state_path)  # ONE directory walk, not one per month
+    missing = [ym for ym in expected_months(start, end) if ym not in have]
     windows: list[tuple[dt.datetime, dt.datetime]] = []
     run: list[tuple[int, int]] = []
 
@@ -113,11 +110,8 @@ def verify_complete(
 ) -> None:
     """Gate form: raise listing every missing month. The check a
     scheduled pipeline runs before declaring a range servable."""
-    missing = [
-        ym
-        for ym in expected_months(start, end)
-        if ym not in existing_months(state_path)
-    ]
+    have = existing_months(state_path)
+    missing = [ym for ym in expected_months(start, end) if ym not in have]
     if missing:
         pretty = ", ".join(f"{y}-{m:02d}" for y, m in missing)
         raise RuntimeError(

@@ -467,7 +467,15 @@ def asof_join_ext(
             F.col("_state"),
         )
         return carried.select(*l_cols, *[st[c].alias(c) for c in value_cols])
-    tagged_left = left.withColumn("_rid", F.monotonically_increasing_id())
+    # PIN the row ids before fanning out: monotonically_increasing_id
+    # re-evaluated in two independent plan subtrees is not guaranteed
+    # to assign the same id to the same row (task retries, AQE
+    # re-coalescing) — the arbitration join would then pair states
+    # across DIFFERENT rows. The eager localCheckpoint materializes
+    # the tagged left ONCE; both passes read the frozen copy.
+    tagged_left = left.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     back = _ext_pass(tagged_left, right, keys, time_col, value_cols, False)
     fwd = _ext_pass(tagged_left, right, keys, time_col, value_cols, True)
     j = back.withColumnRenamed("_state", "_sb").join(

@@ -125,8 +125,10 @@ def validate_expectations(
     ]
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
+    # F.sum over ZERO rows is NULL: an empty frame has no violations
+    # (the gate must pass trivially-good empty batches, not crash)
     report = [
-        (r.name, int(row["_n"]), int(row[f"_v{i}"]))
+        (r.name, int(row["_n"]), int(row[f"_v{i}"] or 0))
         for i, r in enumerate(rules)
     ]
     return spark.createDataFrame(

@@ -170,6 +170,11 @@ def histogram_fixed(
     v = F.col(col).cast("double")
     if lo is None or hi is None:
         b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        if b["lo"] is None or b["hi"] is None:
+            raise ValueError(
+                f"cannot derive histogram bounds for {col!r}: no non-null "
+                "values (pass explicit lo/hi for empty inputs)"
+            )
         lo = float(b["lo"]) if lo is None else lo
         hi = float(b["hi"]) if hi is None else hi
     if not hi > lo:

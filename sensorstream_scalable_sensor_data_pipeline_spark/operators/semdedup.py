@@ -122,6 +122,7 @@ def semdedup_pairs(
     tau: float = SEMDEDUP_TAU,
     sample_per_mille: int | None = None,
     probes: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by learned-cluster blocking:
     (id_a, id_b, cosine) with id_a < id_b and cosine ≥ ``tau``, both
@@ -131,10 +132,15 @@ def semdedup_pairs(
     ``emb`` must carry (vec_id, embedding). Cosines are exact grid
     arithmetic (functions/vectors.py), so the τ-cut — and therefore
     the pair set — is identical across partitionings and engines.
+    ``assigned`` (vec_id, j) reuses a precomputed assignment —
+    :func:`semantic_dedup`'s centroid policies pass theirs so the
+    quantizer trains ONCE, not once per consumer.
     """
-    assigned = assign_clusters(
-        spark, emb, k, sample_per_mille=sample_per_mille, probes=probes
-    ).select("vec_id", "j")
+    if assigned is None:
+        assigned = assign_clusters(
+            spark, emb, k, sample_per_mille=sample_per_mille, probes=probes
+        )
+    assigned = assigned.select("vec_id", "j")
     # Norms once per row; persist so training's lineage and the norm
     # pass run once, not once per self-join side.
     side = (
@@ -209,11 +215,11 @@ def semantic_dedup(
     The centroid policies rank members by their grid-L2 distance to
     the assigned centroid (ties → the id completes a total order), at
     the cost of ONE extra keyed aggregate over the components — the
-    assignment distances are already computed by the pair stage's
-    training pass and are re-derived here from the same deterministic
-    quantizer, so both passes agree exactly. ``probes`` > 1 is
-    min_id-only (a multi-probed doc has several centroid distances;
-    the policy would be ambiguous)."""
+    assignment (with distances) is computed ONCE, persisted, and
+    shared by the pair stage and the survivor pick (training twice
+    was the dominant cost of the centroid path; review-found).
+    ``probes`` > 1 is min_id-only (a multi-probed doc has several
+    centroid distances; the policy would be ambiguous)."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         drop_near_duplicates,
         dup_components,
@@ -226,15 +232,20 @@ def semantic_dedup(
         raise ValueError(f"keep must be one of {KEEP_POLICIES}, got {keep!r}")
     if keep != "min_id" and probes != 1:
         raise ValueError("centroid keep policies support only probes=1")
-    pairs = semdedup_pairs(
-        spark, emb, k, tau=tau, sample_per_mille=sample_per_mille, probes=probes
-    )
     if keep == "min_id":
+        pairs = semdedup_pairs(
+            spark, emb, k, tau=tau,
+            sample_per_mille=sample_per_mille, probes=probes,
+        )
         return drop_near_duplicates(docs, pairs, id_col=id_col)
-    comp = dup_components(pairs)
     assigned = assign_clusters(
         spark, emb, k, sample_per_mille=sample_per_mille, with_dist=True
+    ).persist()
+    pairs = semdedup_pairs(
+        spark, emb, k, tau=tau,
+        sample_per_mille=sample_per_mille, assigned=assigned,
     )
+    comp = dup_components(pairs)
     ranked = comp.join(
         assigned.select(F.col("vec_id").alias("doc_id"), "dist"), "doc_id"
     )
@@ -248,4 +259,9 @@ def semantic_dedup(
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("doc_id").alias(id_col))
     )
-    return anti_filter(docs, losers, id_col, broadcast_keys=False)
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+
+    out = anti_filter(docs, losers, id_col, broadcast_keys=False)
+    return materialize_and_release(out, assigned)

@@ -254,7 +254,11 @@ def write_zorder(
     grid = (1 << bits) - 1
     norm = []
     for c in cols:
-        lo, hi = float(b[f"_mn_{c}"]), float(b[f"_mx_{c}"])
+        mn, mx = b[f"_mn_{c}"], b[f"_mx_{c}"]
+        if mn is None:  # all-NULL column: the docstring contract is
+            norm.append(F.lit(0).cast("long"))  # grid 0, not a crash
+            continue
+        lo, hi = float(mn), float(mx)
         v = F.col(c).cast("double")
         if hi > lo:
             scaled = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(grid)))

@@ -60,8 +60,12 @@ def stream_rolling_zscore(
     w_us = int(window_seconds) * 1_000_000
     zt = float(z_threshold)
     mp = int(min_points)
+    # the key column keeps ITS OWN type (string sensor ids are as
+    # common as numeric ones); hardcoding long here broke non-long
+    # keys at the Arrow boundary (review-found)
+    key_type = dict(stream.dtypes)[on]
     out_schema = (
-        f"{on} long, ts_us long, {value_col} double, "
+        f"{on} {key_type}, ts_us long, {value_col} double, "
         "zscore double, is_anomaly boolean"
     )
 
@@ -77,16 +81,8 @@ def stream_rolling_zscore(
             b_us = b_g1 = b_g2 = np.empty(0, dtype=np.int64)
         frames = [p for p in pdfs if len(p)]
         if not frames:
-            # timeout/no-data call: nothing to score, state unchanged
-            yield pd.DataFrame(
-                {
-                    on: pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    value_col: pd.Series([], dtype="float64"),
-                    "zscore": pd.Series([], dtype="float64"),
-                    "is_anomaly": pd.Series([], dtype="bool"),
-                }
-            )
+            # timeout/no-data call: nothing to score, state unchanged;
+            # yielding nothing is valid (and type-agnostic on the key)
             return
         batch = pd.concat(frames, ignore_index=True)
         ts = pd.to_datetime(batch[time_col])

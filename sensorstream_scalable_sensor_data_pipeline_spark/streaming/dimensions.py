@@ -63,6 +63,18 @@ def latest_per_key(
     )
 
 
+def _recover_interrupted_swap(dim_dir: str) -> None:
+    """Heal a crash INSIDE a previous swap: if the dimension dir is
+    gone but its ``_old`` sibling survives, the crash hit between the
+    two renames — the history lives in ``_old``; restore it before
+    doing anything else. Without this, a replay would take the
+    bootstrap branch and delete the only surviving copy (the
+    reviewer-found data-loss window)."""
+    old = dim_dir.rstrip("/") + "_old"
+    if not os.path.exists(dim_dir) and os.path.exists(old):
+        os.rename(old, dim_dir)
+
+
 def apply_scd2_batch(
     spark: SparkSession,
     dim_dir: str,
@@ -71,9 +83,21 @@ def apply_scd2_batch(
     attr_cols: list[str],
     effective_col: str,
 ) -> None:
-    """One batch against the durable dimension: read (or bootstrap),
-    apply, atomic-swap. Exposed for tests and for batch backfills —
-    the streaming sink below is just this per micro-batch."""
+    """One batch against the durable dimension: recover any
+    interrupted swap, read (or bootstrap), apply, swap. Exposed for
+    tests and for batch backfills — the streaming sink below is just
+    this per micro-batch.
+
+    Crash windows: before the first rename → old dimension intact,
+    replay redoes the batch; between the renames → healed by
+    :func:`_recover_interrupted_swap` on the next call; after the
+    second rename → the new dimension is live and replay is a no-op
+    (scd2_apply fixpoint). A stale ``_staging`` from any crash is
+    overwritten; a stale ``_old`` next to a LIVE dim_dir is a
+    completed swap's leftover and is cleared."""
+    import shutil
+
+    _recover_interrupted_swap(dim_dir)
     collapsed = latest_per_key(batch, key_cols, attr_cols, effective_col)
     if os.path.exists(dim_dir):
         dim = spark.read.parquet(dim_dir)
@@ -83,8 +107,6 @@ def apply_scd2_batch(
     staging = dim_dir.rstrip("/") + "_staging"
     updated.write.mode("overwrite").parquet(staging)
     old = dim_dir.rstrip("/") + "_old"
-    import shutil
-
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(dim_dir):
         os.rename(dim_dir, old)
@@ -121,5 +143,13 @@ def stream_scd2_maintain(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    finished = q.awaitTermination(await_seconds)
+    if not finished:
+        # never hand back a mid-maintenance dimension: stop the drain
+        # and surface the overrun instead of returning partial state
+        q.stop()
+        raise TimeoutError(
+            f"scd2 drain still running after {await_seconds}s; "
+            "dimension left consistent at the last completed batch"
+        )
     return spark.read.parquet(dim_dir)

@@ -74,8 +74,6 @@ def assert_max_exchanges(df: DataFrame, n: int) -> None:
     composed pipeline, pinned so a regression (a lost reuse, a
     broadcast that fell back to shuffle) fails loudly."""
     p = _plan(df)
-    found = p.count("+- Exchange") + p.count("   Exchange")
-    # conservative recount: any line whose node name is Exchange
     found = sum(
         1
         for line in p.splitlines()

@@ -155,3 +155,15 @@ def test_expect_unique_and_references(spark, sf_dir):
     )
     n_bad = expect_references(broken, "s_nationkey", nat, "n_nationkey").count()
     assert n_bad == sup.filter("s_suppkey % 9 = 0").count()
+
+
+def test_empty_frame_passes_gate(spark):
+    """An empty batch (routine for a pre-landing gate) passes every
+    rule with 0 rows / 0 violations — F.sum's NULL-over-zero-rows must
+    not crash the gate (review-found)."""
+    df = spark.createDataFrame([], "k long, v double")
+    rep = validate_expectations(
+        df, [expect_not_null("v"), expect_in_range("v", 0, 1)]
+    ).collect()
+    assert all(r["n_rows"] == 0 and r["n_violations"] == 0 and r["passed"] for r in rep)
+    expect_or_raise(df, [expect_not_null("v")])  # no raise

@@ -141,3 +141,12 @@ def test_histogram_empty_bins_present(spark):
     df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
     out = histogram_fixed(df, "x", 5, 0.0, 10.0).collect()
     assert [r["n"] for r in out] == [1, 0, 0, 0, 1]
+
+
+def test_histogram_all_null_column_clear_error(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null"):
+        histogram_fixed(df, "x", 4)
+    # explicit bounds still work over an all-NULL column: empty bins
+    out = histogram_fixed(df, "x", 4, 0.0, 1.0).collect()
+    assert [r["n"] for r in out] == [0, 0, 0, 0]

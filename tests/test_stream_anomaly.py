@@ -157,3 +157,30 @@ def test_stream_zscore_late_reading_truncated_window(spark, tmp_path):
     # 1 h window), so the late reading sees only itself: below
     # min_points -> NULL z, unflagged — the documented truncation
     assert late_row["zscore"] is None and late_row["is_anomaly"] is False
+
+
+def test_stream_zscore_string_keys(spark, tmp_path):
+    """The operator is key-type generic: string sensor ids flow
+    through the state schema and the output unchanged (hardcoded
+    'long' was the review-found break)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"sensor-{k}", t0 + dt.timedelta(minutes=i), 10.0 + 0.2 * (-1) ** i)
+        for k in ("a", "b")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "sensor string, ts timestamp, value double")
+    landing = str(tmp_path / "landing")
+    df.coalesce(1).write.parquet(landing)
+    phys = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(phys).parquet(landing)
+    out = drain_to_memory(
+        stream_rolling_zscore(
+            stream, on="sensor", time_col="ts", value_col="value",
+            window_seconds=3600, min_points=3,
+        ),
+        output_mode="append",
+    ).collect()
+    assert len(out) == 16
+    assert {r["sensor"] for r in out} == {"sensor-a", "sensor-b"}
+    assert sum(r["zscore"] is not None for r in out) > 0

@@ -107,3 +107,23 @@ def test_latest_per_key_collapse_deterministic(spark):
     assert {
         r["k"]: (r["name"], r["site"]) for r in shuffled.collect()
     } == out
+
+
+def test_interrupted_swap_recovers_history(spark, tmp_path):
+    """Crash BETWEEN the two swap renames (dim gone, _old holds the
+    history): the next apply must restore _old first — losing it to
+    the bootstrap branch was the review-found data-loss window."""
+    dim_dir = str(tmp_path / "dim")
+    apply_scd2_batch(spark, dim_dir, _df(spark, B0), KEYS, ATTRS, EFF)
+    apply_scd2_batch(spark, dim_dir, _df(spark, B1), KEYS, ATTRS, EFF)
+    full = _dim_set(spark.read.parquet(dim_dir))
+    # simulate the mid-swap crash: dim renamed aside, new never landed
+    os.rename(dim_dir, dim_dir + "_old")
+    # replay of the interrupted batch (fixpoint) heals and preserves
+    apply_scd2_batch(spark, dim_dir, _df(spark, B1), KEYS, ATTRS, EFF)
+    assert _dim_set(spark.read.parquet(dim_dir)) == full
+    assert not os.path.exists(dim_dir + "_old")
+    # and a NEW batch after recovery extends the same history
+    apply_scd2_batch(spark, dim_dir, _df(spark, B2), KEYS, ATTRS, EFF)
+    k1 = [t for t in _dim_set(spark.read.parquet(dim_dir)) if t[0] == 1]
+    assert len(k1) == 3  # init + move + rename, nothing lost

@@ -110,3 +110,16 @@ def test_zorder_handles_nulls_and_constant_cols(spark, tmp_path):
     assert back.filter("x IS NULL").count() == 1
     with pytest.raises(ValueError):
         write_zorder(df, p, ["x", "y"], n_files=2, bits=0)
+
+
+def test_zorder_all_null_column_grid_zero(spark, tmp_path):
+    """An entirely-NULL listed column folds to grid 0 (the docstring
+    contract) instead of crashing on NULL bounds (review-found)."""
+    df = spark.createDataFrame(
+        [(1, None), (5, None), (9, None)], "x int, y double"
+    )
+    p = str(tmp_path / "t")
+    write_zorder(df, p, ["x", "y"], n_files=2, bits=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    assert back.filter("y IS NULL").count() == 3
