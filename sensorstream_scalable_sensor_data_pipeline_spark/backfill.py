@@ -117,3 +117,44 @@ def verify_complete(
         raise RuntimeError(
             f"layout at {state_path} is missing {len(missing)} month(s): {pretty}"
         )
+
+
+def vacuum_months(
+    state_path: str,
+    keep_after: dt.date,
+    dry_run: bool = True,
+) -> list[tuple[int, int]]:
+    """Retention enforcement over the (year, month) layout: every
+    month STRICTLY BEFORE ``keep_after``'s month is deleted (all its
+    ``month=`` directories, under every tagpath). ``dry_run=True``
+    (the default — deletion must be opted into) only reports.
+
+    Returns the sorted affected (year, month) list. Deletion walks
+    the same directory names the planner reads — no data scan; the
+    per-month directory is the deletion unit, which is exactly why
+    the layout partitions by month in the first place (dropping a
+    partition is a rename/delete, rewriting nothing)."""
+    import shutil
+
+    cutoff = (keep_after.year, keep_after.month)
+    doomed = sorted(ym for ym in existing_months(state_path) if ym < cutoff)
+    if dry_run or not doomed:
+        return doomed
+    pat_y = re.compile(r"^year=(\d+)$")
+    pat_m = re.compile(r"^month=(\d+)$")
+    for root, dirs, _ in os.walk(state_path, topdown=False):
+        my = pat_y.match(os.path.basename(root))
+        if not my:
+            continue
+        y = int(my.group(1))
+        for d in list(dirs):
+            mm = pat_m.match(d)
+            if mm and (y, int(mm.group(1))) < cutoff:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        # prune a year dir left empty
+        try:
+            if not os.listdir(root):
+                os.rmdir(root)
+        except OSError:
+            pass
+    return doomed

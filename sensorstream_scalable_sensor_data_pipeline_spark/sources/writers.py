@@ -114,6 +114,8 @@ def compact_parquet_dir(
     path: str,
     target_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
     sort_col: str | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> tuple[int, int]:
     """Small-file compaction — the maintenance pass every streaming
     sink needs: checkpointed ``foreachBatch`` sinks (streaming/
@@ -144,13 +146,26 @@ def compact_parquet_dir(
     rows = df.count()
     n_out = max(1, math.ceil(rows / target_records_per_file))
     staging = path.rstrip("/") + "_compact_staging"
-    if sort_col is not None:
-        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    if sort_col is not None and zorder_cols is not None:
+        raise ValueError("pass sort_col OR zorder_cols, not both")
+    if zorder_cols is not None:
+        # multi-dimension recluster at compaction time — OPTIMIZE
+        # ZORDER semantics via write_zorder's staging write
+        write_zorder(
+            df, staging, zorder_cols, n_out,
+            bits=zorder_bits,
+            max_records_per_file=target_records_per_file,
+        )
     else:
-        out = df.coalesce(n_out)
-    out.write.mode("overwrite").option(
-        "maxRecordsPerFile", str(target_records_per_file)
-    ).parquet(staging)
+        if sort_col is not None:
+            out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+                sort_col
+            )
+        else:
+            out = df.coalesce(n_out)
+        out.write.mode("overwrite").option(
+            "maxRecordsPerFile", str(target_records_per_file)
+        ).parquet(staging)
     tmp = path.rstrip("/") + "_old"
     shutil.rmtree(tmp, ignore_errors=True)
     os.rename(path, tmp)
