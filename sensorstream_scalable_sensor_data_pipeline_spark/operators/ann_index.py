@@ -193,3 +193,90 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+) -> int:
+    """Incremental index maintenance: assign NEW vectors against the
+    FROZEN trained quantizer and append them to the inverted lists —
+    no retraining, no rewrite of existing lists (the partitioned
+    parquet append lands only in the touched ``j=`` directories).
+    This is how a serving index absorbs a daily embedding batch; the
+    assignment is the same broadcast argmin as the build, so an
+    appended vector lands exactly where a full rebuild with these
+    centroids would put it (pinned in tests). Returns rows appended.
+
+    Staleness contract, stated not hidden: centroids reflect the
+    corpus at training time. Appends preserve CORRECTNESS of the
+    probe (every vector is in its nearest frozen cell) but recall
+    degrades as the distribution drifts away from the trained
+    centroids — monitor mean assignment distance
+    (:func:`assignment_drift`) and rebuild when it climbs.
+
+    ``new_emb.vec_id`` must be disjoint from the indexed ids (the
+    caller's contract — ids are content-addressed upstream; a dup id
+    would serve twice)."""
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = (
+        new_emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("j"),
+            _grid_l2(F.col("embedding"), F.col("c")).alias("dist"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("j", "embedding"), F.struct("dist", "j")).alias("_a")
+        )
+        .select("vec_id", F.col("_a.j").alias("j"), F.col("_a.embedding").alias("embedding"))
+    )
+    sample = spark.read.parquet(os.path.join(index_dir, "lists")).limit(0)
+    quantized = "codes" in sample.columns
+    if quantized:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+
+        codes, scale = quantize_embedding(F.col("embedding"))
+        staged = assigned.select(
+            "j", "vec_id", codes.alias("codes"), scale.alias("scale")
+        ).withColumn("_deq", dequantize_embedding(F.col("codes"), F.col("scale")))
+        rows = staged.select(
+            "j", "vec_id", "codes", "scale",
+            grid_dot(F.col("_deq"), F.col("_deq")).alias("n2"),
+        )
+    else:
+        rows = assigned.select(
+            "j", "vec_id", "embedding",
+            grid_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+        )
+    n = rows.count()
+    rows.write.mode("append").partitionBy("j").parquet(
+        os.path.join(index_dir, "lists")
+    )
+    return n
+
+
+def assignment_drift(
+    spark: SparkSession, index_dir: str, emb: DataFrame
+) -> float:
+    """Mean grid-L2 distance of ``emb`` to its nearest FROZEN
+    centroid — the rebuild-trigger metric for appended indexes
+    (compare a fresh batch's drift against the trained corpus's own
+    baseline; a sustained climb means the quantizer no longer fits
+    the data). One broadcast argmin + one scalar mean."""
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    d = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", _grid_l2(F.col("embedding"), F.col("c")).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d"))
+    )
+    return float(d.agg(F.avg("d")).collect()[0][0])

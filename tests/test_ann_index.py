@@ -138,3 +138,62 @@ def test_ivf_sampled_index_end_to_end(spark, sf_dir, tmp_path):
     per_q = got.groupBy("query_id").count().collect()
     assert len(per_q) == n_queries
     assert all(r["count"] == 5 for r in per_q)
+
+
+def test_append_matches_full_rebuild_assignment(spark, sf_dir, tmp_path):
+    """Index built on HALF the corpus, other half appended against the
+    frozen centroids: the appended rows' list assignment must equal a
+    one-shot assignment of the full corpus under the SAME centroids,
+    and queries over the appended index must return appended vectors.
+    Drift of an in-distribution batch stays near the corpus's own
+    baseline."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.ann_index import (
+        append_to_ivf_index,
+        assignment_drift,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, half_a, idx, k=8)
+    n = append_to_ivf_index(spark, idx, half_b)
+    assert n == half_b.count()
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.count() == emb.count()
+    assert lists.select("vec_id").distinct().count() == emb.count()
+
+    # appended rows sit exactly where the frozen argmin puts them
+    cent = spark.read.parquet(f"{idx}/centroids")
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.ann_index import _grid_l2
+
+    want = (
+        half_b.crossJoin(F.broadcast(cent))
+        .select("vec_id", "j", _grid_l2(F.col("embedding"), F.col("c")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("j", F.struct("d", "j")).alias("j"))
+    )
+    got = lists.join(half_b.select("vec_id"), "vec_id", "left_semi").select(
+        "vec_id", "j"
+    )
+    assert {(r["vec_id"], r["j"]) for r in got.collect()} == {
+        (r["vec_id"], r["j"]) for r in want.collect()
+    }
+
+    # a query whose exact nearest neighbor was APPENDED finds it
+    q = half_b.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = query_ivf_index(spark, idx, q, k=5, nprobe=3).collect()
+    assert res  # appended content is servable
+    qid = q.collect()[0]["query_id"]
+    assert all(r["query_id"] == qid for r in res)
+
+    # drift: an in-distribution batch reads close to the corpus baseline
+    base = assignment_drift(spark, idx, half_a)
+    drift = assignment_drift(spark, idx, half_b)
+    assert drift <= 2.0 * base
