@@ -133,3 +133,28 @@ def rademacher_project(emb: Column, dim_in: int, dim_out: int) -> Column:
             )
         )
     )
+
+
+def l2_normalize(emb: Column) -> Column:
+    """Unit-norm an embedding (array<double> out): each component
+    divided by the grid-exact norm — the prerequisite for cosine-as-
+    dot-product serving and for quantization tiers that assume unit
+    vectors. The norm comes from :func:`grid_dot`'s exact integer
+    sum, so normalized vectors are bit-identical across engines and
+    partitionings; a zero vector normalizes to NULL components rather
+    than ±Inf (guard, don't poison)."""
+    n = F.sqrt(grid_dot(emb, emb))
+    return F.transform(
+        emb, lambda x: F.when(n > 0, x.cast("double") / n)
+    )
+
+
+def truncate_renorm(emb: Column, dims: int) -> Column:
+    """Matryoshka-style truncation: keep the first ``dims`` components
+    and re-normalize — the storage/serving trade MRL-trained
+    embeddings support (half the dims ≈ most of the recall at half
+    the bytes). Slice first, THEN normalize (the truncated prefix has
+    its own norm)."""
+    if dims <= 0:
+        raise ValueError("dims must be positive")
+    return l2_normalize(F.slice(emb, 1, int(dims)))

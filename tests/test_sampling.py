@@ -1037,3 +1037,73 @@ def test_curation_releases_all_persists(spark, sf_dir):
     for fn in (dedup_minhash_lsh, dedup_ngram_blocked, dedup_simhash):
         fn(spark, sf_dir).count()
         assert cm.isEmpty(), f"{fn.__name__} leaked persisted frames"
+
+
+def test_l2_normalize_and_truncate_matches_duckdb(spark, duck, sf_dir):
+    """Unit norms and matryoshka truncation replay exactly in DuckDB
+    (grid norm -> one IEEE sqrt -> per-component divide)."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+        grid_dot,
+        l2_normalize,
+        truncate_renorm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: (list(r["n64"]), list(r["n16"]))
+        for r in emb.select(
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("n64"),
+            truncate_renorm(F.col("embedding"), 16).alias("n16"),
+        ).collect()
+    }
+    rows = duck.execute("""
+        WITH g AS (
+          SELECT vec_id, embedding,
+                 sqrt(CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+                      i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+                      AS DOUBLE) / 1000000.0) AS nrm,
+                 embedding[1:16] AS t,
+                 sqrt(CAST(list_sum(list_transform(generate_series(1, 16),
+                      i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+                      AS DOUBLE) / 1000000.0) AS tnrm
+          FROM embeddings
+        )
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm),
+               list_transform(t, x -> CAST(x AS DOUBLE) / tnrm)
+        FROM g
+    """).fetchall()
+    want = {int(v): (list(a), list(b)) for v, a, b in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k  # bit-identical
+    # unit norms up to the grid semantic: the norm is exact on the
+    # 1e-6 component grid, so the true norm deviates by O(d * 1e-6 / 2)
+    import math
+
+    for a, b in got.values():
+        assert abs(math.sqrt(sum(x * x for x in a)) - 1.0) < 1e-4
+        assert abs(math.sqrt(sum(x * x for x in b)) - 1.0) < 1e-4
+        assert len(b) == 16
+
+
+def test_l2_normalize_zero_vector_null_not_inf(spark):
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+        l2_normalize,
+        truncate_renorm,
+    )
+
+    df = spark.createDataFrame([([0.0, 0.0],)], "e array<float>")
+    out = df.select(l2_normalize(F.col("e")).alias("n")).collect()[0]["n"]
+    assert list(out) == [None, None]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        df.select(truncate_renorm(F.col("e"), 0))
