@@ -176,3 +176,75 @@ def sample_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def temperature_budgets(
+    totals: dict[str, int], alpha: float, total_budget: int
+) -> dict[str, int]:
+    """Token budgets per stratum from a TEMPERATURE rather than a
+    hand-written table: target share ∝ total_s^alpha (the multilingual
+    / multi-source mixing rule — alpha=1 keeps natural proportions,
+    alpha→0 flattens toward uniform, boosting small strata).
+
+    Allocation is water-filling: a stratum cannot receive more tokens
+    than it HAS, and the overflow re-distributes across the still-
+    uncapped strata by the same weights, iterating until stable — so
+    Σ budgets = min(total_budget, Σ totals) up to integer rounding,
+    and no budget exceeds its stratum. Pure, deterministic driver
+    math over mixture-sized dicts."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    live = {s: t for s, t in totals.items() if t > 0}
+    budgets = {s: 0 for s in totals}
+    remaining = min(int(total_budget), sum(live.values()))
+    uncapped = set(live)
+    while remaining > 0 and uncapped:
+        w = {s: float(live[s]) ** alpha for s in uncapped}
+        z = sum(w.values())
+        # floor-allocate; give any rounding residue to the largest
+        # weight so the loop always terminates
+        alloc = {s: int(remaining * w[s] / z) for s in uncapped}
+        residue = remaining - sum(alloc.values())
+        if residue:
+            top = max(uncapped, key=lambda s: (w[s], s))
+            alloc[top] += residue
+        progressed = False
+        for s, a in alloc.items():
+            room = live[s] - budgets[s]
+            take = min(a, room)
+            if take > 0:
+                budgets[s] += take
+                remaining -= take
+                progressed = True
+        uncapped = {s for s in uncapped if budgets[s] < live[s]}
+        if not progressed:
+            break
+    return budgets
+
+
+def sample_temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    alpha: float,
+    total_budget: int,
+    salt: str | None = "mixture",
+) -> tuple[DataFrame, dict[str, int]]:
+    """One-call temperature mixture: measure per-stratum token totals
+    (the same single aggregate :func:`sample_to_token_budget` runs),
+    derive budgets with :func:`temperature_budgets`, sample. Returns
+    (sampled frame, per-mille rates) — log both the rates and the
+    derived budgets with the run."""
+    totals = {
+        r[strata_col]: int(r["_t"])
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(tokens_col)).alias("_t"))
+        .collect()
+    }
+    budgets = temperature_budgets(totals, alpha, total_budget)
+    return sample_to_token_budget(
+        df, key_col, strata_col, tokens_col, budgets, salt=salt
+    )

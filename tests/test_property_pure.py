@@ -109,3 +109,54 @@ def test_python_morton_bijective_and_bounded(xs):
         rx = sum(((c >> (2 * b)) & 1) << b for b in range(8))
         ry = sum(((c >> (2 * b + 1)) & 1) << b for b in range(8))
         assert (rx, ry) == (x, y)
+
+
+# -------------------------------------------------- temperature budgets
+
+
+@given(
+    totals=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(0, 10_000),
+        min_size=1,
+        max_size=8,
+    ),
+    alpha=st.floats(0.0, 2.0, allow_nan=False),
+    budget=st.integers(0, 50_000),
+)
+@settings(max_examples=150)
+def test_temperature_budgets_invariants(totals, alpha, budget):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    b = temperature_budgets(totals, alpha, budget)
+    assert set(b) == set(totals)
+    for s in totals:
+        assert 0 <= b[s] <= totals[s]  # never exceed what a stratum has
+    target = min(budget, sum(t for t in totals.values() if t > 0))
+    assert sum(b.values()) == target  # water-filling fully allocates
+
+
+def test_temperature_budgets_shapes():
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    totals = {"big": 9000, "small": 1000}
+    # alpha=1: natural proportions
+    b1 = temperature_budgets(totals, 1.0, 1000)
+    assert b1 == {"big": 900, "small": 100}
+    # alpha=0: uniform split boosts the small stratum
+    b0 = temperature_budgets(totals, 0.0, 1000)
+    assert b0 == {"big": 500, "small": 500}
+    # 0 < alpha < 1 sits between
+    bh = temperature_budgets(totals, 0.5, 1000)
+    assert b0["small"] >= bh["small"] >= b1["small"]
+    # capping: budget above a stratum's total spills to the other
+    bc = temperature_budgets(totals, 0.0, 6000)
+    assert bc == {"big": 5000, "small": 1000}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_budgets(totals, -0.1, 100)

@@ -1107,3 +1107,32 @@ def test_l2_normalize_zero_vector_null_not_inf(spark):
 
     with _pytest.raises(ValueError):
         df.select(truncate_renorm(F.col("e"), 0))
+
+
+def test_temperature_mixture_composition(spark, sf_dir):
+    """sample_temperature_mixture == sample_to_token_budget fed with
+    temperature_budgets over the same measured totals."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        sample_temperature_mixture,
+        sample_to_token_budget,
+        temperature_budgets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got_df, got_rates = sample_temperature_mixture(
+        docs, "doc_id", "source", "n_chars", alpha=0.5, total_budget=50_000
+    )
+    totals = {
+        r["source"]: int(r["t"])
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    budgets = temperature_budgets(totals, 0.5, 50_000)
+    want_df, want_rates = sample_to_token_budget(
+        docs, "doc_id", "source", "n_chars", budgets
+    )
+    assert got_rates == want_rates
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {
+        r["doc_id"] for r in want_df.select("doc_id").collect()
+    }
+    # flattening actually happened: every live stratum got a budget
+    assert all(v > 0 for v in budgets.values())
