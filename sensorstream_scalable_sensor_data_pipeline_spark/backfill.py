@@ -133,7 +133,10 @@ def vacuum_months(
     the same directory names the planner reads — no data scan; the
     per-month directory is the deletion unit, which is exactly why
     the layout partitions by month in the first place (dropping a
-    partition is a rename/delete, rewriting nothing)."""
+    partition is a rename/delete, rewriting nothing). A deletion that
+    FAILS partway raises listing the affected paths — a half-deleted
+    month reads as silently truncated data AND as "present" to the
+    backfill planner, so it must never report success."""
     import shutil
 
     cutoff = (keep_after.year, keep_after.month)
@@ -142,6 +145,7 @@ def vacuum_months(
         return doomed
     pat_y = re.compile(r"^year=(\d+)$")
     pat_m = re.compile(r"^month=(\d+)$")
+    failures: list[str] = []
     for root, dirs, _ in os.walk(state_path, topdown=False):
         my = pat_y.match(os.path.basename(root))
         if not my:
@@ -150,11 +154,21 @@ def vacuum_months(
         for d in list(dirs):
             mm = pat_m.match(d)
             if mm and (y, int(mm.group(1))) < cutoff:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                target = os.path.join(root, d)
+                try:
+                    shutil.rmtree(target)
+                except OSError as exc:
+                    failures.append(f"{target}: {exc}")
         # prune a year dir left empty
         try:
             if not os.listdir(root):
                 os.rmdir(root)
         except OSError:
             pass
+    if failures:
+        raise RuntimeError(
+            "vacuum left partially-deleted months (backfill will NOT "
+            "repair them — the directories still exist): "
+            + "; ".join(failures)
+        )
     return doomed

@@ -135,26 +135,54 @@ def rademacher_project(emb: Column, dim_in: int, dim_out: int) -> Column:
     )
 
 
-def l2_normalize(emb: Column) -> Column:
+def l2_normalize(emb: Column, norm: Column | None = None) -> Column:
     """Unit-norm an embedding (array<double> out): each component
     divided by the grid-exact norm — the prerequisite for cosine-as-
     dot-product serving and for quantization tiers that assume unit
     vectors. The norm comes from :func:`grid_dot`'s exact integer
     sum, so normalized vectors are bit-identical across engines and
     partitionings; a zero vector normalizes to NULL components rather
-    than ±Inf (guard, don't poison)."""
-    n = F.sqrt(grid_dot(emb, emb))
+    than ±Inf (guard, don't poison).
+
+    HOF-NESTING COST (module header discipline): with ``norm`` omitted
+    the aggregate norm expression sits INSIDE the transform lambda and
+    re-evaluates per component — O(d²) interpreted work per row. Fine
+    ad hoc at small d; at operator scale pass a STAGED norm attribute
+    or use :func:`normalize_embeddings`, which stages it for you."""
+    n = F.sqrt(grid_dot(emb, emb)) if norm is None else norm
     return F.transform(
         emb, lambda x: F.when(n > 0, x.cast("double") / n)
     )
 
 
-def truncate_renorm(emb: Column, dims: int) -> Column:
+def truncate_renorm(emb: Column, dims: int, norm: Column | None = None) -> Column:
     """Matryoshka-style truncation: keep the first ``dims`` components
     and re-normalize — the storage/serving trade MRL-trained
     embeddings support (half the dims ≈ most of the recall at half
     the bytes). Slice first, THEN normalize (the truncated prefix has
-    its own norm)."""
+    its own norm; ``norm``, when staged, must be the PREFIX norm).
+    Same staged-norm advice as :func:`l2_normalize`."""
     if dims <= 0:
         raise ValueError("dims must be positive")
-    return l2_normalize(F.slice(emb, 1, int(dims)))
+    return l2_normalize(F.slice(emb, 1, int(dims)), norm=norm)
+
+
+def normalize_embeddings(df, col: str, out: str | None = None, dims: int | None = None):
+    """Operator-scale normalization: stages the (optionally truncated)
+    prefix norm as an attribute column FIRST, so the transform lambda
+    divides by a bound reference instead of re-evaluating the O(d)
+    aggregate per component (the dedup_fuzzy codegen-cliff
+    discipline). ``dims`` truncates-then-renorms; ``out`` defaults to
+    replacing ``col``."""
+    if dims is not None and dims <= 0:
+        raise ValueError("dims must be positive")
+    out = out or col
+    e = F.slice(F.col(col), 1, int(dims)) if dims else F.col(col)
+    staged = df.withColumn("_l2n", F.sqrt(grid_dot(e, e)))
+    res = staged.withColumn(
+        out,
+        F.transform(
+            e, lambda x: F.when(F.col("_l2n") > 0, x.cast("double") / F.col("_l2n"))
+        ),
+    )
+    return res.drop("_l2n")

@@ -256,7 +256,10 @@ def append_to_ivf_index(
             "j", "vec_id", "embedding",
             grid_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
         )
-    n = rows.count()
+    # count the CHEAP side: one row lands per input vec_id, so the
+    # expensive crossJoin/quantize plan runs once (for the write), not
+    # twice (review-found double execution)
+    n = new_emb.select("vec_id").distinct().count()
     rows.write.mode("append").partitionBy("j").parquet(
         os.path.join(index_dir, "lists")
     )
@@ -270,7 +273,9 @@ def assignment_drift(
     centroid — the rebuild-trigger metric for appended indexes
     (compare a fresh batch's drift against the trained corpus's own
     baseline; a sustained climb means the quantizer no longer fits
-    the data). One broadcast argmin + one scalar mean."""
+    the data). One broadcast argmin + one scalar mean. An EMPTY batch
+    returns NaN — the monitoring job keeps running and the gap is
+    visible, rather than a crash on a quiet day."""
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     d = (
         emb.select("vec_id", "embedding")
@@ -279,4 +284,5 @@ def assignment_drift(
         .groupBy("vec_id")
         .agg(F.min("dist").alias("d"))
     )
-    return float(d.agg(F.avg("d")).collect()[0][0])
+    mean = d.agg(F.avg("d")).collect()[0][0]
+    return float("nan") if mean is None else float(mean)

@@ -78,6 +78,7 @@ def sample_to_token_budget(
     tokens_col: str,
     budget_tokens: dict[str, int],
     salt: str | None = "mixture",
+    totals: dict[str, int] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Training-mixture construction: downsample each stratum (e.g.
     language, domain, quality tier) to approximately its TOKEN budget
@@ -102,12 +103,13 @@ def sample_to_token_budget(
     """
     import math
 
-    totals = {
-        r[strata_col]: int(r["_t"])
-        for r in df.groupBy(strata_col)
-        .agg(F.sum(F.col(tokens_col)).alias("_t"))
-        .collect()
-    }
+    if totals is None:
+        totals = {
+            r[strata_col]: int(r["_t"])
+            for r in df.groupBy(strata_col)
+            .agg(F.sum(F.col(tokens_col)).alias("_t"))
+            .collect()
+        }
     rates = {}
     for stratum, budget in budget_tokens.items():
         total = totals.get(stratum, 0)
@@ -208,7 +210,7 @@ def temperature_budgets(
         alloc = {s: int(remaining * w[s] / z) for s in uncapped}
         residue = remaining - sum(alloc.values())
         if residue:
-            top = max(uncapped, key=lambda s: (w[s], s))
+            top = max(uncapped, key=lambda s: (w[s], repr(s)))
             alloc[top] += residue
         progressed = False
         for s, a in alloc.items():
@@ -232,19 +234,27 @@ def sample_temperature_mixture(
     alpha: float,
     total_budget: int,
     salt: str | None = "mixture",
-) -> tuple[DataFrame, dict[str, int]]:
-    """One-call temperature mixture: measure per-stratum token totals
-    (the same single aggregate :func:`sample_to_token_budget` runs),
-    derive budgets with :func:`temperature_budgets`, sample. Returns
-    (sampled frame, per-mille rates) — log both the rates and the
-    derived budgets with the run."""
+) -> tuple[DataFrame, dict[str, int], dict[str, int]]:
+    """One-call temperature mixture: ONE per-stratum totals aggregate
+    (passed through so :func:`sample_to_token_budget` does not re-scan
+    — one pass over the corpus, not two), budgets from
+    :func:`temperature_budgets`, sample. Returns (sampled frame,
+    per-mille rates, derived budgets) — log the rates AND budgets with
+    the run; both are the reproducibility artifact.
+
+    NULL strata are EXCLUDED from the mixture (a row with no source
+    label cannot be budgeted; it is dropped exactly like a stratum
+    absent from a hand-written budget table) — feeding a None key
+    into the rate table would break the deterministic filter."""
     totals = {
         r[strata_col]: int(r["_t"])
         for r in df.groupBy(strata_col)
         .agg(F.sum(F.col(tokens_col)).alias("_t"))
         .collect()
+        if r[strata_col] is not None
     }
     budgets = temperature_budgets(totals, alpha, total_budget)
-    return sample_to_token_budget(
-        df, key_col, strata_col, tokens_col, budgets, salt=salt
+    out, rates = sample_to_token_budget(
+        df, key_col, strata_col, tokens_col, budgets, salt=salt, totals=totals
     )
+    return out, rates, budgets

@@ -136,6 +136,8 @@ def compact_parquet_dir(
     import os
     import shutil
 
+    if sort_col is not None and zorder_cols is not None:
+        raise ValueError("pass sort_col OR zorder_cols, not both")
     n_files_before = sum(
         1
         for root, _, files in os.walk(path)
@@ -146,8 +148,6 @@ def compact_parquet_dir(
     rows = df.count()
     n_out = max(1, math.ceil(rows / target_records_per_file))
     staging = path.rstrip("/") + "_compact_staging"
-    if sort_col is not None and zorder_cols is not None:
-        raise ValueError("pass sort_col OR zorder_cols, not both")
     if zorder_cols is not None:
         # multi-dimension recluster at compaction time — OPTIMIZE
         # ZORDER semantics via write_zorder's staging write

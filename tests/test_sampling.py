@@ -1050,15 +1050,29 @@ def test_l2_normalize_and_truncate_matches_duckdb(spark, duck, sf_dir):
         truncate_renorm,
     )
 
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+        normalize_embeddings,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the staged operator path (what production uses)
+    full = normalize_embeddings(emb, "embedding", out="n64")
+    both = normalize_embeddings(full, "embedding", out="n16", dims=16)
     got = {
         r["vec_id"]: (list(r["n64"]), list(r["n16"]))
+        for r in both.select("vec_id", "n64", "n16").collect()
+    }
+    # the Column-level inline form is value-identical (same math,
+    # different staging)
+    inline = {
+        r["vec_id"]: (list(r["a"]), list(r["b"]))
         for r in emb.select(
             "vec_id",
-            l2_normalize(F.col("embedding")).alias("n64"),
-            truncate_renorm(F.col("embedding"), 16).alias("n16"),
+            l2_normalize(F.col("embedding")).alias("a"),
+            truncate_renorm(F.col("embedding"), 16).alias("b"),
         ).collect()
     }
+    assert inline == got
     rows = duck.execute("""
         WITH g AS (
           SELECT vec_id, embedding,
@@ -1119,7 +1133,7 @@ def test_temperature_mixture_composition(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    got_df, got_rates = sample_temperature_mixture(
+    got_df, got_rates, got_budgets = sample_temperature_mixture(
         docs, "doc_id", "source", "n_chars", alpha=0.5, total_budget=50_000
     )
     totals = {
@@ -1131,8 +1145,30 @@ def test_temperature_mixture_composition(spark, sf_dir):
         docs, "doc_id", "source", "n_chars", budgets
     )
     assert got_rates == want_rates
+    assert got_budgets == budgets
     assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {
         r["doc_id"] for r in want_df.select("doc_id").collect()
     }
     # flattening actually happened: every live stratum got a budget
     assert all(v > 0 for v in budgets.values())
+
+
+def test_temperature_mixture_null_strata_dropped(spark, sf_dir):
+    """Rows with a NULL stratum are excluded, not crashed on
+    (review-found: a None key poisoned the rate table sort)."""
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("source")),
+    )
+    out, rates, budgets = sample_temperature_mixture(
+        docs, "doc_id", "source", "n_chars", alpha=0.5, total_budget=20_000
+    )
+    assert None not in rates and None not in budgets
+    assert out.filter(F.col("source").isNull()).count() == 0
+    assert out.count() > 0
