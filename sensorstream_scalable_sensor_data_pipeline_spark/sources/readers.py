@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sensorstream_scalable_sensor_data_pipeline_spark.schemas import enforce_schema
@@ -228,3 +229,94 @@ def write_orc(
         .option("maxRecordsPerFile", str(max_records_per_file))
         .orc(path)
     )
+
+
+def read_binary_docs(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-payload ingestion for the multimodal family: Spark's
+    native ``binaryFile`` source reads a directory of opaque files
+    (images, audio, archives) into (path, modification_time, length,
+    content) — the ``binary``-column shape operators/multimodal.py
+    processes. ``glob`` filters by name (``*.png``); ``max_bytes``
+    pushes a LENGTH predicate into the source so oversized payloads
+    never cross the wire (the reader exposes length as a filterable
+    column — the cheap guard against the one 4 GB file that OOMs a
+    task).
+
+    Driver-side file listing is the scale bound of any file source —
+    at 10^8 objects, land a manifest (parquet of paths) and join
+    instead. ``doc_id`` derives from the md5 of the path: stable,
+    content-addressed-per-location, join-ready."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("path"),
+        F.col("length"),
+        F.col("modificationTime").alias("modification_time"),
+        F.col("content"),
+    )
+
+
+def read_text_docs(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = True,
+) -> DataFrame:
+    """Plain-text corpus ingestion: one document per FILE
+    (``wholetext`` — how scraped/text-dump corpora land) or one per
+    LINE (``whole_file=False`` — concatenated dump shards). Returns
+    (doc_id, path, text) with the same md5-of-path id derivation as
+    :func:`read_binary_docs`; line mode salts the id with the line
+    number so ids stay unique within a file.
+
+    Whole-file mode is NOT splittable (one task per file — fine for
+    documents, wrong for one giant file); line mode splits normally.
+    """
+    if whole_file:
+        # NB: the .option("wholetext", ...) spelling is silently
+        # ignored by Spark 4.1's text source; only the reader kwarg
+        # engages whole-file mode (found by test)
+        df = (
+            spark.read.text(path, wholetext=True)
+            .select(
+                F.input_file_name().alias("path"),
+                F.col("value").alias("text"),
+            )
+        )
+        id_src = F.col("path")
+    else:
+        from pyspark.sql.window import Window
+
+        df = (
+            spark.read.text(path)
+            .select(
+                F.input_file_name().alias("path"),
+                F.col("value").alias("text"),
+            )
+            .withColumn(
+                "_line",
+                F.row_number().over(
+                    Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
+                ),
+            )
+        )
+        id_src = F.concat_ws(":", F.col("path"), F.col("_line"))
+    out = df.select(
+        F.conv(F.substring(F.md5(id_src), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        "path",
+        "text",
+    )
+    return out

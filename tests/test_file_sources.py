@@ -1,0 +1,80 @@
+"""Binary and plain-text corpus sources (sources/readers.py):
+roundtrip fidelity, size guards, id stability, and the multimodal
+plumbing handoff."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
+    read_binary_docs,
+    read_text_docs,
+)
+
+PAYLOADS = {
+    "a.png": b"\x89PNG-fake-bytes-aaaa",
+    "b.png": b"\x89PNG-fake-bytes-bb",
+    "c.txt": b"not a png",
+    "big.png": b"\x00" * 4096,
+}
+
+
+def _write_payloads(tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for name, data in PAYLOADS.items():
+        (d / name).write_bytes(data)
+    return str(d)
+
+
+def test_binary_docs_roundtrip_and_filters(spark, tmp_path):
+    d = _write_payloads(tmp_path)
+    df = read_binary_docs(spark, d)
+    got = {os.path.basename(r["path"]): bytes(r["content"]) for r in df.collect()}
+    assert got == PAYLOADS  # byte-faithful, all files
+    # glob + size guard compose; lengths are trustworthy
+    pngs = read_binary_docs(spark, d, glob="*.png", max_bytes=100)
+    names = {os.path.basename(r["path"]) for r in pngs.collect()}
+    assert names == {"a.png", "b.png"}
+    rows = {os.path.basename(r["path"]): r["length"] for r in pngs.collect()}
+    assert rows == {"a.png": 20, "b.png": 18}
+    # ids: stable across reads, unique per path
+    ids1 = {r["path"]: r["doc_id"] for r in df.collect()}
+    ids2 = {r["path"]: r["doc_id"] for r in read_binary_docs(spark, d).collect()}
+    assert ids1 == ids2
+    assert len(set(ids1.values())) == len(ids1)
+
+
+def test_binary_docs_feed_multimodal_plumbing(spark, tmp_path):
+    """The handoff: binaryFile output flows straight through the
+    multimodal metadata stage."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+        binary_with_metadata,
+    )
+
+    d = _write_payloads(tmp_path)
+    df = read_binary_docs(spark, d, glob="*.png")
+    meta = binary_with_metadata(df, "content")
+    assert meta.count() == 3
+    assert "payload_bytes" in meta.columns or len(meta.columns) > len(df.columns)
+
+
+def test_text_docs_whole_file_and_lines(spark, tmp_path):
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "one.txt").write_text("hello world\nsecond line")
+    (d / "two.txt").write_text("another document")
+    whole = read_text_docs(spark, str(d))
+    got = {os.path.basename(r["path"]): r["text"] for r in whole.collect()}
+    assert got == {
+        "one.txt": "hello world\nsecond line",
+        "two.txt": "another document",
+    }
+    assert whole.select("doc_id").distinct().count() == 2
+
+    lines = read_text_docs(spark, str(d), whole_file=False)
+    texts = sorted(r["text"] for r in lines.collect())
+    assert texts == ["another document", "hello world", "second line"]
+    assert lines.select("doc_id").distinct().count() == 3  # line-salted ids
