@@ -350,3 +350,47 @@ def verify_manifest(spark: SparkSession, path: str) -> dict:
     if problems:
         raise RuntimeError(f"manifest check failed for {path}: " + "; ".join(problems))
     return manifest
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    user: str = "",
+    password: str = "",
+    batch_size: int = 10_000,
+    max_connections: int | None = None,
+) -> None:
+    """JDBC sink — the write half of the S2 database face (the read
+    half lives in sources/readers.py). Each PARTITION opens one
+    connection and inserts in ``batch_size`` batches, so the write
+    parallelism IS the partition count: ``max_connections``
+    repartitions/coalesces first, the knob that keeps a 1000-task job
+    from opening 1000 database connections (the DBA-visible failure
+    mode of naive Spark→RDBMS writes). Executed end-to-end against
+    embedded DuckDB JDBC in tests."""
+    if mode not in WRITE_MODES:
+        raise ValueError(f"write mode must be one of {WRITE_MODES}, got {mode!r}")
+    if max_connections is not None:
+        if max_connections < 1:
+            raise ValueError("max_connections must be >= 1")
+        n = df.rdd.getNumPartitions()
+        df = (
+            df.coalesce(max_connections)
+            if n > max_connections
+            else df
+        )
+    w = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(int(batch_size)))
+        .option("user", user)
+        .option("password", password)
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.save()
