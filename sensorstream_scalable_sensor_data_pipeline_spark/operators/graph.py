@@ -96,3 +96,38 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+    strict: bool = True,
+    driver_max_pairs: int | None = None,
+) -> DataFrame:
+    """General connected components over an undirected edge table:
+    (node, component) with ``component`` = the min node id of the
+    component — the dedup family's transitive-closure machinery
+    (dedup_fuzzy.py::dup_components: size-aware driver union-find
+    under the bounded-pairs threshold, min-label-propagation keyed
+    joins above it) exposed for arbitrary graphs. ``strict`` defaults
+    True here: a general caller has no safe under-merge direction, so
+    non-convergence raises rather than warns."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        DRIVER_UNION_FIND_MAX_PAIRS,
+        dup_components,
+    )
+
+    pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    comp = dup_components(
+        pairs,
+        max_iters=max_iters,
+        strict=strict,
+        driver_max_pairs=(
+            DRIVER_UNION_FIND_MAX_PAIRS
+            if driver_max_pairs is None
+            else driver_max_pairs
+        ),
+    )
+    return comp.select(F.col("doc_id").alias("node"), F.col("rep").alias("component"))

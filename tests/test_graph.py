@@ -93,3 +93,28 @@ def test_pagerank_duplicate_edges_collapse(spark):
         pagerank(df1, iters=0)
     with pytest.raises(ValueError):
         pagerank(df1, damping=1.5)
+
+
+def test_connected_components_both_paths_agree(spark):
+    """The distributed min-label loop (driver_max_pairs=0) and the
+    driver union-find fast path produce identical components on a
+    multi-component graph with a chain (diameter > 2)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_max_pairs=0).collect()
+    }
+    assert fast == dist
+    comp_of = dict(fast)
+    assert {comp_of[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {comp_of[n] for n in (10, 11)} == {10}
+    assert {comp_of[n] for n in (20, 21, 22)} == {20}
