@@ -59,7 +59,15 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if n == 0:
+        raise ValueError("empty edge table: nothing to rank")
+    # frozen like `out` — the per-round dangling job would otherwise
+    # re-execute the distinct+aggregate lineage every iteration
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     # out-edges with degree attached, frozen once — every round joins
     # against this same materialized table
     out = (

@@ -68,12 +68,15 @@ def daily_sensor_report(
     state = ev.filter(F.col("event_id") % 97 == 0).select(
         "user_id", "ts", F.col("value").alias("calib_value")
     )
+    # persisted: the contract gate EXECUTES this (join + 7-day
+    # window) and the manifest write would otherwise rebuild it from
+    # scratch — the run's dominant cost, paid once not twice
     enriched = rolling_zscore(
         asof_join(ev, state, on="user_id", time_col="ts",
                   value_cols=["calib_value"]),
         on="user_id", time_col="ts", value_col="value",
         window_seconds=ZSCORE_WINDOW_S, z_threshold=Z_THRESHOLD,
-    )
+    ).persist()
     expect_or_raise(
         enriched,
         [
@@ -98,12 +101,15 @@ def daily_sensor_report(
     hourly = downsample(ev, "user_id", "ts", "value", 3600)
 
     counts = {}
-    for name, df in [
-        ("enriched", enriched),
-        ("gaps", gaps),
-        ("sessions", sessions),
-        ("hourly", hourly),
-    ]:
-        m = write_with_manifest(df, os.path.join(out_dir, name))
-        counts[name] = m["rows"]
+    try:
+        for name, df in [
+            ("enriched", enriched),
+            ("gaps", gaps),
+            ("sessions", sessions),
+            ("hourly", hourly),
+        ]:
+            m = write_with_manifest(df, os.path.join(out_dir, name))
+            counts[name] = m["rows"]
+    finally:
+        enriched.unpersist()
     return counts

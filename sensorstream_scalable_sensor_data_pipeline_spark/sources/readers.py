@@ -282,6 +282,16 @@ def read_text_docs(
 
     Whole-file mode is NOT splittable (one task per file — fine for
     documents, wrong for one giant file); line mode splits normally.
+
+    LINE-MODE ID CONTRACT: ids are CONTENT-keyed — md5 of
+    (path, line text, duplicate-occurrence index) — not position-
+    keyed. A physical line number would depend on how Spark split
+    the file into scan partitions (``monotonically_increasing_id``
+    does not follow file offsets across splits), so two runs with
+    different split planning would renumber the same line. Content
+    keys are split-invariant; among IDENTICAL duplicate lines the
+    occurrence index is arbitrary but the id MULTISET is stable —
+    interchangeable duplicates, stable joins.
     """
     if whole_file:
         # NB: the .option("wholetext", ...) spelling is silently
@@ -305,18 +315,23 @@ def read_text_docs(
                 F.col("value").alias("text"),
             )
             .withColumn(
-                "_line",
+                # disambiguates only IDENTICAL duplicate lines; see
+                # the line-mode id contract above
+                "_dup",
                 F.row_number().over(
-                    Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
+                    Window.partitionBy("path", "text").orderBy(
+                        F.monotonically_increasing_id()
+                    )
                 ),
             )
         )
-        id_src = F.concat_ws(":", F.col("path"), F.col("_line"))
-    out = df.select(
+        id_src = F.concat_ws(
+            ":", F.col("path"), F.md5(F.col("text")), F.col("_dup")
+        )
+    return df.select(
         F.conv(F.substring(F.md5(id_src), 1, 15), 16, 10)
         .cast("long")
         .alias("doc_id"),
         "path",
         "text",
     )
-    return out

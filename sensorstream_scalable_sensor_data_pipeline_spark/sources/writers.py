@@ -373,15 +373,6 @@ def write_jdbc(
     embedded DuckDB JDBC in tests."""
     if mode not in WRITE_MODES:
         raise ValueError(f"write mode must be one of {WRITE_MODES}, got {mode!r}")
-    if max_connections is not None:
-        if max_connections < 1:
-            raise ValueError("max_connections must be >= 1")
-        n = df.rdd.getNumPartitions()
-        df = (
-            df.coalesce(max_connections)
-            if n > max_connections
-            else df
-        )
     w = (
         df.write.format("jdbc")
         .mode(mode)
@@ -391,6 +382,12 @@ def write_jdbc(
         .option("user", user)
         .option("password", password)
     )
+    if max_connections is not None:
+        if max_connections < 1:
+            raise ValueError("max_connections must be >= 1")
+        # the JDBC source's own knob: it coalesces to this many
+        # partitions before writing — no manual rdd probing needed
+        w = w.option("numPartitions", str(int(max_connections)))
     if driver:
         w = w.option("driver", driver)
     w.save()

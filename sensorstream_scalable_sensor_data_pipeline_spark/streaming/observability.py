@@ -28,23 +28,49 @@ from pyspark.sql import DataFrame
 _mem_counter = itertools.count()
 
 
+#: Progress entries retained per query. Spark's default cap is 100 —
+#: a 150-trigger drain would silently lose the first 50 triggers'
+#: late-drop counts from the summary, which defeats the module.
+PROGRESS_RETENTION = 10_000
+
+
 def drain_with_progress(
     sdf: DataFrame, output_mode: str, await_seconds: int = 300
 ) -> tuple[DataFrame, list[dict]]:
     """drain_to_memory, plus the query's full progress history —
     (result table, [progress dict per trigger]). Memory-sink harness
-    path, same caveats as streaming/pipeline.py."""
-    name = f"ss_obs_{next(_mem_counter)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(await_seconds)
-    progress = [json.loads(p.json) for p in q.recentProgress]
-    return sdf.sparkSession.table(name), progress
+    path, same caveats as streaming/pipeline.py. The progress
+    retention conf is raised for the drain (and restored) so "full"
+    means full up to PROGRESS_RETENTION triggers; a drain exceeding
+    ``await_seconds`` raises rather than returning partial metrics
+    that understate the very losses this module exists to surface."""
+    spark = sdf.sparkSession
+    conf_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(PROGRESS_RETENTION))
+    try:
+        name = f"ss_obs_{next(_mem_counter)}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(await_seconds)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"drain still running after {await_seconds}s; partial "
+                "progress would understate late-drop metrics"
+            )
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark.table(name), progress
 
 
 def progress_summary(progress: list[dict[str, Any]]) -> dict[str, Any]:

@@ -78,3 +78,25 @@ def test_text_docs_whole_file_and_lines(spark, tmp_path):
     texts = sorted(r["text"] for r in lines.collect())
     assert texts == ["another document", "hello world", "second line"]
     assert lines.select("doc_id").distinct().count() == 3  # line-salted ids
+
+
+def test_text_line_ids_split_invariant(spark, tmp_path):
+    """Line-mode ids are content-keyed: re-reading under a different
+    split/parallelism plan yields the IDENTICAL id set (review-found:
+    positional numbering depended on scan-split order). Duplicate
+    identical lines keep distinct ids."""
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "dump.txt").write_text("\n".join(
+        ["alpha", "beta", "alpha", "gamma"] + [f"line{i}" for i in range(50)]
+    ))
+    a = read_text_docs(spark, str(d), whole_file=False)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try:
+        b = read_text_docs(spark, str(d), whole_file=False)
+        ids_b = sorted(r["doc_id"] for r in b.collect())
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert ids_a == ids_b
+    assert len(ids_a) == len(set(ids_a)) == 54
