@@ -258,3 +258,50 @@ def sample_temperature_mixture(
         df, key_col, strata_col, tokens_col, budgets, salt=salt, totals=totals
     )
     return out, rates, budgets
+
+
+def sample_per_group_weighted(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    weight_col: str,
+    salt: str | None = "wstratum",
+) -> DataFrame:
+    """EXACT weighted without-replacement sampling per group —
+    :func:`sample_per_group` with per-row inclusion probability
+    proportional to ``weight_col`` (quality scores, token counts):
+    the Efraimidis-Spirakis A-Res scheme: each row keyed by
+    ``ln(u)/w`` with u a DETERMINISTIC content-derived uniform, top-n
+    per group by that key. Same reproducibility contract as every
+    sampler here: re-runs, repartitions, and engines agree on the
+    picks because u comes from the salted md5 of the key, not an RNG.
+
+    Rows with weight ≤ 0 or NULL never win (key −∞ via a NULL sort
+    last). u is quantized to ~2^53 buckets of the md5 space — ties
+    are broken by the key column, so selection is total-ordered.
+    One keyed window (sample_per_group's cost class)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql import Window
+
+    s = F.col(key_col).cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(f"{salt}:"), s)
+    # uniform in (0, 1): 13 md5 hex digits = 52 bits, +0.5 keeps u>0
+    u = (
+        F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("double") + 0.5
+    ) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    es_key = F.when(w > 0, F.log(u) / w)  # larger is better (log u < 0)
+    ranked = df.withColumn("_es", es_key).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col("_es").desc_nulls_last(), F.col(key_col).asc()
+            )
+        ),
+    )
+    return ranked.filter(
+        F.col("_rk") <= n
+    ).filter(F.col("_es").isNotNull()).drop("_es", "_rk")

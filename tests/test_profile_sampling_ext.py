@@ -150,3 +150,72 @@ def test_histogram_all_null_column_clear_error(spark):
     # explicit bounds still work over an all-NULL column: empty bins
     out = histogram_fixed(df, "x", 4, 0.0, 1.0).collect()
     assert [r["n"] for r in out] == [0, 0, 0, 0]
+
+
+# ---------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_matches_oracle(spark, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        sample_per_group_weighted,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in sample_per_group_weighted(
+            ev, "user_id", "event_id", 8, "value"
+        ).collect()
+    }
+    want = {
+        (u, e)
+        for u, e in duck(f"""
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY es DESC NULLS LAST, event_id
+                     ) AS rk, es
+              FROM (
+                SELECT user_id, event_id,
+                       CASE WHEN CAST(value AS DOUBLE) > 0 THEN
+                         ln((CAST(CAST(('0x' || substr(md5('wstratum:' ||
+                               CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                             AS DOUBLE) + 0.5) / 4503599627370496.0)
+                          / CAST(value AS DOUBLE)
+                       END AS es
+                FROM read_parquet('{EV}')
+              )
+            ) WHERE rk <= 8 AND es IS NOT NULL
+        """)
+    }
+    assert got == want
+
+
+def test_weighted_sample_properties(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        sample_per_group_weighted,
+    )
+
+    rows = [(1, i, 1000.0 if i < 5 else 0.001) for i in range(50)]
+    rows += [(1, 100, 0.0), (1, 101, None)]  # never selectable
+    df = spark.createDataFrame(rows, "g long, k long, w double")
+    out = sample_per_group_weighted(df, "g", "k", 10, "w")
+    ks = {r["k"] for r in out.collect()}
+    assert len(ks) == 10
+    assert {0, 1, 2, 3, 4} <= ks  # heavy weights dominate the sample
+    assert 100 not in ks and 101 not in ks  # zero/NULL weight excluded
+    # deterministic under repartition
+    again = {
+        r["k"]
+        for r in sample_per_group_weighted(
+            df.repartition(7), "g", "k", 10, "w"
+        ).collect()
+    }
+    assert again == ks
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_per_group_weighted(df, "g", "k", 0, "w")
