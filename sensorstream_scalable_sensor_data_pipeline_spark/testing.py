@@ -108,3 +108,39 @@ def assert_wholestage_codegen(df: DataFrame) -> None:
     # operator prefix, depending on plan format
     if "WholeStageCodegen" not in p and not re.search(r"\*\(\d+\)", p):
         _fail("no WholeStageCodegen span in executed plan", p)
+
+
+def plan_digest(df: DataFrame) -> dict:
+    """Machine-readable plan summary — what a CI job logs next to a
+    pipeline's results so plan REGRESSIONS show up in history even
+    when no assertion fires: Exchange count, join operators by type,
+    scans with their pushed-filter strings, whether any nested-loop
+    join is present. Reads the same executed-plan string as the
+    assertions (pre-execution under AQE: structure, not runtime
+    stats)."""
+    p = _plan(df)
+    joins: dict[str, int] = {}
+    for jt in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        c = p.count(jt)
+        if c:
+            joins[jt] = c
+    scans = []
+    for seg in p.split("PushedFilters: [")[1:]:
+        scans.append(seg.split("]", 1)[0])
+    return {
+        "exchanges": sum(
+            1
+            for line in p.splitlines()
+            if line.lstrip("+-: *(0123456789) ").startswith("Exchange")
+        ),
+        "joins": joins,
+        "pushed_filters": scans,
+        "has_nested_loop": "BroadcastNestedLoopJoin" in p
+        or "CartesianProduct" in p,
+    }

@@ -57,3 +57,22 @@ def test_broadcast_and_codegen(spark, sf_dir):
     plain = sup.select("s_suppkey")
     with pytest.raises(PlanAssertionError, match="Broadcast"):
         assert_broadcast_join(plain)
+
+
+def test_plan_digest(spark, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.testing import plan_digest
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    d = plan_digest(
+        sup.filter(F.col("s_acctbal") > 0).join(
+            F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+        )
+    )
+    assert d["joins"].get("BroadcastHashJoin") == 1
+    assert not d["has_nested_loop"]
+    assert any("s_acctbal" in f for f in d["pushed_filters"])
+    d2 = plan_digest(sup.crossJoin(nat))
+    assert d2["has_nested_loop"]
+    d3 = plan_digest(sup.groupBy("s_nationkey").count())
+    assert d3["exchanges"] >= 1
