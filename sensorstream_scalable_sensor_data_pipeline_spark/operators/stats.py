@@ -7,11 +7,18 @@ together?").
   time (``regr_slope``/``regr_intercept``/``regr_r2`` — Catalyst
   aggregates since Spark 3.3): sensor drift in units/second from ONE
   map-side-combined aggregate pass. The gradual-degradation signal a
-  z-score cannot see (a slow drift never spikes).
+  z-score cannot see (a slow drift never spikes). The
+  ``min_points`` gate counts COMPLETE (time, value) pairs
+  (``regr_count``) — rows the fit actually used, not raw rows.
 * :func:`corr_matrix` — pairwise Pearson correlation over N columns
-  in ONE aggregate pass (N·(N−1)/2 ``corr`` expressions — the
-  profile_numeric discipline: never one job per pair), long-format
-  output (col_a, col_b, corr, n).
+  in ONE aggregate pass (the profile_numeric discipline: never one
+  job per pair), long-format output (col_a, col_b, corr, n).
+  PAIRWISE-COMPLETE semantics throughout: every moment — covariance,
+  BOTH standard deviations, and the reported ``n`` — is computed
+  over rows where both columns are non-null, matching Spark's and
+  DuckDB's native ``corr`` (per-column stddevs over each column's
+  own non-null rows would silently disagree with them whenever data
+  has holes).
 
 NUMERIC HONESTY: unlike the engine's grid-exact sums, covariance
 aggregates are plain double moments — partition-order ulp drift is
@@ -37,27 +44,19 @@ def trend_per_key(
     min_points: int = 3,
 ) -> DataFrame:
     """(key, n, slope_per_s, intercept, r2, t_start, t_end): the OLS
-    fit of ``value_col`` against epoch-seconds per key. Keys with
-    fewer than ``min_points`` readings (or zero time variance —
+    fit of ``value_col`` against epoch-seconds per key. ``n`` is the
+    complete-pair count the fit used. Keys with fewer than
+    ``min_points`` complete pairs (or zero time variance —
     all-simultaneous readings) return NULL fit fields rather than
     dropping out: the report stays complete, the alert filters on
     ``slope_per_s IS NOT NULL``."""
     t = F.unix_micros(F.col(time_col)).cast("double") / F.lit(1_000_000.0)
     v = F.col(value_col).cast("double")
     agg = readings.groupBy(on).agg(
-        F.count(v).alias("n"),
-        F.expr(
-            f"regr_slope(CAST({value_col} AS DOUBLE), "
-            f"CAST(unix_micros({time_col}) AS DOUBLE) / 1000000.0)"
-        ).alias("_slope"),
-        F.expr(
-            f"regr_intercept(CAST({value_col} AS DOUBLE), "
-            f"CAST(unix_micros({time_col}) AS DOUBLE) / 1000000.0)"
-        ).alias("_icept"),
-        F.expr(
-            f"regr_r2(CAST({value_col} AS DOUBLE), "
-            f"CAST(unix_micros({time_col}) AS DOUBLE) / 1000000.0)"
-        ).alias("_r2"),
+        F.regr_count(v, t).alias("n"),
+        F.regr_slope(v, t).alias("_slope"),
+        F.regr_intercept(v, t).alias("_icept"),
+        F.regr_r2(v, t).alias("_r2"),
         F.min(time_col).alias("t_start"),
         F.max(time_col).alias("t_end"),
     )
@@ -76,32 +75,38 @@ def trend_per_key(
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Long-format Pearson correlation matrix over ``cols``: one row
     per unordered pair (col_a < col_b by list order) — (col_a, col_b,
-    corr, n). ONE aggregate pass computes every pair; ``corr`` is
-    NULL when either side is constant (zero variance) — restored via
-    guarded moments because ANSI-mode ``corr`` raises instead."""
+    corr, n) with ``n`` the pair's complete-row count. ONE aggregate
+    pass computes every pair; ``corr`` is NULL when either side is
+    constant over the complete rows (zero variance) — via guarded
+    moments, because ANSI-mode ``corr`` raises divide-by-zero there
+    instead of returning NULL (found by test)."""
     if len(cols) < 2:
         raise ValueError("need at least two columns")
     if len(set(cols)) != len(cols):
         raise ValueError("duplicate columns")
     pairs = list(combinations(cols, 2))
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs = []
     for i, (a, b) in enumerate(pairs):
         ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
-        sa, sb = F.stddev_samp(ca), F.stddev_samp(cb)
-        # corr from guarded moments: the session runs ANSI mode, where
-        # Spark's corr() raises divide-by-zero on a constant column
-        # instead of returning NULL — the guard restores the
-        # NULL-on-zero-variance semantics DuckDB (and the docstring)
-        # promise (found by test)
+        both = ca.isNotNull() & cb.isNotNull()
+        # pairwise-complete masking: stddevs and counts must use the
+        # SAME row set as the covariance (which skips incomplete pairs
+        # natively) or the ratio is not Pearson r (review-found: a
+        # lone value opposite a NULL inflated one stddev and broke
+        # parity with native corr)
+        ma, mb = F.when(both, ca), F.when(both, cb)
+        sa, sb = F.stddev_samp(ma), F.stddev_samp(mb)
         aggs.append(
             F.when(
                 (sa > 0) & (sb > 0), F.covar_samp(ca, cb) / (sa * sb)
             ).alias(f"_c{i}")
         )
+        aggs.append(F.count(ma).alias(f"_n{i}"))
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
     out = [
-        (a, b, row[f"_c{i}"], row["_n"]) for i, (a, b) in enumerate(pairs)
+        (a, b, row[f"_c{i}"], row[f"_n{i}"])
+        for i, (a, b) in enumerate(pairs)
     ]
     return spark.createDataFrame(
         out, "col_a string, col_b string, corr double, n long"

@@ -1,13 +1,12 @@
 """Trend fits and correlation matrices (operators/stats.py) vs DuckDB
 regr_*/corr oracles (1e-9 relative tolerance — double moments drift
-by ulps between engines by design; see module docstring)."""
+by ulps between engines by design; see module docstring). Uses the
+conftest ``duck`` fixture (UTC-pinned, same views as the driver)."""
 
 from __future__ import annotations
 
 import datetime as dt
-import os
 
-import duckdb
 import pytest
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.stats import (
@@ -16,18 +15,6 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.stats import (
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-EV = os.path.join(SF_DIR, "events.parquet")
-LI = os.path.join(SF_DIR, "lineitem.parquet")
-
-
-def duck(sql):
-    con = duckdb.connect()
-    try:
-        return con.execute(sql).fetchall()
-    finally:
-        con.close()
-
 
 def rel_close(a, b, tol=1e-9):
     if a is None or b is None:
@@ -35,7 +22,7 @@ def rel_close(a, b, tol=1e-9):
     return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
 
 
-def test_trend_matches_duckdb(spark, sf_dir):
+def test_trend_matches_duckdb(spark, duck, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     got = {
         r["user_id"]: (r["n"], r["slope_per_s"], r["intercept"], r["r2"])
@@ -43,13 +30,13 @@ def test_trend_matches_duckdb(spark, sf_dir):
     }
     want = {
         int(u): (int(n), s, i, r2)
-        for u, n, s, i, r2 in duck(f"""
-            SELECT user_id, count(value),
+        for u, n, s, i, r2 in duck.execute("""
+            SELECT user_id, regr_count(CAST(value AS DOUBLE), epoch_us(ts) / 1000000.0),
                    regr_slope(CAST(value AS DOUBLE), epoch_us(ts) / 1000000.0),
                    regr_intercept(CAST(value AS DOUBLE), epoch_us(ts) / 1000000.0),
                    regr_r2(CAST(value AS DOUBLE), epoch_us(ts) / 1000000.0)
-            FROM read_parquet('{EV}') GROUP BY user_id
-        """)
+            FROM events GROUP BY user_id
+        """).fetchall()
     }
     assert set(got) == set(want)
     for u in want:
@@ -77,7 +64,23 @@ def test_trend_detects_planted_drift(spark):
     assert r["n"] == 2 and r["slope_per_s"] is None
 
 
-def test_corr_matrix_matches_duckdb(spark, sf_dir):
+def test_trend_min_points_counts_complete_pairs(spark):
+    """A NULL timestamp (or value) row does not count toward
+    min_points: regr_count gates on the pairs the fit actually used
+    (review-found: a 2-point degenerate fit passed as 3 rows)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(hours=1), 2.0),
+        (1, None, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    r = trend_per_key(df, "k", "ts", "v", min_points=3).collect()[0]
+    assert r["n"] == 2  # complete pairs, not raw rows
+    assert r["slope_per_s"] is None and r["r2"] is None
+
+
+def test_corr_matrix_matches_duckdb(spark, duck, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     got = {
@@ -90,10 +93,11 @@ def test_corr_matrix_matches_duckdb(spark, sf_dir):
         ("l_extendedprice", "l_discount"),
     }
     for (a, b), (c, n) in got.items():
-        w = duck(
-            f"SELECT corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), count(*)"
-            f" FROM read_parquet('{LI}')"
-        )[0]
+        w = duck.execute(
+            f"SELECT corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), "
+            f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END) "
+            "FROM lineitem"
+        ).fetchone()
         assert rel_close(c, w[0]), (a, b)
         assert n == w[1]
     with pytest.raises(ValueError):
@@ -102,9 +106,23 @@ def test_corr_matrix_matches_duckdb(spark, sf_dir):
         corr_matrix(li, ["l_quantity", "l_quantity"])
 
 
+def test_corr_pairwise_complete_with_nulls(spark):
+    """NULL holes: moments and n use only complete pairs — the lone
+    x=100 opposite a NULL y must not inflate stddev(x) (review-found:
+    per-column stddevs gave 0.02 where native corr says 1.0)."""
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (100.0, None)],
+        "x double, y double",
+    )
+    r = corr_matrix(df, ["x", "y"]).collect()[0]
+    assert r["corr"] == pytest.approx(1.0, rel=1e-9)
+    assert r["n"] == 3
+
+
 def test_corr_constant_column_null(spark):
     df = spark.createDataFrame(
         [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
     )
     r = corr_matrix(df, ["x", "y"]).collect()[0]
     assert r["corr"] is None  # zero variance -> NULL, engine semantics
+    assert r["n"] == 3
