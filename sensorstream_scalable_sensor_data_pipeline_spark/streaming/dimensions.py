@@ -153,3 +153,63 @@ def stream_scd2_maintain(
             "dimension left consistent at the last completed batch"
         )
     return spark.read.parquet(dim_dir)
+
+
+def stream_merge_upsert(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str,
+    checkpoint: str,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """The fact-table counterpart of :func:`stream_scd2_maintain`:
+    a change stream upserts into a partitioned parquet table via
+    ``sources/merge.py::merge_upsert`` per micro-batch — CDC into the
+    current-state table, cost per batch ∝ touched partitions.
+
+    Each batch collapses to its newest row per key by ``order_col``
+    (ties → the full row struct, deterministic) before merging.
+    Idempotency under at-least-once redelivery is algebraic, like the
+    SCD2 sink: re-merging rows that already won produces the
+    identical partitions. The partition-stability contract of
+    merge_upsert applies (keys must not move partitions; see its
+    docstring for the moving-keys variant)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cols = [c for c in batch_df.columns]
+        payload = [c for c in cols if c not in key_cols]
+        latest = (
+            batch_df.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*payload),
+                    F.struct(F.col(order_col), F.struct(*payload)),
+                ).alias("_p")
+            )
+            .select(*key_cols, *[F.col("_p")[c].alias(c) for c in payload])
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+            merge_upsert,
+        )
+
+        merge_upsert(spark, table_path, latest, key_cols, partition_col)
+
+    q = (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(await_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"upsert drain still running after {await_seconds}s; table "
+            "left consistent at the last completed batch"
+        )
+    return spark.read.parquet(table_path)

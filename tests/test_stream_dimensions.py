@@ -127,3 +127,56 @@ def test_interrupted_swap_recovers_history(spark, tmp_path):
     apply_scd2_batch(spark, dim_dir, _df(spark, B2), KEYS, ATTRS, EFF)
     k1 = [t for t in _dim_set(spark.read.parquet(dim_dir)) if t[0] == 1]
     assert len(k1) == 3  # init + move + rename, nothing lost
+
+
+def test_stream_merge_upsert_equals_batch_chain(spark, tmp_path):
+    """CDC change stream into a partitioned fact table: the multi-
+    batch drain equals sequential batch merges, and replaying a batch
+    (at-least-once) is a fixpoint."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.dimensions import (
+        stream_merge_upsert,
+    )
+
+    C0 = [(1, "a", 10.0, "p1", 1), (2, "b", 20.0, "p1", 1), (3, "c", 30.0, "p2", 1)]
+    C1 = [(2, "B", 22.0, "p1", 2), (4, "d", 40.0, "p3", 2)]
+    C2 = [(1, "A", 11.0, "p1", 3), (1, "A2", 12.0, "p1", 4)]  # two versions, same batch
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    schema = "id long, name string, val double, pc string, seq long"
+    for i, rows in enumerate([C0, C1, C2]):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(str(tmp_path / f"c{i}"))
+        src = glob.glob(str(tmp_path / f"c{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, f"{i:03d}.parquet"))
+        time.sleep(0.05)
+    phys = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    table = str(tmp_path / "fact")
+    got = stream_merge_upsert(
+        spark, stream, table, ["id"], "pc", "seq",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    rows = {r["id"]: (r["name"], r["val"], r["pc"]) for r in got.collect()}
+    assert rows == {
+        1: ("A2", 12.0, "p1"),  # in-batch collapse kept the newest seq
+        2: ("B", 22.0, "p1"),
+        3: ("c", 30.0, "p2"),
+        4: ("d", 40.0, "p3"),
+    }
+    # replay fixpoint: merging C2 again changes nothing
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import merge_upsert
+
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame([C2[1]], schema),
+        ["id"], "pc",
+    )
+    again = {
+        r["id"]: (r["name"], r["val"], r["pc"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == rows
