@@ -172,3 +172,59 @@ def expect_references(
         col,
         "left_anti",
     )
+
+
+def expect_schema(
+    df: DataFrame,
+    expected_ddl: str,
+    ignore_order: bool = True,
+) -> None:
+    """Schema-contract gate: raise naming every missing / unexpected /
+    retyped column when ``df`` deviates from the DDL string (e.g.
+    ``"id BIGINT, value DOUBLE"``). ``ignore_order`` compares as a
+    set (column order is presentation, not contract, for columnar
+    formats); pass False to pin order too. Pure driver-side metadata —
+    no job runs."""
+    from pyspark.sql.types import StructType
+
+    expected = StructType.fromDDL(expected_ddl)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    problems = []
+    for name in want:
+        if name not in got:
+            problems.append(f"missing column {name}")
+        elif got[name] != want[name]:
+            problems.append(f"{name}: {got[name]} != expected {want[name]}")
+    for name in got:
+        if name not in want:
+            problems.append(f"unexpected column {name}")
+    if not problems and not ignore_order:
+        go = [f.name for f in df.schema.fields]
+        wo = [f.name for f in expected.fields]
+        if go != wo:
+            problems.append(f"column order {go} != expected {wo}")
+    if problems:
+        raise ValueError("schema gate failed: " + "; ".join(problems))
+
+
+def expect_freshness(
+    df: DataFrame,
+    time_col: str,
+    max_age_seconds: int,
+    now,
+) -> None:
+    """Staleness gate: raise when the newest ``time_col`` value is
+    older than ``max_age_seconds`` before ``now`` (a datetime the
+    CALLER supplies — an explicit clock keeps runs replayable and
+    tests deterministic), or when the frame is empty (no data is the
+    stalest data). One scalar MAX aggregate."""
+    newest = df.agg(F.max(time_col).alias("m")).collect()[0]["m"]
+    if newest is None:
+        raise ValueError(f"freshness gate failed: no rows / all-NULL {time_col}")
+    age = (now - newest).total_seconds()
+    if age > max_age_seconds:
+        raise ValueError(
+            f"freshness gate failed: newest {time_col} is {age:.0f}s old "
+            f"(limit {max_age_seconds}s)"
+        )

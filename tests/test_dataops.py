@@ -167,3 +167,40 @@ def test_empty_frame_passes_gate(spark):
     ).collect()
     assert all(r["n_rows"] == 0 and r["n_violations"] == 0 and r["passed"] for r in rep)
     expect_or_raise(df, [expect_not_null("v")])  # no raise
+
+
+def test_expect_schema_gate(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dataops import (
+        expect_schema,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, value double")
+    expect_schema(df, "id BIGINT, value DOUBLE")  # passes
+    expect_schema(df, "value DOUBLE, id BIGINT")  # order-insensitive
+    with pytest.raises(ValueError, match="order"):
+        expect_schema(df, "value DOUBLE, id BIGINT", ignore_order=False)
+    with pytest.raises(ValueError, match="missing column extra"):
+        expect_schema(df, "id BIGINT, value DOUBLE, extra STRING")
+    with pytest.raises(ValueError, match="value: double != expected int"):
+        expect_schema(df, "id BIGINT, value INT")
+    with pytest.raises(ValueError, match="unexpected column value"):
+        expect_schema(df, "id BIGINT")
+
+
+def test_expect_freshness_gate(spark):
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dataops import (
+        expect_freshness,
+    )
+
+    now = dt.datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 23, 0, 0))], "id long, ts timestamp"
+    )
+    expect_freshness(df, "ts", 2 * 3600, now)  # 1h old, limit 2h
+    with pytest.raises(ValueError, match="3600s old"):
+        expect_freshness(df, "ts", 1800, now)
+    empty = spark.createDataFrame([], "id long, ts timestamp")
+    with pytest.raises(ValueError, match="no rows"):
+        expect_freshness(empty, "ts", 3600, now)
