@@ -185,12 +185,20 @@ def expect_schema(
     set (column order is presentation, not contract, for columnar
     formats); pass False to pin order too. Pure driver-side metadata —
     no job runs."""
+    from collections import Counter
+
     from pyspark.sql.types import StructType
 
     expected = StructType.fromDDL(expected_ddl)
+    problems = []
+    # duplicate names (post-join frames) would silently collapse in a
+    # dict and slip past the gate (review-found) — catch them first
+    name_counts = Counter(f.name for f in df.schema.fields)
+    for name, c in sorted(name_counts.items()):
+        if c > 1:
+            problems.append(f"duplicate column {name} (x{c})")
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     want = {f.name: f.dataType.simpleString() for f in expected.fields}
-    problems = []
     for name in want:
         if name not in got:
             problems.append(f"missing column {name}")
@@ -218,13 +226,26 @@ def expect_freshness(
     older than ``max_age_seconds`` before ``now`` (a datetime the
     CALLER supplies — an explicit clock keeps runs replayable and
     tests deterministic), or when the frame is empty (no data is the
-    stalest data). One scalar MAX aggregate."""
-    newest = df.agg(F.max(time_col).alias("m")).collect()[0]["m"]
-    if newest is None:
+    stalest data). One scalar MAX aggregate.
+
+    The age is computed INSIDE Spark (``unix_micros`` of both sides),
+    never by subtracting a collected timestamp on the driver: a
+    collected TimestampType converts through the driver's OS
+    timezone, which skews the age by the UTC offset, and a tz-aware
+    ``now`` would TypeError against the naive result (review-found).
+    ``now`` may be tz-aware (exact instant) or naive (interpreted in
+    the Spark session timezone — UTC under this engine's session)."""
+    row = df.agg(
+        F.max(time_col).alias("m"),
+        (
+            (F.unix_micros(F.lit(now)) - F.unix_micros(F.max(time_col)))
+            / F.lit(1_000_000.0)
+        ).alias("age_s"),
+    ).collect()[0]
+    if row["m"] is None:
         raise ValueError(f"freshness gate failed: no rows / all-NULL {time_col}")
-    age = (now - newest).total_seconds()
-    if age > max_age_seconds:
+    if row["age_s"] > max_age_seconds:
         raise ValueError(
-            f"freshness gate failed: newest {time_col} is {age:.0f}s old "
-            f"(limit {max_age_seconds}s)"
+            f"freshness gate failed: newest {time_col} is "
+            f"{row['age_s']:.0f}s old (limit {max_age_seconds}s)"
         )

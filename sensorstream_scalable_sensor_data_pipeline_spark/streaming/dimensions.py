@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+    merge_upsert,
     scd2_apply,
     scd2_init,
 )
@@ -137,22 +138,28 @@ def stream_scd2_maintain(
             spark, dim_dir, batch_df, key_cols, attr_cols, effective_col
         )
 
+    _drain(changes, _apply, checkpoint, await_seconds, "scd2")
+    return spark.read.parquet(dim_dir)
+
+
+def _drain(changes: DataFrame, apply_fn, checkpoint: str, await_seconds: int, label: str) -> None:
+    """Shared bounded-drain protocol for the foreachBatch sinks: start,
+    await, and on overrun STOP + RAISE rather than letting the caller
+    read mid-maintenance state (the reviewer-found ignored-timeout
+    class, fixed once here for both sinks)."""
     q = (
-        changes.writeStream.foreachBatch(_apply)
+        changes.writeStream.foreachBatch(apply_fn)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     finished = q.awaitTermination(await_seconds)
     if not finished:
-        # never hand back a mid-maintenance dimension: stop the drain
-        # and surface the overrun instead of returning partial state
         q.stop()
         raise TimeoutError(
-            f"scd2 drain still running after {await_seconds}s; "
-            "dimension left consistent at the last completed batch"
+            f"{label} drain still running after {await_seconds}s; "
+            "output left consistent at the last completed batch"
         )
-    return spark.read.parquet(dim_dir)
 
 
 def stream_merge_upsert(
@@ -164,52 +171,54 @@ def stream_merge_upsert(
     order_col: str,
     checkpoint: str,
     await_seconds: int = 300,
+    keys_move_partitions: bool = False,
 ) -> DataFrame:
     """The fact-table counterpart of :func:`stream_scd2_maintain`:
     a change stream upserts into a partitioned parquet table via
     ``sources/merge.py::merge_upsert`` per micro-batch — CDC into the
     current-state table, cost per batch ∝ touched partitions.
 
-    Each batch collapses to its newest row per key by ``order_col``
-    (ties → the full row struct, deterministic) before merging.
-    Idempotency under at-least-once redelivery is algebraic, like the
-    SCD2 sink: re-merging rows that already won produces the
-    identical partitions. The partition-stability contract of
-    merge_upsert applies (keys must not move partitions; see its
-    docstring for the moving-keys variant)."""
+    ORDERING ACROSS BATCHES: each batch collapses to its newest row
+    per key by ``order_col`` (:func:`latest_per_key` — ties resolve
+    on the full payload struct), and the survivors are then compared
+    against the TABLE's current rows for the same keys — an older
+    event redelivered or arriving late in a LATER batch can never
+    regress a key to stale state (a bare replace would; reviewer-
+    found). That comparison is one partition-pruned, key-semi-joined
+    read — the same touched-partition cost class as the merge
+    itself. Replay idempotency follows: re-merging rows that already
+    won changes nothing. ``keys_move_partitions`` passes through to
+    merge_upsert (its partition-stability contract applies)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cols = [c for c in batch_df.columns]
-        payload = [c for c in cols if c not in key_cols]
-        latest = (
-            batch_df.groupBy(*key_cols)
-            .agg(
-                F.max_by(
-                    F.struct(*payload),
-                    F.struct(F.col(order_col), F.struct(*payload)),
-                ).alias("_p")
+        payload = [c for c in batch_df.columns if c not in key_cols]
+        attrs = [c for c in payload if c != order_col]
+        latest = latest_per_key(batch_df, key_cols, attrs, order_col)
+        if os.path.exists(table_path):
+            current = (
+                spark.read.parquet(table_path)
+                .join(
+                    F.broadcast(latest.select(*key_cols).distinct()),
+                    key_cols,
+                    "left_semi",
+                )
+                .select(*latest.columns)
             )
-            .select(*key_cols, *[F.col("_p")[c].alias(c) for c in payload])
-        )
-        from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
-            merge_upsert,
+            winners = latest_per_key(
+                current.unionByName(latest), key_cols, attrs, order_col
+            )
+        else:
+            winners = latest
+        merge_upsert(
+            spark,
+            table_path,
+            winners,
+            key_cols,
+            partition_col,
+            keys_move_partitions=keys_move_partitions,
         )
 
-        merge_upsert(spark, table_path, latest, key_cols, partition_col)
-
-    q = (
-        changes.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(await_seconds)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"upsert drain still running after {await_seconds}s; table "
-            "left consistent at the last completed batch"
-        )
+    _drain(changes, _apply, checkpoint, await_seconds, "merge-upsert")
     return spark.read.parquet(table_path)

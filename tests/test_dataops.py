@@ -204,3 +204,31 @@ def test_expect_freshness_gate(spark):
     empty = spark.createDataFrame([], "id long, ts timestamp")
     with pytest.raises(ValueError, match="no rows"):
         expect_freshness(empty, "ts", 3600, now)
+
+
+def test_expect_schema_duplicate_columns_flagged(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dataops import (
+        expect_schema,
+    )
+
+    a = spark.createDataFrame([(1, 2.0)], "id long, value double")
+    b = spark.createDataFrame([(1, "x")], "id long, name string")
+    joined = a.join(b, a.id == b.id)  # carries id twice
+    with pytest.raises(ValueError, match="duplicate column id"):
+        expect_schema(joined, "id BIGINT, value DOUBLE, name STRING")
+
+
+def test_expect_freshness_aware_now(spark):
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dataops import (
+        expect_freshness,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 23, 0, 0))], "id long, ts timestamp"
+    )
+    aware_now = dt.datetime(2024, 1, 2, 0, 0, 0, tzinfo=dt.timezone.utc)
+    expect_freshness(df, "ts", 2 * 3600, aware_now)  # aware clock works
+    with pytest.raises(ValueError, match="3600s old"):
+        expect_freshness(df, "ts", 1800, aware_now)

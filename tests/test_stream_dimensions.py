@@ -180,3 +180,38 @@ def test_stream_merge_upsert_equals_batch_chain(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert again == rows
+
+
+def test_stream_merge_upsert_late_batch_cannot_regress(spark, tmp_path):
+    """A stale event redelivered in a LATER batch (at-least-once /
+    cross-batch disorder) must not overwrite the newer table state —
+    the winners are chosen against the table, not just within the
+    batch (review-found)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.dimensions import (
+        stream_merge_upsert,
+    )
+
+    schema = "id long, name string, val double, pc string, seq long"
+    NEW = [(1, "new", 99.0, "p1", 10)]
+    STALE = [(1, "old", 1.0, "p1", 3)]  # lower seq arrives LATER
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate([NEW, STALE]):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(str(tmp_path / f"c{i}"))
+        src = glob.glob(str(tmp_path / f"c{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, f"{i:03d}.parquet"))
+        time.sleep(0.05)
+    phys = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    got = stream_merge_upsert(
+        spark, stream, str(tmp_path / "fact"), ["id"], "pc", "seq",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    rows = got.collect()
+    assert len(rows) == 1
+    assert (rows[0]["name"], rows[0]["val"], rows[0]["seq"]) == ("new", 99.0, 10)
