@@ -117,6 +117,13 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.text",
         "curate_training_corpus",
     ),
+    # Round 8: q6 rotated out of the 50-slot driver registry (its slot
+    # now carries the temporal family) but stays a HEADLINE head for
+    # round-over-round comparability — resolved directly.
+    "q6_forecast_revenue": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.analytics",
+        "q6_forecast_revenue",
+    ),
     "asof_join": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
         "asof_join_head",

@@ -28,4 +28,10 @@ from sensorstream_scalable_sensor_data_pipeline_spark.plans import analytics  # 
 from sensorstream_scalable_sensor_data_pipeline_spark.plans import text  # noqa: E402,F401
 from sensorstream_scalable_sensor_data_pipeline_spark.plans import dedup  # noqa: E402,F401
 
+# Round-8 rotation (r7 verdict task #1): the temporal-join family's
+# driver slots, freed by deregistering redundant relational/analytics
+# entries. Registered last so the 47 carried entries keep their r1-r7
+# registration positions.
+from sensorstream_scalable_sensor_data_pipeline_spark.plans import temporal  # noqa: E402,F401
+
 __all__ = ["all_queries", "all_oracles", "get"]

@@ -151,9 +151,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q6_forecast_revenue",
-    oracle=f"""
+#: q6's oracle, kept importable for the rotated-slot local suite
+#: (tests/test_queries_vs_oracle.py) after the round-8 registry
+#: rotation (r7 verdict task #1).
+Q6_FORECAST_REVENUE_ORACLE = f"""
     SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -161,14 +162,22 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    """,
-)
+    """
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: selective filters + ungrouped aggregate — the
     purest pushdown test. All four predicates reach the parquet scan
     (row-group min/max skipping on l_shipdate), the partial aggregate
     reduces each task to one row, and the exchange carries exactly
-    #partitions rows. At 100 TB this is I/O-bound scan, nothing else."""
+    #partitions rows. At 100 TB this is I/O-bound scan, nothing else.
+
+    Rotated OUT of the 50-slot driver registry in round 8 (r7 verdict
+    task #1): its filter+scalar-agg semantics stay driver-covered by
+    ``p4_p5_filters``/``p6_range_cutoff``/``a1_a3_a4_scalar_aggs``,
+    and it remains a bench HEADLINE head (resolved via EXTRA_HEADS)
+    plus locally oracle-pinned. The freed slot carries the
+    temporal-join family (plans/temporal.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     f = li.filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))

@@ -222,18 +222,15 @@ def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi_filter(ev, keys, "user_id").select("event_id", "user_id")
 
 
-@query(
-    "j_multi_hop_enrich",
-    oracle="""
-    SELECT c.c_custkey, n.n_name, r.r_name
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
-)
 def j_multi_hop_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 chained: two-hop dimension enrichment, both hops broadcast —
-    a snowflaked TAGS analog."""
+    a snowflaked TAGS analog.
+
+    Rotated OUT of the 50-slot driver registry in round 8 (r7 verdict
+    task #1): J1/J2 stay driver-covered by ``j1_broadcast_enrich``;
+    the freed slot carries the temporal-join family
+    (plans/temporal.py). Still oracle-pinned locally by
+    tests/test_queries_vs_oracle.py's rotated-slot suite."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -325,20 +322,16 @@ def a2_d1_d2_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_dedup(key_dedup(ev, ["user_id", "event_type"]))
 
 
-@query(
-    "d1_dedup_deterministic",
-    oracle="""
-    SELECT user_id, ts, event_id FROM (
-      SELECT user_id, ts, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
 def d1_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 deterministic variant: latest reading per sensor via
     struct-max aggregation (one shuffle, defined survivor) — what the
-    engine uses wherever reproducibility matters."""
+    engine uses wherever reproducibility matters.
+
+    Rotated OUT of the 50-slot driver registry in round 8 (r7 verdict
+    task #1): D1 stays driver-covered by ``a2_d1_d2_distinct_dedup``;
+    the freed slot carries the temporal-join family
+    (plans/temporal.py). Still oracle-pinned locally by
+    tests/test_queries_vs_oracle.py's rotated-slot suite."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return key_dedup_deterministic(ev, ["user_id"], "ts", keep="max")
 

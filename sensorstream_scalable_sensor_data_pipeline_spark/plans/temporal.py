@@ -50,6 +50,7 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
     rate_of_change,
     resample_locf,
 )
+from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
 
@@ -202,6 +203,111 @@ def rate_of_change_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.abs(F.col("rate_per_s"))).alias("mean_abs_rate"),
         F.max(F.abs(F.col("rate_per_s"))).alias("max_abs_rate"),
     )
+
+
+# --- driver-registry entries (round-8 rotation, r7 verdict task #1) ---
+#
+# The temporal-join family is the most user-load-bearing extension
+# without a CORRECTNESS row; these three slots were freed by
+# deregistering redundant entries (`d1_dedup_deterministic`,
+# `j_multi_hop_enrich`, `q6_forecast_revenue` — each still covered by
+# another driver row for its §2 semantics and oracle-pinned locally).
+# The registered shapes mirror tests/test_asof.py's DuckDB-native
+# ASOF/BETWEEN oracles exactly, so driver and local suite exercise one
+# workload. Bench heads above keep their summary-aggregate consumption
+# shape (measurement honesty); driver rows return the raw joined
+# columns the value-hash compares.
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, ts, value FROM events),
+    calib AS (
+      SELECT user_id, ts, max(value) AS calib_value
+      FROM events WHERE event_id % 97 = 0 GROUP BY user_id, ts
+    )
+    SELECT l.event_id, r.calib_value
+    FROM ev l ASOF LEFT JOIN calib r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (latest-state) join: every reading enriched with the most
+    recent calibration state at-or-before its timestamp — the temporal
+    generalization of the reference's broadcast enrichment join
+    (main_pipeline.py:196). One keyed window shuffle, no inequality
+    join; oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``."""
+    ev = _events(spark, sf_dir)
+    return asof_join(
+        ev, _calib_state(ev), on="user_id", time_col="ts",
+        value_cols=["calib_value"],
+    ).select("event_id", "calib_value")
+
+
+@query(
+    "range_join",
+    oracle="""
+    WITH wins AS (
+      SELECT event_id AS win_id, user_id, ts AS start_ts,
+             ts + INTERVAL 6 HOUR AS end_ts
+      FROM events WHERE event_id % 151 = 0
+    )
+    SELECT l.event_id, w.win_id
+    FROM events l JOIN wins w
+      ON l.user_id = w.user_id
+     AND l.ts >= w.start_ts AND l.ts <= w.end_ts
+    """,
+)
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via time bucketing: readings ×
+    6-hour maintenance windows as a plain equi-join on
+    (key, hour-bucket) — never a nested loop (plan-pinned in
+    tests/test_asof.py); oracle is the naive BETWEEN join."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    wins = ev.filter(F.col("event_id") % 151 == 0).select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+    )
+    return range_join(
+        ev, wins, on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+    ).select("event_id", "win_id")
+
+
+@query(
+    "resample_locf",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE user_id % 25 = 0 GROUP BY user_id, ts
+    ),
+    b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM r GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(
+               CAST(to_timestamp(CAST(floor(epoch(mn) / 21600) AS BIGINT) * 21600) AS TIMESTAMP),
+               mx, INTERVAL 6 HOUR)) AS ts
+      FROM b
+    )
+    SELECT g.user_id, g.ts, r.value
+    FROM grid g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts >= r.ts
+    """,
+)
+def resample_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid LOCF resampling (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf``): a few keys' spans regridded
+    at 6-hour steps with carried observations. Bounded two-level grid
+    explode + the as-of compose; oracle is DuckDB generate_series +
+    native ASOF LEFT JOIN."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 25 == 0)
+        .select("user_id", "ts", "value")
+    )
+    return resample_locf(ev, "user_id", "ts", ["value"], step_seconds=6 * 3600)
 
 
 def rolling_zscore_head(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,6 +158,67 @@ def test_signlsh_multitable_amplification(spark, sf_dir):
     assert sim_ann_signlsh(spark, sf_dir).count() >= 0
 
 
+# --- rotated-slot suite (round-8 registry rotation, r7 verdict #1) ---
+# Queries rotated OUT of the 50-slot driver registry keep their oracle
+# checks here so the rotation costs zero correctness evidence.
+
+
+def test_rotated_d1_dedup_deterministic_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        d1_dedup_deterministic,
+    )
+
+    sdf = d1_dedup_deterministic(spark, sf_dir).toPandas()
+    ddf = duck.sql(
+        """
+        SELECT user_id, ts, event_id FROM (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """
+    ).df()
+    assert_frames_match(sdf, ddf, "d1_dedup_deterministic")
+
+
+def test_rotated_j_multi_hop_enrich_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        j_multi_hop_enrich,
+    )
+
+    sdf = j_multi_hop_enrich(spark, sf_dir).toPandas()
+    ddf = duck.sql(
+        """
+        SELECT c.c_custkey, n.n_name, r.r_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        """
+    ).df()
+    assert_frames_match(sdf, ddf, "j_multi_hop_enrich")
+
+
+def test_rotated_q6_forecast_revenue_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.analytics import (
+        Q6_FORECAST_REVENUE_ORACLE,
+        q6_forecast_revenue,
+    )
+
+    sdf = q6_forecast_revenue(spark, sf_dir).toPandas()
+    ddf = duck.sql(Q6_FORECAST_REVENUE_ORACLE).df()
+    assert_frames_match(sdf, ddf, "q6_forecast_revenue")
+
+
+def test_registry_is_exactly_50_with_temporal_family():
+    """The driver records at most 50 registry rows; the round-8
+    rotation must land exactly at the cap with the temporal family
+    inside and every carried §2 slot still present."""
+    names = set(QUERIES)
+    assert len(QUERIES) == 50
+    assert {"asof_join", "range_join", "resample_locf"} <= names
+    assert not {"d1_dedup_deterministic", "j_multi_hop_enrich", "q6_forecast_revenue"} & names
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
