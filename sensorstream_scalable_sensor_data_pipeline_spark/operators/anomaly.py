@@ -127,13 +127,13 @@ def mad_outliers(
     ``quantile_cont``-equal)."""
     v = F.col(value_col).cast("double")
     med = readings.groupBy(on).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
     )
     j = readings.join(med, on)
     mad = (
         j.select(on, F.abs(v - F.col("_med")).alias("_ad"))
         .groupBy(on)
-        .agg(F.expr("percentile(_ad, 0.5)").alias("_mad"))
+        .agg(F.percentile(F.col("_ad"), F.lit(0.5)).alias("_mad"))
     )
     out = j.join(mad, on)
     dev = F.abs(v - F.col("_med"))

@@ -559,9 +559,16 @@ def downsample(
         raise ValueError("every_seconds must be positive")
     from sensorstream_scalable_sensor_data_pipeline_spark.functions.aggfns import dsum
 
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.identifiers import (
+        quote_ident,
+    )
+
     step = int(every_seconds)
+    # expr string for the exact integer `div` chain; the interpolated
+    # NAME is backtick-quoted (r7 verdict #4 defect class).
     bucket = F.expr(
-        f"timestamp_seconds((unix_micros({time_col}) div 1000000 div {step}) * {step})"
+        f"timestamp_seconds((unix_micros({quote_ident(time_col)})"
+        f" div 1000000 div {step}) * {step})"
     )
     v = F.col(value_col)
     tie = F.struct(F.col(time_col), v)

@@ -50,12 +50,11 @@ def profile_numeric(
             F.max(v).alias(f"{c}__max"),
         ]
         for q in quantiles:
-            fn = "approx_percentile" if approx else "percentile"
-            aggs.append(
-                F.expr(f"{fn}(CAST({c} AS DOUBLE), {q!r})").alias(
-                    f"{c}__q{int(q * 100):02d}"
-                )
-            )
+            # Column API, not an expr string: a column name with
+            # spaces/dots would break or mis-resolve when interpolated
+            # (r7 verdict #4 defect class).
+            pfn = F.approx_percentile if approx else F.percentile
+            aggs.append(pfn(v, F.lit(q)).alias(f"{c}__q{int(q * 100):02d}"))
     one = df.agg(*aggs)
     stats = ["n", "n_null", "min", "max"] + [
         f"q{int(q * 100):02d}" for q in quantiles
@@ -227,11 +226,11 @@ def winsorize(
         raise ValueError("cols must be non-empty")
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError("need 0 <= p_lo < p_hi <= 1")
-    fn = "approx_percentile" if approx else "percentile"
+    pfn = F.approx_percentile if approx else F.percentile
     aggs = []
     for c in cols:
-        aggs.append(F.expr(f"{fn}({c}, {p_lo})").alias(f"_lo_{c}"))
-        aggs.append(F.expr(f"{fn}({c}, {p_hi})").alias(f"_hi_{c}"))
+        aggs.append(pfn(F.col(c), F.lit(p_lo)).alias(f"_lo_{c}"))
+        aggs.append(pfn(F.col(c), F.lit(p_hi)).alias(f"_hi_{c}"))
     b = df.agg(*aggs).collect()[0]
     out = df
     for c in cols:

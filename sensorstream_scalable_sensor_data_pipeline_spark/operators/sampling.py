@@ -159,7 +159,13 @@ def sample_per_group(
     (uniform ⇒ a uniform without-replacement draw; content-keyed ⇒ the
     same rows win on every run, any partitioning, any engine) and the
     first ``n`` kept. Ties on the full 32-hex digest are broken by the
-    key itself, so even adversarial inputs order totally.
+    key itself, and DUPLICATE keys (same key, different payload) by
+    the full row struct — without that last term ``row_number`` would
+    resolve equal-key rows by partition arrival order and the picks
+    could differ across runs (r7 verdict "What's wrong #6"). So the
+    ordering is total whenever full rows are distinct; exact
+    duplicate ROWS remain interchangeable (either copy is the same
+    answer).
 
     Scale shape: ONE keyed window (hash-partition + sort per group) —
     the operators/asof.py cost class, with the same hot-group caveat;
@@ -172,7 +178,14 @@ def sample_per_group(
     if salt is not None:
         s = F.concat(F.lit(f"{salt}:"), s)
     h = F.md5(s)
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    # Map columns are not orderable in Spark — leave them out of the
+    # tiebreak struct (rows differing ONLY in a map column stay
+    # interchangeable, the documented residual).
+    tiebreak = [F.col(c) for c, t in df.dtypes if "map<" not in t]
+    order = [h.asc(), F.col(key_col).asc()]
+    if tiebreak:
+        order.append(F.struct(*tiebreak).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n)

@@ -62,7 +62,17 @@ def bm25_scores(
     tot = staged.agg(
         F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("s")
     ).collect()[0]
-    n_docs, avgdl = int(tot["n"]), float(int(tot["s"])) / int(tot["n"])
+    n_docs = int(tot["n"])
+    if n_docs == 0:
+        # Empty corpus: nothing can match. Return the empty scored
+        # frame (right schema) rather than dividing by zero on avgdl /
+        # int(None)-ing the length sum (r7 verdict "What's wrong #3").
+        return staged.select(
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("long").alias("n_terms_matched"),
+        ).limit(0)
+    avgdl = float(int(tot["s"])) / n_docs
     # Postings probe: explode once, cut to the query's terms immediately.
     post = (
         staged.select(id_col, "_dl", F.explode("_tk").alias("_t"))

@@ -81,15 +81,13 @@ def merge_upsert(
     # Touched partitions: the updates' own, plus — when keys may move —
     # wherever the matched keys currently live.
     touched = updates.select(partition_col).distinct()
-    try:
+    # Create-on-first-merge is decided by a FileSystem existence probe,
+    # not by matching exception strings (those vary across Spark
+    # versions and locales — r7 verdict #5); any error from an
+    # EXISTING path propagates untouched.
+    table_exists = _path_exists(spark, table_path)
+    if table_exists:
         current = spark.read.parquet(table_path)
-        table_exists = True
-    except Exception as exc:  # narrow: only a missing table is "empty"
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
-            exc
-        ):
-            raise
-        table_exists = False
     if table_exists and keys_move_partitions:
         moved = (
             current.join(
@@ -128,6 +126,15 @@ def merge_upsert(
             r[0] for r in updates.select(partition_col).distinct().collect()
         } | {r[0] for r in kept.select(partition_col).distinct().collect()}
         emptied = set(parts) - present
+    if table_exists:
+        # The merged plan's lineage re-reads table_path lazily — the
+        # very path the dynamic overwrite below mutates. Works on a
+        # local FS (the scan snapshots file listings), but under
+        # speculative/retried tasks on object stores a retry could
+        # list mid-overwrite state. Materialize the pruned merge input
+        # eagerly first; it is touched-partition-sized by construction
+        # (r7 verdict #5).
+        merged = merged.localCheckpoint(eager=True)
     write_partitioned(
         merged,
         table_path,
@@ -136,6 +143,16 @@ def merge_upsert(
         dynamic_partition_overwrite=table_exists,
     )
     _delete_partitions(spark, table_path, partition_col, emptied)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via Hadoop's FileSystem API — works on any
+    supported scheme (local, HDFS, s3a), no exception-string
+    matching."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
 
 
 def _delete_partitions(spark, table_path: str, partition_col: str, values) -> None:

@@ -65,7 +65,14 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
         # ns-epoch int64 → TIMESTAMP, exact for µs-aligned data.
-        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        # Backtick-quoted: the name is caller-supplied (r7 verdict #4).
+        from sensorstream_scalable_sensor_data_pipeline_spark.functions.identifiers import (
+            quote_ident,
+        )
+
+        return df.withColumn(
+            col, F.expr(f"timestamp_micros({quote_ident(col)} div 1000)")
+        )
     if dt == "timestamp_ntz":
         # UTC session: same wall-clock, same instant.
         return df.withColumn(col, F.col(col).cast("timestamp"))

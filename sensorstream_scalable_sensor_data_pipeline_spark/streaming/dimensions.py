@@ -162,6 +162,35 @@ def _drain(changes: DataFrame, apply_fn, checkpoint: str, await_seconds: int, la
         )
 
 
+def _current_rows_for(
+    spark: SparkSession,
+    table_path: str,
+    latest: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    keys_move_partitions: bool,
+) -> DataFrame:
+    """The table's current rows for the batch's keys, read at
+    touched-partition cost: an IN-list partition filter from the
+    batch's distinct partition values (static pruning — the filter
+    reaches the scan's PartitionFilters), then a broadcast semi-join
+    on the keys. Pruning is sound only under the default
+    key-determines-partition contract; with
+    ``keys_move_partitions=True`` the read stays unpruned."""
+    table = spark.read.parquet(table_path)
+    if not keys_move_partitions:
+        # Bounded by the merge granularity (exactly the partitions the
+        # dynamic overwrite rewrites anyway) — driver-safe collect,
+        # same convention as merge_upsert's touched-partition list.
+        parts = [r[0] for r in latest.select(partition_col).distinct().collect()]
+        table = table.filter(F.col(partition_col).isin(parts))
+    return table.join(
+        F.broadcast(latest.select(*key_cols).distinct()),
+        key_cols,
+        "left_semi",
+    ).select(*latest.columns)
+
+
 def stream_merge_upsert(
     spark: SparkSession,
     changes: DataFrame,
@@ -185,10 +214,17 @@ def stream_merge_upsert(
     event redelivered or arriving late in a LATER batch can never
     regress a key to stale state (a bare replace would; reviewer-
     found). That comparison is one partition-pruned, key-semi-joined
-    read — the same touched-partition cost class as the merge
-    itself. Replay idempotency follows: re-merging rows that already
-    won changes nothing. ``keys_move_partitions`` passes through to
-    merge_upsert (its partition-stability contract applies)."""
+    read (:func:`_current_rows_for`): under merge_upsert's default
+    partition-stability contract a key's current row lives in its
+    batch row's partition, so the read is filtered to the batch's
+    distinct partition values BEFORE the semi-join — the same
+    touched-partition cost class as the merge itself; at 100 TB the
+    alternative is a full table scan per CDC batch. When
+    ``keys_move_partitions=True`` the contract doesn't hold (a key's
+    current row may sit in a partition the batch doesn't mention) and
+    the semi-join runs unpruned, matching merge_upsert's own
+    moved-keys scan. Replay idempotency follows: re-merging rows that
+    already won changes nothing."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -197,14 +233,9 @@ def stream_merge_upsert(
         attrs = [c for c in payload if c != order_col]
         latest = latest_per_key(batch_df, key_cols, attrs, order_col)
         if os.path.exists(table_path):
-            current = (
-                spark.read.parquet(table_path)
-                .join(
-                    F.broadcast(latest.select(*key_cols).distinct()),
-                    key_cols,
-                    "left_semi",
-                )
-                .select(*latest.columns)
+            current = _current_rows_for(
+                spark, table_path, latest, key_cols, partition_col,
+                keys_move_partitions,
             )
             winners = latest_per_key(
                 current.unionByName(latest), key_cols, attrs, order_col

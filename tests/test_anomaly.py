@@ -187,3 +187,16 @@ def test_mad_zero_flags_only_deviants(spark):
     out = mad_outliers(df, "user_id", "value", 4.0).collect()
     assert {r["value"]: r["is_outlier"] for r in out} == {5.0: False, 9.0: True}
     assert all(r["mad"] == 0.0 for r in out)
+
+
+def test_mad_outliers_quoted_value_column(spark):
+    """A value column whose name a SQL parser rejects (space, hyphen)
+    must work — the interpolated-identifier defect class (r7 verdict
+    #4): the median/MAD aggregates now use the Column API, never a
+    parsed expression string. (Dots stay subject to Spark's own
+    ``F.col`` struct-access convention, as everywhere.)"""
+    rows = [("k1", 1.0), ("k1", 1.1), ("k1", 0.9), ("k1", 50.0), ("k1", 1.05)]
+    df = spark.createDataFrame(rows, ["k", "sensor value-raw"])
+    got = mad_outliers(df, "k", "sensor value-raw", k=6.0)
+    flagged = [r["sensor value-raw"] for r in got.collect() if r["is_outlier"]]
+    assert flagged == [50.0]

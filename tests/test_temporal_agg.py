@@ -98,3 +98,22 @@ def test_validation(spark, sf_dir):
         downsample(ev, "user_id", "ts", "value", 0)
     with pytest.raises(ValueError):
         rolling_agg(ev, "user_id", "ts", "value", -5)
+
+
+def test_downsample_quoted_time_column(spark):
+    """downsample's bucket expression interpolates the time column
+    into an expr string — it must backtick-quote the name so parser-
+    hostile names (space, hyphen) work (r7 verdict #4)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 10), 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 50), 3.0),
+        (1, dt.datetime(2024, 1, 1, 0, 2, 10), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "event time-utc", "v"])
+    got = downsample(df, "k", "event time-utc", "v", every_seconds=60)
+    by_bucket = {r["bucket_start"]: (r["n"], r["first"], r["last"]) for r in got.collect()}
+    assert len(by_bucket) == 2
+    assert by_bucket[dt.datetime(2024, 1, 1, 0, 0)] == (2, 1.0, 3.0)
+    assert by_bucket[dt.datetime(2024, 1, 1, 0, 2)] == (1, 5.0, 5.0)
