@@ -3,10 +3,13 @@
 Model: image/audio/video payloads are opaque ``binary`` columns with
 typed metadata columns alongside. The *plumbing* — schemas, metadata
 extraction, Arrow-batched Pandas processing over ``mapInPandas``,
-partitioning behavior — is real and tested; the actual codec step is
-stubbed (this container ships no image/audio libraries) behind
-``decode_image``, which raises ``NotImplementedError`` unless the
-deterministic fake decoder is requested.
+partitioning behavior — is real and tested. The codec step is REAL
+for the formats parseable without external libraries — uncompressed
+BMP images and PCM WAV audio, via :mod:`operators.codecs`
+(struct+numpy, r6 verdict task #3) — and raises
+``NotImplementedError`` for every other magic (JPEG/PNG/MP4/... need
+codec libraries this container doesn't ship); the deterministic fake
+decoder remains available to exercise the plumbing format-agnostically.
 
 Scale notes: metadata extraction (length/md5/magic) is pure codegen
 column math — runs at scan speed, and because the metadata lives in
@@ -52,17 +55,36 @@ def binary_with_metadata(df: DataFrame, binary_col: str) -> DataFrame:
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     """Decode an image payload into features.
 
-    STUB: the real implementation needs an image codec (PIL/opencv —
-    not in this container). ``fake=True`` returns deterministic
-    pseudo-features derived from the raw bytes so the full Spark
-    plumbing (schema, batching, partitioning) is exercised end-to-end.
+    The REAL path decodes uncompressed BMP (``operators/codecs.py``,
+    pure struct+numpy) and reports the same feature keys computed
+    over the decoded PIXELS (n_frames=1 — a still image); any other
+    magic raises ``NotImplementedError`` (JPEG/PNG need codec
+    libraries this container doesn't ship). ``fake=True`` returns
+    deterministic pseudo-features from the raw bytes so the Spark
+    plumbing is exercisable on arbitrary payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image codec library; "
-            "run with fake=True for the deterministic stub"
-        )
     import numpy as np
+
+    if not fake:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            decode_bmp,
+            sniff_format,
+        )
+
+        if sniff_format(payload) != "bmp":
+            raise NotImplementedError(
+                "real decoding supports uncompressed BMP only (other "
+                "formats need codec libraries); run with fake=True for "
+                "the format-agnostic deterministic stub"
+            )
+        px = decode_bmp(payload)
+        s = int(px.sum(dtype=np.int64))
+        return {
+            "n_bytes": len(payload),
+            "byte_sum": s,
+            "byte_mean": float(s) / px.size if px.size else 0.0,
+            "n_frames": 1,
+        }
 
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = int(arr.size)
@@ -114,19 +136,46 @@ def extract_features(
 
 
 def resize_image(payload: bytes, target_bytes: int, *, fake: bool = False) -> bytes:
-    """Resize an image payload.
+    """Resize an image payload to (approximately) ``target_bytes``.
 
-    STUB: a real resize needs a codec (decode → scale → re-encode).
-    ``fake=True`` is a deterministic strided byte subsample to exactly
-    ``target_bytes`` (or the payload itself when already smaller) so
-    the Spark plumbing — binary in, smaller binary out, schema and
-    batch shapes — is exercised end-to-end.
+    The REAL path is decode → nearest-neighbor downscale → re-encode
+    for uncompressed BMP: the output is the largest uniform downscale
+    whose BMP encoding fits ``target_bytes`` (floor 1×1 — a target
+    below the ~58-byte 1×1 file returns that minimal encoding);
+    payloads already within budget pass through byte-identical.
+    Other magics raise ``NotImplementedError``. ``fake=True`` is the
+    format-agnostic deterministic strided byte subsample to exactly
+    ``target_bytes``.
     """
     if not fake:
-        raise NotImplementedError(
-            "image resizing requires an image codec library; "
-            "run with fake=True for the deterministic stub"
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            decode_bmp,
+            encode_bmp,
+            resize_nearest,
+            sniff_format,
         )
+
+        if sniff_format(payload) != "bmp":
+            raise NotImplementedError(
+                "real resizing supports uncompressed BMP only (other "
+                "formats need codec libraries); run with fake=True for "
+                "the format-agnostic deterministic stub"
+            )
+        if len(payload) <= target_bytes:
+            return payload
+        img = decode_bmp(payload)
+        h, w = img.shape[:2]
+        # 24-bit encoded size is 54 + h·stride(w); shrink uniformly
+        # until it fits (monotone in scale, so the loop terminates).
+        scale = (target_bytes / len(payload)) ** 0.5
+        while True:
+            oh = max(1, int(h * scale))
+            ow = max(1, int(w * scale))
+            out = encode_bmp(resize_nearest(img, oh, ow))
+            if len(out) <= target_bytes or (oh == 1 and ow == 1):
+                return out
+            scale *= 0.9
+
     if len(payload) <= target_bytes:
         return payload
     stride = len(payload) / target_bytes
@@ -234,4 +283,71 @@ def sample_frames(
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         run, schema=FRAME_SCHEMA
+    )
+
+
+# ----------------------------------------------------------- audio (WAV)
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode a PCM WAV payload (``operators/codecs.py``) into the
+    standard audio-corpus features: sample rate, frame/channel counts,
+    duration, RMS level and peak amplitude (int16 grid). Non-WAV
+    magics raise ``NotImplementedError``."""
+    import numpy as np
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_wav,
+        sniff_format,
+    )
+
+    if sniff_format(payload) != "wav":
+        raise NotImplementedError(
+            "real audio decoding supports PCM WAV only (other formats "
+            "need codec libraries)"
+        )
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64)
+    n = samples.shape[0]
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "n_channels": int(samples.shape[1]),
+        "duration_s": (n / rate) if rate else 0.0,
+        "rms": float(np.sqrt((x * x).mean())) if samples.size else 0.0,
+        "peak": int(np.abs(samples).max()) if samples.size else 0,
+    }
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Audio-feature extraction over Arrow-batched ``mapInPandas`` —
+    the WAV twin of :func:`extract_features`, real codec end-to-end
+    (duration/loudness gates are the audio corpus curation
+    primitives). Same scale shape: whole record batches per python
+    worker, the per-payload chunk walk is the only Python loop."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_audio(p) for p in pdf[binary_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
+            yield out
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=AUDIO_SCHEMA
     )

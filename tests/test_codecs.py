@@ -1,0 +1,215 @@
+"""Real BMP/WAV codecs (operators/codecs.py) and their multimodal
+wiring: byte-exact round trips, format edge cases (8-bit palette,
+top-down rows, odd widths needing padding, odd-size RIFF chunks),
+decode→stats→resize end-to-end through the Arrow mapInPandas stages,
+and the honest NotImplementedError scope for other magics."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_nearest,
+    sniff_format,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    extract_audio_features,
+    extract_features,
+    resize_image,
+    resize_payloads,
+)
+
+
+def _rgb(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# ------------------------------------------------------------------ BMP
+
+
+def test_bmp_rgb_roundtrip_exact():
+    for h, w in [(5, 5), (3, 7), (1, 1), (16, 2)]:  # odd widths pad rows
+        img = _rgb(h, w, seed=h * 100 + w)
+        payload = encode_bmp(img)
+        assert sniff_format(payload) == "bmp"
+        assert np.array_equal(decode_bmp(payload), img)
+
+
+def test_bmp_gray_roundtrip_through_palette():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = encode_bmp(g)
+    out = decode_bmp(payload)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out[:, :, 0], g)  # gray palette: equal channels
+    assert np.array_equal(out[:, :, 1], g)
+    assert np.array_equal(out[:, :, 2], g)
+
+
+def test_bmp_top_down_rows():
+    """Negative height = top-down row order; must decode to the same
+    image as the bottom-up encoding of identical pixels."""
+    img = _rgb(4, 3)
+    payload = bytearray(encode_bmp(img))
+    # flip the stored rows, then mark the header top-down
+    (offset,) = struct.unpack_from("<I", bytes(payload), 10)
+    stride = ((3 * 3) + 3) // 4 * 4
+    rows = [
+        bytes(payload[offset + i * stride : offset + (i + 1) * stride])
+        for i in range(4)
+    ]
+    payload[offset:] = b"".join(reversed(rows))
+    struct.pack_into("<i", payload, 22, -4)
+    assert np.array_equal(decode_bmp(bytes(payload)), img)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    img = _rgb(2, 2)
+    payload = bytearray(encode_bmp(img))
+    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8 compression
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(img)[:40])  # truncated
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = _rgb(8, 6)
+    assert np.array_equal(resize_nearest(img, 8, 6), img)
+    half = resize_nearest(img, 4, 3)
+    assert half.shape == (4, 3, 3)
+    assert np.array_equal(half, img[::2][:, ::2])  # exact 2× stride
+
+
+# ------------------------------------------------------------------ WAV
+
+
+def test_wav_pcm16_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32767, size=500, dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (500, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, size=(250, 2), dtype=np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(s2, stereo)
+
+
+def test_wav_8bit_and_odd_chunk_pad():
+    """8-bit PCM lifts to the int16 grid; a chunk walk must skip the
+    RIFF pad byte after an odd-sized chunk to find the data chunk."""
+    data = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + junk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, rate = decode_wav(payload)
+    assert rate == 8000
+    assert s[:, 0].tolist() == [(0 - 128) * 256, 0, (255 - 128) * 256]
+
+
+def test_wav_rejects_non_pcm():
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"\xff\xd8 not riff")
+
+
+# ------------------------------------------- multimodal wiring (real)
+
+
+def test_decode_image_real_bmp_stats():
+    img = _rgb(6, 4)
+    payload = encode_bmp(img)
+    feats = decode_image(payload)
+    assert feats["n_bytes"] == len(payload)
+    assert feats["byte_sum"] == int(img.sum(dtype=np.int64))
+    assert feats["byte_mean"] == pytest.approx(float(img.mean()))
+    assert feats["n_frames"] == 1
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8fake")  # JPEG magic still out of scope
+
+
+def test_resize_image_real_bmp_fits_budget_and_decodes():
+    img = _rgb(64, 48)
+    payload = encode_bmp(img)
+    target = len(payload) // 4
+    out = resize_image(payload, target)
+    assert len(out) <= target
+    small = decode_bmp(out)  # still a valid BMP
+    assert 1 <= small.shape[0] < 64 and 1 <= small.shape[1] < 48
+    # within budget → byte-identical pass-through
+    assert resize_image(payload, len(payload)) == payload
+
+
+def test_extract_features_real_codec_end_to_end(spark):
+    """The Arrow mapInPandas stage with the REAL decoder: BMP payloads
+    in a binary column, per-image pixel stats out."""
+    imgs = {i: _rgb(4 + i, 5, seed=i) for i in range(1, 4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(im))) for i, im in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(
+        df, "doc_id", "payload", fake_decoder=False
+    ).collect()}
+    assert rows.keys() == imgs.keys()
+    for i, im in imgs.items():
+        assert rows[i]["byte_sum"] == int(im.sum(dtype=np.int64))
+        assert rows[i]["n_frames"] == 1
+
+
+def test_resize_payloads_real_codec_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(_rgb(32, 32, seed=i)))) for i in range(3)],
+        "doc_id long, payload binary",
+    )
+    target = 1024
+    out = resize_payloads(df, "doc_id", "payload", target, fake_codec=False)
+    for r in out.collect():
+        assert r["n_bytes"] == len(r["payload"]) <= target
+        assert decode_bmp(bytes(r["payload"])).ndim == 3
+
+
+def test_extract_audio_features_end_to_end(spark):
+    rng = np.random.default_rng(5)
+    clips = {
+        1: (rng.integers(-1000, 1000, size=1600, dtype=np.int16), 16000),
+        2: (rng.integers(-32000, 32000, size=(400, 2), dtype=np.int16), 8000),
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(s, r))) for i, (s, r) in clips.items()],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(
+        df, "doc_id", "payload"
+    ).collect()}
+    assert rows[1]["sample_rate"] == 16000 and rows[1]["n_channels"] == 1
+    assert rows[1]["duration_s"] == pytest.approx(0.1)
+    assert rows[2]["sample_rate"] == 8000 and rows[2]["n_channels"] == 2
+    s2 = clips[2][0].astype(np.float64)
+    assert rows[2]["rms"] == pytest.approx(float(np.sqrt((s2 * s2).mean())))
+    assert rows[2]["peak"] == int(np.abs(clips[2][0]).max())
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"BM not a wav")
