@@ -106,6 +106,11 @@ HEADLINE = [
     "semdedup",
     "rolling_zscore",
     "stream_sessionize",
+    # Round 8: the large-corpus (300k × 96-dim) float-vs-SQ8 serving
+    # pair — byte accounting where list size is material (r7 verdict
+    # task #5). The 32 heads above are unchanged for comparability.
+    "ivf_serve_large",
+    "ivf_serve_large_sq8",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -151,6 +156,14 @@ EXTRA_HEADS = {
     "ivf_query_batch_sq8": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
         "ivf_query_batch_sq8",
+    ),
+    "ivf_serve_large": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
+        "ivf_serve_large",
+    ),
+    "ivf_serve_large_sq8": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
+        "ivf_serve_large_sq8",
     ),
     "asof_join_skewed": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",

@@ -50,8 +50,8 @@ def test_r2_heads_still_benched():
     # 20 carried heads (r2 set + curate_training_corpus) + r5's
     # temporal family and persisted-IVF build/serve pair + r6's SQ8
     # serving tier, hot-key skew pair, and the semdedup/anomaly/
-    # streaming-session trio.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 32
+    # streaming-session trio + r8's large-corpus serving pair.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 34
     assert {
         "curate_training_corpus",
         "asof_join",
@@ -66,6 +66,8 @@ def test_r2_heads_still_benched():
         "semdedup",
         "rolling_zscore",
         "stream_sessionize",
+        "ivf_serve_large",
+        "ivf_serve_large_sq8",
     } <= set(bench.HEADLINE)
 
 
@@ -73,7 +75,12 @@ def test_setup_hooks_resolve():
     """A head with an untimed setup hook must expose it under the
     documented name; the serving heads depend on it for the
     build/serve separation."""
-    for head in ("ivf_query_batch", "ivf_query_batch_sq8"):
+    for head in (
+        "ivf_query_batch",
+        "ivf_query_batch_sq8",
+        "ivf_serve_large",
+        "ivf_serve_large_sq8",
+    ):
         mod, attr = bench.EXTRA_HEADS[head]
         m = importlib.import_module(mod)
         assert callable(getattr(m, f"{attr}_setup"))
