@@ -287,6 +287,24 @@ def stream_interval_join(
     already indexes by key and evicts by time, so Spark never
     materializes a per-key cross product beyond the horizon.
     """
+    l, r, cond = _interval_join_parts(
+        left, intervals, on, time_col, start_col, end_col, watermark, max_duration
+    )
+    return l.join(r, cond, "inner").select(
+        "l.*", *[F.col(f"r.{c}") for c in intervals.columns if c != on]
+    )
+
+
+def _interval_join_parts(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    watermark: str,
+    max_duration: str,
+):
     l = left.withWatermark(time_col, watermark).alias("l")
     r = intervals.withWatermark(start_col, watermark).alias("r")
     cond = (
@@ -298,6 +316,44 @@ def stream_interval_join(
         )
         & (F.col(f"l.{time_col}") <= F.col(f"r.{end_col}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l, r, cond
+
+
+def stream_interval_join_outer(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    watermark: str = "30 days",
+    max_duration: str = "30 days",
+) -> DataFrame:
+    """LEFT-OUTER :func:`stream_interval_join` (r6 verdict task #6):
+    every reading emits — matched readings paired with each containing
+    same-key interval, and a reading no interval ever covers emits
+    ONCE with NULL interval columns, released when the watermark
+    passes its match horizon (no earlier: only then can the state
+    store prove no matching interval can still arrive; Spark's
+    standard outer-join semantics on the same two-sided time-range
+    condition as the inner variant).
+
+    EMISSION LATENCY, the operational contract: an unmatched
+    reading's NULL row appears only after event time advances past
+    ``reading.time + watermark`` on BOTH inputs (the global watermark
+    is the min across them) — a quiet intervals feed delays NULL
+    emission exactly as it delays state eviction. Bounded drains need
+    the event-time horizon crossed in a LATER micro-batch (watermarks
+    advance at batch boundaries; the trailing no-data batch then
+    flushes), which the equivalence test forces with a far-future
+    flush row per side.
+
+    Scale shape: identical to the inner variant — same watermark
+    state bounds, same keyed shuffle; outer rows add no state, only
+    the deferred NULL emission at eviction."""
+    l, r, cond = _interval_join_parts(
+        left, intervals, on, time_col, start_col, end_col, watermark, max_duration
+    )
+    return l.join(r, cond, "leftOuter").select(
         "l.*", *[F.col(f"r.{c}") for c in intervals.columns if c != on]
     )

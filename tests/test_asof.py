@@ -6,6 +6,8 @@ join degenerating into per-key cross products."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import asof_join
@@ -742,3 +744,150 @@ def test_asof_join_plan_is_single_keyed_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def _land(tmp_path, name, dfs):
+    """Write each frame as one file into a landing dir (ordered file
+    names → deterministic micro-batch order under maxFilesPerTrigger)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    landing = str(tmp_path / name)
+    os.makedirs(landing, exist_ok=True)
+    for i, df in enumerate(dfs):
+        stage = str(tmp_path / f"_{name}_{i}")
+        df.coalesce(1).write.parquet(stage)
+        src = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        _shutil.copy(src, os.path.join(landing, f"{i:03d}.parquet"))
+    return landing
+
+
+def _stream_dir(spark, landing):
+    phys = spark.read.parquet(landing).schema
+    return (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def test_stream_interval_join_outer_emits_null_for_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: matched readings pair
+    with their windows; a reading outside every window — or on a key
+    with no window at all — emits exactly once with NULL interval
+    columns after the watermark passes (forced here by a far-future
+    flush row per side, so the trailing no-data batch releases the
+    state)."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_interval_join_outer,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev_schema = "event_id long, user_id long, ts timestamp"
+    win_schema = (
+        "win_id long, user_id long, start_ts timestamp, end_ts timestamp"
+    )
+    readings = spark.createDataFrame(
+        [
+            (1, 10, t0 + dt.timedelta(hours=1)),  # inside the window
+            (2, 10, t0 + dt.timedelta(hours=5)),  # same key, outside
+            (3, 20, t0 + dt.timedelta(hours=1)),  # key with no window
+        ],
+        ev_schema,
+    )
+    flush_ev = spark.createDataFrame(
+        [(99, 999, t0 + dt.timedelta(days=400))], ev_schema
+    )
+    wins = spark.createDataFrame(
+        [(7, 10, t0, t0 + dt.timedelta(hours=2))], win_schema
+    )
+    flush_win = spark.createDataFrame(
+        [(98, 999, t0 + dt.timedelta(days=400),
+          t0 + dt.timedelta(days=400, hours=1))],
+        win_schema,
+    )
+    sev = _stream_dir(spark, _land(tmp_path, "ev", [readings, flush_ev]))
+    swin = _stream_dir(spark, _land(tmp_path, "win", [wins, flush_win]))
+    joined = stream_interval_join_outer(
+        sev, swin, on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts",
+        watermark="1 minute", max_duration="6 hours",
+    )
+    got = [
+        r for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["event_id"] < 90  # the flush rows are harness, not data
+    ]
+    pairs = {(r["event_id"], r["win_id"]) for r in got}
+    assert pairs == {(1, 7), (2, None), (3, None)}
+    assert len(got) == 3  # each unmatched reading emitted exactly once
+    for r in got:
+        if r["win_id"] is None:
+            assert r["start_ts"] is None and r["end_ts"] is None
+
+
+def test_stream_interval_join_outer_equals_batch_left_outer(spark, sf_dir, tmp_path):
+    """Drained over bounded real input (with watermark-flush
+    sentinels), the outer stream join must equal the batch left-outer
+    oracle: the range_join pair set plus one NULL row per never-
+    matched reading."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        range_join,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_interval_join_outer,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    wins = ev.filter(F.col("event_id") % 151 == 0).select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    far = mx + dt.timedelta(days=400)
+    flush_ev = spark.createDataFrame(
+        [(999_999_999, 999_999, far)], ev.schema
+    )
+    flush_win = spark.createDataFrame(
+        [(999_999_998, 999_999, far, far + dt.timedelta(hours=1))], wins.schema
+    )
+    sev = _stream_dir(spark, _land(tmp_path, "oev", [ev, flush_ev]))
+    swin = _stream_dir(spark, _land(tmp_path, "owin", [wins, flush_win]))
+    joined = stream_interval_join_outer(
+        sev, swin, on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts",
+        watermark="1 minute", max_duration="6 hours",
+    )
+    got = {
+        (r["event_id"], r["win_id"])
+        for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["event_id"] < 999_999_990
+    }
+    matched = range_join(
+        ev, wins, on="user_id", time_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+    )
+    want = {(r["event_id"], r["win_id"]) for r in matched.collect()}
+    matched_ids = {e for e, _ in want}
+    want |= {
+        (r["event_id"], None)
+        for r in ev.collect()
+        if r["event_id"] not in matched_ids
+    }
+    assert got == want
+    assert any(w is None for _, w in got)  # never-matched rows present
