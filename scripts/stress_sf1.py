@@ -66,7 +66,11 @@ def generate(spark, out_dir: str) -> None:
     rep = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("rep")
 
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
-    n_docs = docs.count()
+    # Stride by max+1 like the events branch — a count() stride
+    # collides replica ids the moment the id space has a gap or offset
+    # (review-found; sf0.1 happens to be dense 0..n-1, so the recorded
+    # r8 numbers are unaffected).
+    n_docs = int(docs.agg(F.max("doc_id") + 1).collect()[0][0])
     toks = F.split(F.col("text"), " ")
     reordered = F.array_join(
         F.expr(

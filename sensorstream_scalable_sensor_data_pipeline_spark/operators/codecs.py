@@ -29,12 +29,14 @@ _BI_RGB = 0
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' / 'wav' / None by magic number — the dispatch key the
-    multimodal stages branch on."""
+    """'bmp' / 'wav' / 'avi' / None by magic number — the dispatch
+    key the multimodal stages branch on."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -81,6 +83,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
         ).reshape(n_colors, 4)
         idx = rows[:, :width]
+        if n_colors < 256 and int(idx.max(initial=0)) >= n_colors:
+            # malformed-payload contract: ValueError, not a bare numpy
+            # IndexError surfacing from an executor (review-found)
+            raise ValueError(
+                f"BMP pixel index {int(idx.max())} outside the "
+                f"{n_colors}-entry palette"
+            )
         rgb = pal[idx][:, :, 2::-1]  # palette entries are BGRA
     if not top_down:
         rgb = rgb[::-1]  # bottom-up storage
@@ -174,6 +183,124 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"{bits}-bit PCM unsupported")
     n_frames = raw.size // n_channels
     return raw[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Walk RIFF sub-chunks in payload[start:end], yielding
+    (chunk_id, body_start, body_size); honors the odd-size pad byte."""
+    pos = start
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        yield cid, pos + 8, size
+        pos = pos + 8 + size + (size & 1)
+
+
+# ----------------------------------------------------------------- AVI
+
+
+def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode an uncompressed-DIB AVI into (frames, fps): frames is
+    uint8 (n, height, width, 3) RGB. Supported: RIFF 'AVI ' with one
+    'vids' stream whose strf is a 40-byte BITMAPINFOHEADER, 24-bit
+    BI_RGB frames stored as ``##db`` chunks in the 'movi' list
+    (bottom-up BGR rows, 4-byte padded — the BMP pixel-array layout).
+    Compressed streams (MJPEG/h264/...) raise ``NotImplementedError``
+    — they need real codec libraries."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    width = height = bitcount = None
+    compression = None
+    top_down = False
+    rate = scale = None
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, bitcount, compression, top_down, rate, scale
+        for cid, body, size in _riff_chunks(payload, start, end):
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the list type fourcc
+            elif cid == b"strh" and payload[body : body + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", payload, body + 20)
+            elif cid == b"strf" and width is None:
+                (_hs, w, h) = struct.unpack_from("<Iii", payload, body)
+                (_pl, bc) = struct.unpack_from("<HH", payload, body + 12)
+                (comp,) = struct.unpack_from("<I", payload, body + 16)
+                # DIB height-sign convention: negative = top-down rows
+                # (same as BMP; review-found — a dropped sign would
+                # silently mirror every frame).
+                width, height, top_down = w, abs(h), h < 0
+                bitcount, compression = bc, comp
+            elif cid[2:4] == b"db":
+                frames.append(payload[body : body + size])
+
+    walk(12, len(payload))
+    if width is None or not frames:
+        raise ValueError("AVI missing video stream header or frames")
+    if compression != _BI_RGB or bitcount != 24:
+        raise NotImplementedError(
+            f"compressed/{bitcount}-bit AVI video unsupported (needs a codec)"
+        )
+    stride = ((width * 3) + 3) // 4 * 4
+    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        if len(raw) < stride * height:
+            raise ValueError(f"truncated frame {i}")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
+            height, stride
+        )
+        rgb = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
+        out[i] = rgb if top_down else rgb[::-1]
+    fps = (rate / scale) if (rate and scale) else 0.0
+    return out, fps
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode uint8 (n, h, w, 3) RGB frames as an uncompressed-DIB
+    AVI (fccHandler 'DIB ', ``00db`` chunks) — byte-exact round-trip
+    with :func:`decode_avi_frames`. The deterministic synthetic-video
+    source for the frame-sampling stage's real path."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("expected (n_frames, h, w, 3) uint8 RGB")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n, h, w = frames.shape[:3]
+    stride = ((w * 3) + 3) // 4 * 4
+    frame_bytes = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    # AVISTREAMHEADER: flags, priority, language, initialFrames,
+    # scale=1, rate=fps, start, length=n, suggestedBufferSize,
+    # quality (signed, -1 = default), sampleSize, rcFrame.
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _BI_RGB, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_parts = []  # join once — += in a loop is O(n²) in clip size
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    for f in frames:
+        padded[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        movi_parts.append(chunk(b"00db", padded.tobytes()))
+    movi = list_chunk(b"movi", b"".join(movi_parts))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -248,10 +248,16 @@ def sample_frames(
     (the exploded frames never pass through the driver and partition
     like any other relation).
 
-    STUB: real frame extraction needs a video codec; the deterministic
-    fake treats the payload as fixed-size frames of
-    ``_FAKE_FRAME_BYTES`` (the same framing ``decode_image``'s
-    ``n_frames`` reports, so the two stubs agree)."""
+    The REAL path (``fake_codec=False``) decodes uncompressed-DIB AVI
+    containers (``operators/codecs.py::decode_avi_frames``) and emits
+    every ``every_n``-th frame re-encoded as a standalone BMP — so
+    sampled frames feed straight back into :func:`decode_image` /
+    :func:`resize_image` (frame → thumbnail pipelines compose).
+    Compressed video (MJPEG/h264/...) raises ``NotImplementedError``
+    — that genuinely needs codec libraries. The deterministic fake
+    treats the payload as fixed-size frames of ``_FAKE_FRAME_BYTES``
+    (the same framing ``decode_image``'s fake ``n_frames`` reports,
+    so the two stubs agree)."""
     if every_n <= 0:
         raise ValueError("every_n must be positive")
 
@@ -264,10 +270,25 @@ def sample_frames(
                 pdf[id_col].astype("int64"), pdf[binary_col]
             ):
                 if not fake_codec:
-                    raise NotImplementedError(
-                        "frame extraction requires a video codec library; "
-                        "run with fake_codec=True for the deterministic stub"
+                    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+                        decode_avi_frames,
+                        encode_bmp,
+                        sniff_format,
                     )
+
+                    if sniff_format(payload) != "avi":
+                        raise NotImplementedError(
+                            "real frame extraction supports uncompressed-DIB "
+                            "AVI only (other containers need codec "
+                            "libraries); run with fake_codec=True for the "
+                            "format-agnostic deterministic stub"
+                        )
+                    decoded, _fps = decode_avi_frames(payload)
+                    for fi in range(0, decoded.shape[0], every_n):
+                        ids.append(doc_id)
+                        idxs.append(fi)
+                        frames.append(encode_bmp(decoded[fi]))
+                    continue
                 n_frames = len(payload) // _FAKE_FRAME_BYTES
                 for fi in range(0, n_frames, every_n):
                     ids.append(doc_id)

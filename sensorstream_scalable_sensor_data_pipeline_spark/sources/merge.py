@@ -114,18 +114,6 @@ def merge_upsert(
         merged = kept.unionByName(updates.select(*kept.columns))
     else:
         merged = updates
-    emptied: set = set()
-    if table_exists and keys_move_partitions:
-        # Dynamic overwrite only rewrites partitions PRESENT in the new
-        # data: a partition fully emptied by moved-away keys is never
-        # touched, so its stale rows would survive. Find those BEFORE
-        # the write (afterwards the lineage would re-read the mutated
-        # table); one extra job over the pruned merge inputs, only
-        # paid on the moving-keys path.
-        present = {
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        } | {r[0] for r in kept.select(partition_col).distinct().collect()}
-        emptied = set(parts) - present
     if table_exists:
         # The merged plan's lineage re-reads table_path lazily — the
         # very path the dynamic overwrite below mutates. Works on a
@@ -135,6 +123,18 @@ def merge_upsert(
         # eagerly first; it is touched-partition-sized by construction
         # (r7 verdict #5).
         merged = merged.localCheckpoint(eager=True)
+    emptied: set = set()
+    if table_exists and keys_move_partitions:
+        # Dynamic overwrite only rewrites partitions PRESENT in the new
+        # data: a partition fully emptied by moved-away keys is never
+        # touched, so its stale rows would survive. present(merged) =
+        # present(kept) ∪ present(updates), read from the already-
+        # materialized checkpoint — one cheap job, not a re-execution
+        # of the pruned read + anti-join (review-found double scan).
+        present = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        emptied = set(parts) - present
     write_partitioned(
         merged,
         table_path,

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+    _path_exists as _table_exists,
     merge_upsert,
     scd2_apply,
     scd2_init,
@@ -183,7 +184,13 @@ def _current_rows_for(
         # dynamic overwrite rewrites anyway) — driver-safe collect,
         # same convention as merge_upsert's touched-partition list.
         parts = [r[0] for r in latest.select(partition_col).distinct().collect()]
-        table = table.filter(F.col(partition_col).isin(parts))
+        # SQL IN never matches NULL: a batch carrying a NULL partition
+        # value (Hive default partition) needs the explicit disjunct or
+        # its current rows would be invisible to the comparison.
+        pred = F.col(partition_col).isin([p for p in parts if p is not None])
+        if any(p is None for p in parts):
+            pred = pred | F.col(partition_col).isNull()
+        table = table.filter(pred)
     return table.join(
         F.broadcast(latest.select(*key_cols).distinct()),
         key_cols,
@@ -232,7 +239,11 @@ def stream_merge_upsert(
         payload = [c for c in batch_df.columns if c not in key_cols]
         attrs = [c for c in payload if c != order_col]
         latest = latest_per_key(batch_df, key_cols, attrs, order_col)
-        if os.path.exists(table_path):
+        # FileSystem probe, not os.path — on s3a/hdfs os.path.exists is
+        # always False, which would silently skip the anti-regression
+        # comparison every batch (review-found; same defect class as
+        # merge.py's r8 probe fix).
+        if _table_exists(spark, table_path):
             current = _current_rows_for(
                 spark, table_path, latest, key_cols, partition_col,
                 keys_move_partitions,

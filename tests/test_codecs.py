@@ -213,3 +213,115 @@ def test_extract_audio_features_end_to_end(spark):
     assert rows[2]["peak"] == int(np.abs(clips[2][0]).max())
     with pytest.raises(NotImplementedError):
         decode_audio(b"BM not a wav")
+
+
+# ------------------------------------------------------------------ AVI
+
+
+def _frames(n, h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+
+def test_avi_roundtrip_exact_and_fps():
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    for n, h, w in [(5, 4, 6), (3, 5, 7), (1, 1, 1)]:  # odd widths pad rows
+        frames = _frames(n, h, w, seed=n * 100 + w)
+        payload = encode_avi(frames, fps=12)
+        assert sniff_format(payload) == "avi"
+        out, fps = decode_avi_frames(payload)
+        assert np.array_equal(out, frames)
+        assert fps == 12.0
+
+
+def test_avi_rejects_compressed_and_non_avi():
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(b"\x00\x00\x00 ftypisom" + b"\x00" * 32)  # MP4 magic
+    payload = bytearray(encode_avi(_frames(2, 4, 4), fps=5))
+    # flip strf biCompression to MJPG
+    i = bytes(payload).find(b"strf")
+    struct.pack_into("<I", payload, i + 8 + 16, 1196444237)
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(payload))
+
+
+def test_sample_frames_real_avi_end_to_end(spark):
+    """The fan-out mapInPandas stage with the REAL framer: AVI
+    payloads in, every_n-th frame out as standalone BMPs that feed
+    straight back into decode_image (the frame → thumbnail compose)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_avi,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    vids = {1: _frames(6, 4, 5, seed=1), 2: _frames(3, 4, 5, seed=2)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_avi(f, fps=10))) for i, f in vids.items()],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, "doc_id", "payload", every_n=2, fake_codec=False).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert {d: sorted(fs) for d, fs in by_doc.items()} == {1: [0, 2, 4], 2: [0, 2]}
+    for d, fs in by_doc.items():
+        for fi, bmp_bytes in fs.items():
+            assert np.array_equal(decode_bmp(bmp_bytes), vids[d][fi])
+    # non-AVI magic still honestly out of scope on the real path
+    bad = spark.createDataFrame([(9, bytearray(b"\xff\xd8 not avi"))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        sample_frames(bad, "doc_id", "payload", every_n=2, fake_codec=False).collect()
+
+
+def test_avi_top_down_height_sign():
+    """Negative strf height = top-down frame rows (DIB convention,
+    same as BMP) — must decode unmirrored, not silently flipped."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = _frames(2, 4, 3, seed=9)
+    payload = bytearray(encode_avi(frames, fps=5))
+    # flip stored rows of each frame, then mark strf height negative
+    i = bytes(payload).find(b"strf")
+    (w,) = struct.unpack_from("<i", payload, i + 8 + 4)
+    (h,) = struct.unpack_from("<i", payload, i + 8 + 8)
+    struct.pack_into("<i", payload, i + 8 + 8, -h)
+    stride = ((w * 3) + 3) // 4 * 4
+    pos = 0
+    while True:
+        j = bytes(payload).find(b"00db", pos)
+        if j < 0:
+            break
+        body = j + 8
+        rows = [
+            bytes(payload[body + r * stride : body + (r + 1) * stride])
+            for r in range(h)
+        ]
+        payload[body : body + stride * h] = b"".join(reversed(rows))
+        pos = body + stride * h
+    out, _ = decode_avi_frames(bytes(payload))
+    assert np.array_equal(out, frames)
+
+
+def test_bmp_palette_index_out_of_range_raises_valueerror():
+    """A malformed 8-bit BMP whose pixels index past biClrUsed must
+    raise the module's ValueError contract, not a numpy IndexError."""
+    g = np.full((4, 4), 200, dtype=np.uint8)
+    payload = bytearray(encode_bmp(g))
+    struct.pack_into("<I", payload, 46, 16)  # declare a 16-entry palette
+    with pytest.raises(ValueError, match="palette"):
+        decode_bmp(bytes(payload))

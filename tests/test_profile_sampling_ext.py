@@ -240,3 +240,17 @@ def test_sample_per_group_duplicate_keys_deterministic(spark):
         picks.append(sorted((r["k"], r["payload"]) for r in got.collect()))
         assert len(picks[-1]) == 4
     assert picks[0] == picks[1]
+
+
+def test_sample_per_group_dotted_column_name(spark):
+    """A payload column whose literal name contains a dot must not
+    break the duplicate-key tiebreak (df[c] accessor, not F.col —
+    review-found regression risk)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        sample_per_group,
+    )
+
+    rows = [("g", i, f"p{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["grp", "k", "pay.load"])
+    got = sample_per_group(df, "grp", "k", n=3)
+    assert got.count() == 3

@@ -256,3 +256,27 @@ def test_stream_merge_upsert_batch_read_is_partition_pruned(spark, tmp_path):
     uplan = unpruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pc" not in uplan, uplan
     assert {(r["id"], r["name"], r["pc"]) for r in unpruned.collect()} == got
+
+
+def test_current_rows_for_null_partition_value(spark, tmp_path):
+    """A batch carrying a NULL partition value must still see the
+    table's current rows for those keys — SQL IN never matches NULL,
+    so the pruning predicate needs the explicit isNull disjunct
+    (review-found)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
+        merge_upsert,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.dimensions import (
+        _current_rows_for,
+    )
+
+    schema = "id long, name string, val double, pc string, seq long"
+    path = str(tmp_path / "fact")
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0, None, 5), (2, "b", 20.0, "p1", 5)], schema
+    )
+    merge_upsert(spark, path, seed, ["id"], "pc")
+    latest = spark.createDataFrame([(1, "A", 11.0, None, 9)], schema)
+    got = _current_rows_for(spark, path, latest, ["id"], "pc", False)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1 and rows[0]["seq"] == 5
