@@ -245,6 +245,153 @@ def stream_state_enrich_pipeline(
     return spark.read.parquet(out).drop("_batch_id")
 
 
+def stream_asof_join(
+    readings: DataFrame,
+    state: DataFrame,
+    on: str,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    watermark: str = "30 days",
+    key_type: str = "long",
+) -> DataFrame:
+    """TRUE stream-STREAM as-of join: both the readings and the state
+    changes arrive as streams, and every reading attaches the latest
+    state at-or-before its event time — with EVENT-TIME correctness
+    under cross-stream disorder, the guarantee the per-micro-batch
+    composition (:func:`stream_state_enrich_pipeline`) explicitly
+    cannot give (its "freshness race": a state row delivered after a
+    reading's batch is missed even when its event time precedes the
+    reading).
+
+    Spark has no native stream-stream as-of, so this is the custom
+    stateful operator the brief's §2.10 escape hatch exists for:
+    union the two streams with a side tag, watermark the shared event
+    time, group by key, and run ``applyInPandasWithState``
+    (EventTimeTimeout). Per key the state holds (a) pending readings
+    and (b) the state history; a reading finalizes — emits exactly
+    once — when the watermark passes its event time STRICTLY, because
+    only then can no state row with ts ≤ reading.ts still arrive.
+    History eviction keeps every state row at-or-after the watermark
+    plus the single newest older row (the horizon carrier any future
+    reading may still attach). Ties at one instant resolve by max
+    value — the batch operator's max-struct survivor. Keys with
+    pending readings re-arm an event-time timeout at watermark+1 ms,
+    so drains flush on no-data batches without new key data.
+
+    CONTRACT: readings carry (on, id_col, time_col) — enrichment
+    returns (on, id_col, ts_us, value_col) keyed by ``id_col`` for a
+    downstream join back to wide payloads (state-store rows must stay
+    narrow; buffering arbitrary payloads per key is how streaming
+    state explodes at 100 TB). ``state`` carries
+    (on, time_col, value_col), value cast to double. Emission latency
+    = the watermark delay, the price of exactness; the per-micro-batch
+    composition remains the right tool when processing-time freshness
+    beats event-time correctness.
+
+    Scale shape: state per key = readings inside one watermark horizon
+    + compacted state history — the same bound as Spark's native
+    stream-stream joins; one shuffle on the key, Arrow-batched Python
+    for the buffer logic only.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    r_side = readings.select(
+        F.col(on),
+        F.col(time_col).alias("_ts"),
+        F.col(id_col).cast("long").alias("_rid"),
+        F.lit(None).cast("double").alias("_sv"),
+        F.lit(False).alias("_is_state"),
+    )
+    s_side = state.select(
+        F.col(on),
+        F.col(time_col).alias("_ts"),
+        F.lit(None).cast("long").alias("_rid"),
+        F.col(value_col).cast("double").alias("_sv"),
+        F.lit(True).alias("_is_state"),
+    )
+    tagged = r_side.unionByName(s_side).withWatermark("_ts", watermark)
+
+    out_schema = f"{on} {key_type}, {id_col} long, ts_us long, {value_col} double"
+    state_schema = (
+        "p_ids array<long>, p_ts array<long>, s_ts array<long>, s_v array<double>"
+    )
+
+    def update(key, pdfs, gs: GroupState):
+        import pandas as pd
+
+        p_ids, p_ts, s_ts, s_v = (
+            [list(x) for x in gs.get] if gs.exists else ([], [], [], [])
+        )
+        if not gs.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts = pd.to_datetime(pdf["_ts"])
+                try:
+                    ts = ts.dt.tz_localize(None)
+                except TypeError:
+                    pass
+                us = ts.astype("datetime64[us]").astype("int64")
+                is_state = pdf["_is_state"].to_numpy()
+                for i in range(len(pdf)):
+                    if is_state[i]:
+                        s_ts.append(int(us.iloc[i]))
+                        s_v.append(float(pdf["_sv"].iloc[i]))
+                    else:
+                        p_ids.append(int(pdf["_rid"].iloc[i]))
+                        p_ts.append(int(us.iloc[i]))
+        wm_us = gs.getCurrentWatermarkMs() * 1000
+        hist = sorted(zip(s_ts, s_v))  # (ts, value): last ≤ r wins ties by value
+        out_ids, out_ts, out_v = [], [], []
+        keep_ids, keep_ts = [], []
+        for rid, rts in zip(p_ids, p_ts):
+            if rts < wm_us:  # strict: a state row AT the watermark may still come
+                import bisect
+
+                j = bisect.bisect_right(hist, (rts, float("inf"))) - 1
+                out_ids.append(rid)
+                out_ts.append(rts)
+                out_v.append(hist[j][1] if j >= 0 else None)
+            else:
+                keep_ids.append(rid)
+                keep_ts.append(rts)
+        # evict: keep rows ≥ watermark + the newest older one (horizon
+        # carrier for future readings)
+        older = [p for p in hist if p[0] < wm_us]
+        kept_hist = ([older[-1]] if older else []) + [p for p in hist if p[0] >= wm_us]
+        if keep_ids or kept_hist:
+            gs.update(
+                (
+                    keep_ids,
+                    keep_ts,
+                    [p[0] for p in kept_hist],
+                    [p[1] for p in kept_hist],
+                )
+            )
+            if keep_ids:
+                # re-fire this key when the watermark next advances
+                gs.setTimeoutTimestamp(gs.getCurrentWatermarkMs() + 1)
+        else:
+            gs.remove()
+        yield pd.DataFrame(
+            {
+                on: [key[0]] * len(out_ids),
+                id_col: out_ids,
+                "ts_us": out_ts,
+                value_col: out_v,
+            }
+        )
+
+    return tagged.groupBy(on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     intervals: DataFrame,

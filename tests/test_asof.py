@@ -891,3 +891,100 @@ def test_stream_interval_join_outer_equals_batch_left_outer(spark, sf_dir, tmp_p
     }
     assert got == want
     assert any(w is None for _, w in got)  # never-matched rows present
+
+
+def test_stream_asof_join_equals_batch(spark, sf_dir, tmp_path):
+    """The TRUE stream-stream as-of (applyInPandasWithState) drained
+    over bounded input must equal the batch asof_join exactly —
+    readings and calibration state both arriving as streams, flush
+    sentinels driving the final watermark."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_join,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    calib = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id", "ts", F.col("value").alias("calib_value")
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    far = mx + dt.timedelta(days=400)
+    flush_r = spark.createDataFrame(
+        [(999_999_999, 999_999, far, 0.0)], ev.schema
+    )
+    flush_s = spark.createDataFrame([(999_999, far, 0.0)], calib.schema)
+    s_ev = _stream_dir(spark, _land(tmp_path, "aev", [ev, flush_r]))
+    s_st = _stream_dir(spark, _land(tmp_path, "ast", [calib, flush_s]))
+    joined = stream_asof_join(
+        s_ev.select("event_id", "user_id", "ts"), s_st,
+        on="user_id", time_col="ts", id_col="event_id",
+        value_col="calib_value", watermark="1 minute",
+    )
+    got = {
+        r["event_id"]: r["calib_value"]
+        for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["event_id"] < 999_999_990
+    }
+    want = {
+        r["event_id"]: r["calib_value"]
+        for r in asof_join(
+            ev.select("event_id", "user_id", "ts"), calib,
+            on="user_id", time_col="ts", value_cols=["calib_value"],
+        ).collect()
+    }
+    assert got == want and got
+    assert any(v is None for v in got.values())  # pre-first-state readings
+
+
+def test_stream_asof_join_cross_stream_late_state(spark, tmp_path):
+    """The guarantee the per-micro-batch composition cannot give: a
+    state change DELIVERED after the reading's batch but with an
+    EARLIER event time still attaches — readings finalize only when
+    the watermark proves no older state can arrive."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev_schema = "event_id long, user_id long, ts timestamp"
+    st_schema = "user_id long, ts timestamp, calib_value double"
+    reading = spark.createDataFrame(
+        [(1, 10, t0 + dt.timedelta(hours=5))], ev_schema
+    )
+    late_state = spark.createDataFrame(  # older event time, later delivery
+        [(10, t0 + dt.timedelta(hours=3), 42.0)], st_schema
+    )
+    flush_r = spark.createDataFrame(
+        [(99, 999, t0 + dt.timedelta(days=400))], ev_schema
+    )
+    flush_s = spark.createDataFrame(
+        [(999, t0 + dt.timedelta(days=400), 0.0)], st_schema
+    )
+    s_ev = _stream_dir(spark, _land(tmp_path, "lev", [reading, flush_r]))
+    s_st = _stream_dir(
+        spark, _land(tmp_path, "lst", [spark.createDataFrame([], st_schema),
+                                       late_state, flush_s])
+    )
+    joined = stream_asof_join(
+        s_ev, s_st, on="user_id", time_col="ts", id_col="event_id",
+        value_col="calib_value", watermark="1 minute",
+    )
+    rows = [
+        r for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["event_id"] < 90
+    ]
+    assert len(rows) == 1
+    assert rows[0]["calib_value"] == 42.0  # late-delivered older state attached
