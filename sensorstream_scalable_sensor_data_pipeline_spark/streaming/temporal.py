@@ -318,6 +318,9 @@ def stream_asof_join(
     )
 
     def update(key, pdfs, gs: GroupState):
+        import bisect
+        import math
+
         import pandas as pd
 
         p_ids, p_ts, s_ts, s_v = (
@@ -332,27 +335,37 @@ def stream_asof_join(
                     ts = ts.dt.tz_localize(None)
                 except TypeError:
                     pass
-                us = ts.astype("datetime64[us]").astype("int64")
+                us = ts.astype("datetime64[us]").astype("int64").to_numpy()
                 is_state = pdf["_is_state"].to_numpy()
-                for i in range(len(pdf)):
-                    if is_state[i]:
-                        s_ts.append(int(us.iloc[i]))
-                        s_v.append(float(pdf["_sv"].iloc[i]))
-                    else:
-                        p_ids.append(int(pdf["_rid"].iloc[i]))
-                        p_ts.append(int(us.iloc[i]))
+                s_ts.extend(int(t) for t in us[is_state])
+                s_v.extend(float(v) for v in pdf["_sv"].to_numpy()[is_state])
+                p_ts.extend(int(t) for t in us[~is_state])
+                p_ids.extend(int(r) for r in pdf["_rid"].to_numpy()[~is_state])
         wm_us = gs.getCurrentWatermarkMs() * 1000
-        hist = sorted(zip(s_ts, s_v))  # (ts, value): last ≤ r wins ties by value
+
+        def _isnan(v):
+            return v is None or (isinstance(v, float) and math.isnan(v))
+
+        # (ts, value) sorted so the LAST entry ≤ r is the max-struct
+        # survivor — batch asof semantics, with NULL (NaN) values
+        # ordered BELOW non-null at the same instant (Spark's struct
+        # ordering: nulls sort first), never compared raw (NaN in a
+        # tuple comparison is undefined ordering).
+        hist = sorted(
+            zip(s_ts, s_v),
+            key=lambda p: (p[0], 0 if _isnan(p[1]) else 1,
+                           0.0 if _isnan(p[1]) else p[1]),
+        )
+        hts = [p[0] for p in hist]
         out_ids, out_ts, out_v = [], [], []
         keep_ids, keep_ts = [], []
         for rid, rts in zip(p_ids, p_ts):
             if rts < wm_us:  # strict: a state row AT the watermark may still come
-                import bisect
-
-                j = bisect.bisect_right(hist, (rts, float("inf"))) - 1
+                j = bisect.bisect_right(hts, rts) - 1
+                v = hist[j][1] if j >= 0 else None
                 out_ids.append(rid)
                 out_ts.append(rts)
-                out_v.append(hist[j][1] if j >= 0 else None)
+                out_v.append(None if _isnan(v) else v)
             else:
                 keep_ids.append(rid)
                 keep_ts.append(rts)

@@ -988,3 +988,46 @@ def test_stream_asof_join_cross_stream_late_state(spark, tmp_path):
     ]
     assert len(rows) == 1
     assert rows[0]["calib_value"] == 42.0  # late-delivered older state attached
+
+
+def test_stream_asof_join_null_state_value_masks(spark, tmp_path):
+    """A state row whose value is NULL is still the latest state — it
+    attaches (as NULL) and masks older non-null state, mirroring the
+    batch operator's DuckDB-native semantics; NaN never enters a raw
+    tuple comparison in the ordering."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev_schema = "event_id long, user_id long, ts timestamp"
+    st_schema = "user_id long, ts timestamp, calib_value double"
+    readings = spark.createDataFrame(
+        [(1, 10, t0 + dt.timedelta(hours=2)),
+         (2, 10, t0 + dt.timedelta(hours=6))],
+        ev_schema,
+    )
+    states = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(hours=1), 7.0),
+         (10, t0 + dt.timedelta(hours=4), None)],  # NULL masks 7.0
+        st_schema,
+    )
+    flush_r = spark.createDataFrame([(99, 999, t0 + dt.timedelta(days=400))], ev_schema)
+    flush_s = spark.createDataFrame([(999, t0 + dt.timedelta(days=400), 0.0)], st_schema)
+    s_ev = _stream_dir(spark, _land(tmp_path, "nev", [readings, flush_r]))
+    s_st = _stream_dir(spark, _land(tmp_path, "nst", [states, flush_s]))
+    joined = stream_asof_join(
+        s_ev, s_st, on="user_id", time_col="ts", id_col="event_id",
+        value_col="calib_value", watermark="1 minute",
+    )
+    got = {
+        r["event_id"]: r["calib_value"]
+        for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["event_id"] < 90
+    }
+    assert got == {1: 7.0, 2: None}
