@@ -173,3 +173,85 @@ def doc_fingerprint(text: Column) -> Column:
         F.md5(norm).alias("norm_md5"),
         F.array_min(F.transform(toks, F.md5)).alias("min_token_md5"),
     )
+
+
+#: µ-grid for cross-engine-stable log-prob summation (the
+#: plans/text.py unigram discipline).
+_LP_GRID = 1_000_000.0
+
+
+def contrastive_logprob_score(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3/Pile-style importance-weight quality filter: score every
+    candidate document by the mean per-token log-likelihood RATIO
+
+        llr(doc) = mean_t [ ln P_target(t) − ln P_background(t) ]
+
+    where P_target is the Laplace-smoothed unigram model trained on a
+    curated ``target_docs`` corpus (the "wiki-like" positive class)
+    and P_background the model of the candidate corpus itself.
+    Positive scores mean "looks more like the target corpus than like
+    the average candidate" — the classifier-free form of the GPT-3
+    quality-filter idea (a contrast of two LMs), one rung above
+    :func:`plans.text.unigram_logprob_score`'s single-model tier.
+    Returns (id_col, llr, n_tokens).
+
+    Both models smooth over the UNION vocabulary (standard for a
+    likelihood ratio: the two distributions must share a support, or
+    out-of-target tokens would be incomparable across documents);
+    target-unseen tokens get the Laplace floor 1/(N_target+V), so
+    rare/garbage tokens drag the ratio down exactly as intended.
+
+    Plan shape: two explode + map-side-combined count aggregates (one
+    per corpus), three scalars to the driver (N_target, N_background,
+    |V∪|), then ONE pass over candidate tokens joining both vocab
+    tables (broadcast while they fit; at web scale ordinary keyed
+    shuffles, AQE-skew-splittable on stopwords) → per-doc aggregate.
+    Per-token ratio values floor onto the 1e-6 grid and sum as
+    BIGINTs, so the mean is partition-order independent and the
+    DuckDB twin replays it to the grid step (ln differs in libm's
+    last ulp across engines — tests compare at 2e-6, token counts
+    exactly). Zero UDFs."""
+    staged = docs.select(
+        F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk")
+    )
+    toks = staged.select(id_col, F.explode("_tk").alias("token"))
+    bg_vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_b"))
+    t_toks = target_docs.select(
+        tokenize_lower(F.col(text_col)).alias("_tk")
+    ).select(F.explode("_tk").alias("token"))
+    t_vocab = t_toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+
+    n_bg = int(bg_vocab.agg(F.sum("n_b")).collect()[0][0] or 0)
+    n_tg = int(t_vocab.agg(F.sum("n_t")).collect()[0][0] or 0)
+    if n_bg == 0 or n_tg == 0:
+        raise ValueError("both corpora must contain at least one token")
+    v_union = int(
+        bg_vocab.select("token")
+        .unionByName(t_vocab.select("token"))
+        .distinct()
+        .count()
+    )
+
+    joined = (
+        toks.join(F.broadcast(bg_vocab), "token")
+        .join(F.broadcast(t_vocab), "token", "left")
+    )
+    lp_t = F.log(
+        (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
+        / F.lit(float(n_tg + v_union))
+    )
+    lp_b = F.log(
+        (F.col("n_b") + 1).cast("double") / F.lit(float(n_bg + v_union))
+    )
+    g = F.floor((lp_t - lp_b) * F.lit(_LP_GRID)).cast("long")
+    return joined.select(id_col, g.alias("_g")).groupBy(id_col).agg(
+        (
+            (F.sum("_g").cast("double") / F.lit(_LP_GRID)) / F.count(F.lit(1))
+        ).alias("llr"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -1172,3 +1172,86 @@ def test_temperature_mixture_null_strata_dropped(spark, sf_dir):
     assert None not in rates and None not in budgets
     assert out.filter(F.col("source").isNull()).count() == 0
     assert out.count() > 0
+
+
+def test_contrastive_logprob_matches_duckdb(spark, duck, sf_dir):
+    """Importance-weight quality filter (target-vs-background unigram
+    LLR) vs DuckDB replaying both Laplace models over the union
+    vocabulary and the same grid summation; 2e-6 tolerance for libm's
+    last ulp, token counts exact."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        contrastive_logprob_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src1")
+    got = {
+        r["doc_id"]: (r["llr"], r["n_tokens"])
+        for r in contrastive_logprob_score(docs, target).collect()
+    }
+    oracle = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+      FROM documents
+    ), ttk AS (
+      SELECT unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+      FROM documents WHERE source = 'src1'
+    ), bg AS (
+      SELECT token, count(*) AS n_b FROM tk GROUP BY token
+    ), tg AS (
+      SELECT token, count(*) AS n_t FROM ttk GROUP BY token
+    ), tot AS (
+      SELECT (SELECT sum(n_b) FROM bg) AS NB,
+             (SELECT sum(n_t) FROM tg) AS NT,
+             (SELECT count(*) FROM (SELECT token FROM bg UNION SELECT token FROM tg)) AS V
+    )
+    SELECT doc_id,
+           (CAST(sum(CAST(FLOOR((ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (NT + V))
+                                 - ln(CAST(n_b + 1 AS DOUBLE) / (NB + V))) * 1000000.0) AS BIGINT)) AS DOUBLE)
+              / 1000000.0) / count(*) AS llr,
+           count(*) AS n_tokens
+    FROM tk JOIN bg USING (token) LEFT JOIN tg USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+    want = {
+        int(r.doc_id): (float(r.llr), int(r.n_tokens))
+        for r in duck.sql(oracle).df().itertuples()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][1] == want[d][1], d
+        assert abs(got[d][0] - want[d][0]) <= 2e-6, (d, got[d], want[d])
+
+
+def test_contrastive_logprob_separates_target_like_docs(spark):
+    """The filter's job: documents written in the target corpus's
+    vocabulary must outscore documents of background-only garbage
+    tokens; an empty corpus raises."""
+    import pytest
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+        contrastive_logprob_score,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),        # target-like
+            (2, "zzq xkcd qqj vvw zzq xkcd qqj vvw"),  # garbage
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["llr"]
+        for r in contrastive_logprob_score(docs, target).collect()
+    }
+    assert scores[1] > scores[2]
+    assert scores[1] > 0 > scores[2]  # sign = "more target-like than background"
+    with pytest.raises(ValueError, match="at least one token"):
+        contrastive_logprob_score(
+            docs, spark.createDataFrame([], "doc_id long, text string")
+        )
