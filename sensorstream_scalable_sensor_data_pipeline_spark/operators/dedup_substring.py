@@ -143,20 +143,41 @@ def remove_duplicate_spans(
         F.collect_list(F.struct("_s", "_e")).alias("_iv")
     )
     joined = staged.join(per_doc, id_col, "left")
-    # Stage the covered-position set as its own attribute and test
-    # membership with array_contains — an exists() nested inside
-    # filter() would be a nested HOF (the dedup_fuzzy codegen cliff).
+    # Reassemble by slicing the KEPT intervals (the complement of the
+    # sorted removal islands) — O(doc length) array math. A membership
+    # test per token (array_contains over covered positions) would be
+    # O(n·covered): quadratic for a long, heavily-duplicated document,
+    # exactly the doc this operator exists to clean. Each stage is a
+    # materialized attribute (HOF staging discipline); zip_with pairs
+    # island boundaries into gap spans.
     iv = F.coalesce(F.col("_iv"), F.array().cast("array<struct<_s:int,_e:int>>"))
-    joined = joined.withColumn(
-        "_cov",
-        F.flatten(F.transform(iv, lambda p: F.sequence(p["_s"], p["_e"] - 1))),
+    joined = joined.withColumn("_ivs", F.sort_array(iv))
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("_ivs"), lambda p: p["_e"])
     )
-    kept = F.filter(
-        F.col("_tk"), lambda t, i: ~F.array_contains(F.col("_cov"), i)
+    ends = F.concat(
+        F.transform(F.col("_ivs"), lambda p: p["_s"]),
+        F.array(F.size("_tk")),
+    )
+    joined = joined.withColumn(
+        "_gaps",
+        F.filter(
+            F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+            lambda p: p["e"] > p["s"],
+        ),
+    )
+    joined = joined.withColumn(
+        "_kept",
+        F.flatten(
+            F.transform(
+                F.col("_gaps"),
+                lambda p: F.slice(F.col("_tk"), p["s"] + 1, p["e"] - p["s"]),
+            )
+        ),
     )
     return joined.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias(text_col),
+        F.concat_ws(" ", F.col("_kept")).alias(text_col),
         F.size("_tk").cast("long").alias("n_tokens"),
-        (F.size("_tk") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        (F.size("_tk") - F.size("_kept")).cast("long").alias("n_tokens_removed"),
     )
