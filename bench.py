@@ -108,9 +108,11 @@ HEADLINE = [
     "stream_sessionize",
     # Round 8: the large-corpus (300k × 96-dim) float-vs-SQ8 serving
     # pair — byte accounting where list size is material (r7 verdict
-    # task #5). The 32 heads above are unchanged for comparability.
+    # task #5) — and span-level exact-substring dedup over documents.
+    # The 32 heads above are unchanged for comparability.
     "ivf_serve_large",
     "ivf_serve_large_sq8",
+    "dedup_substring",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -164,6 +166,10 @@ EXTRA_HEADS = {
     "ivf_serve_large_sq8": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
         "ivf_serve_large_sq8",
+    ),
+    "dedup_substring": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup",
+        "dedup_substring_head",
     ),
     "asof_join_skewed": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",

@@ -68,3 +68,120 @@ def rollup_distinct_sketches(
 def sketch_estimate(sketch: Column) -> Column:
     """Point estimate off a persisted sketch column."""
     return F.hll_sketch_estimate(sketch).cast("long")
+
+
+# ------------------------------------------------ KLL quantile rollups
+
+#: KLL accuracy parameter: 200 → ~1.65% one-sided rank error (the
+#: DataSketches default); every value is retained EXACTLY while a
+#: group holds fewer than ~k items.
+DEFAULT_KLL_K = 200
+
+
+def build_quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = DEFAULT_KLL_K,
+) -> DataFrame:
+    """Fine-grain QUANTILE sketch table (r8): one KLL double sketch
+    per group — the percentile twin of :func:`build_distinct_sketches`
+    for "P99 this month without re-scanning history". Same discipline:
+    one map-side-combined aggregate, the sketch travels as a binary
+    parquet column. (group_cols..., qsketch, n_rows)."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(int(k))
+        ).alias("qsketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_quantile_sketches(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Coarser-grain percentiles FROM the sketch table: groups
+    collapse via KLL merge (mergeability is the datasketches
+    guarantee — rank error does not degrade with merge order), then
+    each requested quantile is read off the merged sketch. The result
+    keeps the merged sketch column, so rollups chain like the HLL
+    ones. ``rollup_cols=[]`` → one global row."""
+    gb = sketches.groupBy(*rollup_cols) if rollup_cols else sketches.groupBy()
+    merged = gb.agg(
+        F.kll_merge_agg_double("qsketch").alias("qsketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    for q in quantiles:
+        merged = merged.withColumn(
+            f"q{int(round(q * 100)):02d}",
+            F.kll_sketch_get_quantile_double("qsketch", F.lit(float(q))),
+        )
+    return merged
+
+
+# ------------------------------------------------- Theta set algebra
+
+#: Theta nominal entries (log2): 12 → 4096 retained hashes; below
+#: that a sketch is in EXACT mode and set estimates are exact.
+DEFAULT_THETA_LGK = 12
+
+
+def build_theta_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = DEFAULT_THETA_LGK,
+) -> DataFrame:
+    """Theta sketch table (r8): like the HLL table but supporting SET
+    ALGEBRA — Theta sketches intersect and subtract, which HLL
+    fundamentally cannot (register maxima only union). The audience /
+    cohort question "how many users did BOTH A and B" at 100 TB
+    without an exact distinct join. (group_cols..., tsketch,
+    n_rows)."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(value_col), F.lit(int(lgk))).alias("tsketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def segment_overlap(
+    sketches: DataFrame,
+    key_col: str,
+    seg_a,
+    seg_b,
+) -> DataFrame:
+    """One-row set-algebra report between two segments of a Theta
+    sketch table: estimated |A|, |B|, |A∩B|, |A∪B|, |A∖B|, |B∖A| and
+    the Jaccard estimate. Rows for each segment first collapse via
+    Theta union (so the input may be fine-grain), then the two merged
+    sketches combine driver-free — binary expressions over a one-row
+    frame."""
+    two = (
+        sketches.filter(F.col(key_col).isin([seg_a, seg_b]))
+        .groupBy(key_col)
+        .agg(F.theta_union_agg("tsketch").alias("tsketch"))
+        .agg(
+            F.first(
+                F.when(F.col(key_col) == seg_a, F.col("tsketch")),
+                ignorenulls=True,
+            ).alias("_sa"),
+            F.first(
+                F.when(F.col(key_col) == seg_b, F.col("tsketch")),
+                ignorenulls=True,
+            ).alias("_sb"),
+        )
+    )
+    est = F.theta_sketch_estimate
+    inter = F.theta_intersection(F.col("_sa"), F.col("_sb"))
+    union = F.theta_union(F.col("_sa"), F.col("_sb"))
+    return two.select(
+        est("_sa").alias("n_a"),
+        est("_sb").alias("n_b"),
+        est(inter).alias("n_intersection"),
+        est(union).alias("n_union"),
+        est(F.theta_difference(F.col("_sa"), F.col("_sb"))).alias("n_only_a"),
+        est(F.theta_difference(F.col("_sb"), F.col("_sa"))).alias("n_only_b"),
+        (est(inter) / est(union)).alias("jaccard"),
+    )

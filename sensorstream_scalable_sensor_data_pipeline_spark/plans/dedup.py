@@ -348,3 +348,29 @@ def semdedup_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("cosine").alias("avg_cosine"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+# ------------------------------------- exact-substring dedup bench head
+
+
+def dedup_substring_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head for operators/dedup_substring.py: full span-level
+    dedup over the documents table — window fingerprints on every
+    token, the global-canonical aggregate, interval merge, and O(n)
+    reassembly — ended in a summary that CONSUMES the rebuilt text
+    (sum of output lengths) so Catalyst cannot prune the reassembly
+    out of the counted plan (plans/temporal.py measurement doctrine).
+    span_tokens=10 sits below the synthetic documents' typical length
+    so the window stage does real work at bench scale."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_substring import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicate_spans(docs, span_tokens=10)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_tokens_removed").alias("tokens_removed"),
+        F.sum(F.length("text")).alias("out_chars"),
+    )

@@ -50,8 +50,9 @@ def test_r2_heads_still_benched():
     # 20 carried heads (r2 set + curate_training_corpus) + r5's
     # temporal family and persisted-IVF build/serve pair + r6's SQ8
     # serving tier, hot-key skew pair, and the semdedup/anomaly/
-    # streaming-session trio + r8's large-corpus serving pair.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 34
+    # streaming-session trio + r8's large-corpus serving pair and
+    # span-level substring dedup.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 35
     assert {
         "curate_training_corpus",
         "asof_join",
@@ -68,6 +69,7 @@ def test_r2_heads_still_benched():
         "stream_sessionize",
         "ivf_serve_large",
         "ivf_serve_large_sq8",
+        "dedup_substring",
     } <= set(bench.HEADLINE)
 
 

@@ -174,3 +174,98 @@ def test_merge_intervals_matches_oracle(spark, sf_dir):
     }
     con.close()
     assert got == want and got
+
+
+# ------------------------------------------------ KLL quantile rollups
+
+
+def test_kll_rollup_exact_below_k(spark):
+    """Below the KLL accuracy parameter every value is retained, so
+    day→global merged quantiles equal the true percentiles exactly —
+    and equal the one-shot sketch."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketch_rollup import (
+        build_quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    rows = [(d, float(v)) for d in range(5) for v in range(d * 20, d * 20 + 20)]
+    df = spark.createDataFrame(rows, "day int, value double")  # 100 values 0..99
+    fine = build_quantile_sketches(df, ["day"], "value")
+    glob = rollup_quantile_sketches(fine, [], quantiles=[0.5, 0.95]).collect()[0]
+    assert glob["n_rows"] == 100
+    # true quantiles of 0..99 under the KLL rank convention
+    assert 49.0 <= glob["q50"] <= 50.0
+    assert 94.0 <= glob["q95"] <= 95.0
+    oneshot = rollup_quantile_sketches(
+        build_quantile_sketches(df, [], "value"), [], quantiles=[0.5, 0.95]
+    ).collect()[0]
+    assert (glob["q50"], glob["q95"]) == (oneshot["q50"], oneshot["q95"])
+
+
+def test_kll_rollup_rank_error_bounded_at_scale(spark, sf_dir):
+    """Above k the sketch compacts: merged-rollup quantile estimates
+    must land within the documented ~1.65% rank error of the exact
+    percentiles (checked by computing the TRUE rank of each
+    estimate)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketch_rollup import (
+        build_quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").alias("day"), F.col("value")
+    )
+    n = ev.count()
+    fine = build_quantile_sketches(ev, ["day"], "value")
+    glob = rollup_quantile_sketches(fine, [], quantiles=[0.5, 0.99]).collect()[0]
+    for q, est in ((0.5, glob["q50"]), (0.99, glob["q99"])):
+        true_rank = ev.filter(F.col("value") <= est).count() / n
+        assert abs(true_rank - q) <= 0.02, (q, est, true_rank)
+
+
+# ------------------------------------------------- Theta set algebra
+
+
+def test_theta_overlap_exact_in_exact_mode(spark):
+    """Below nominal entries Theta sketches are exact: the overlap
+    report reproduces the true set cardinalities for planted
+    segments."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketch_rollup import (
+        build_theta_sketches,
+        segment_overlap,
+    )
+
+    a = set(range(0, 600))
+    b = set(range(400, 900))
+    rows = [("A", u) for u in a] + [("B", u) for u in b]
+    df = spark.createDataFrame(rows, "seg string, user long")
+    sk = build_theta_sketches(df, ["seg"], "user")
+    r = segment_overlap(sk, "seg", "A", "B").collect()[0]
+    assert round(r["n_a"]) == len(a) and round(r["n_b"]) == len(b)
+    assert round(r["n_intersection"]) == len(a & b)
+    assert round(r["n_union"]) == len(a | b)
+    assert round(r["n_only_a"]) == len(a - b)
+    assert round(r["n_only_b"]) == len(b - a)
+    assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-9
+
+
+def test_theta_overlap_from_fine_grain_rollup(spark):
+    """segment_overlap must accept a FINE-grain sketch table (several
+    rows per segment) — rows collapse via Theta union first, and the
+    union is exact below nominal entries."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketch_rollup import (
+        build_theta_sketches,
+        segment_overlap,
+    )
+
+    rows = [("A", d, u) for d in range(3) for u in range(d * 100, d * 100 + 150)] + [
+        ("B", d, u) for d in range(3) for u in range(200 + d * 50, 200 + d * 50 + 80)
+    ]
+    df = spark.createDataFrame(rows, "seg string, day int, user long")
+    a = {u for s, d, u in rows if s == "A"}
+    b = {u for s, d, u in rows if s == "B"}
+    sk = build_theta_sketches(df, ["seg", "day"], "user")
+    assert sk.count() == 6  # fine grain: (segment, day)
+    r = segment_overlap(sk, "seg", "A", "B").collect()[0]
+    assert round(r["n_intersection"]) == len(a & b)
+    assert round(r["n_union"]) == len(a | b)
