@@ -287,7 +287,11 @@ def stream_asof_join(
     (on, time_col, value_col), value cast to double. Emission latency
     = the watermark delay, the price of exactness; the per-micro-batch
     composition remains the right tool when processing-time freshness
-    beats event-time correctness.
+    beats event-time correctness. And like every watermarked stateful
+    operator, input arriving LATER than the watermark delay (on either
+    stream) is dropped at ingestion — size the delay to the real
+    cross-stream disorder (pinned: the randomized-split equivalence
+    test holds exactly once the delay covers the disorder span).
 
     Scale shape: state per key = readings inside one watermark horizon
     + compacted state history — the same bound as Spark's native

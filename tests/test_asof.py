@@ -1031,3 +1031,65 @@ def test_stream_asof_join_null_state_value_masks(spark, tmp_path):
         if r["event_id"] < 90
     }
     assert got == {1: 7.0, 2: None}
+
+
+def test_stream_asof_join_random_batch_splits(spark, tmp_path):
+    """Cross-batch disorder on BOTH streams: readings and state rows
+    shuffled into interleaved micro-batches (seeded) must still equal
+    the batch as-of — finalization depends only on the watermark,
+    never on delivery order."""
+    import datetime as dt
+    import random
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_join,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    ev_schema = "event_id long, user_id long, ts timestamp"
+    st_schema = "user_id long, ts timestamp, calib_value double"
+    readings = [
+        (i, rng.randrange(3), t0 + dt.timedelta(minutes=rng.randrange(500)))
+        for i in range(40)
+    ]
+    states = [
+        (rng.randrange(3), t0 + dt.timedelta(minutes=rng.randrange(500)),
+         float(rng.randrange(100)))
+        for _ in range(15)
+    ]
+    rng.shuffle(readings)
+    rng.shuffle(states)
+    far = t0 + dt.timedelta(days=400)
+    r_files = [
+        spark.createDataFrame(readings[i::3], ev_schema) for i in range(3)
+    ] + [spark.createDataFrame([(999, 999, far)], ev_schema)]
+    s_files = [
+        spark.createDataFrame(states[i::3], st_schema) for i in range(3)
+    ] + [spark.createDataFrame([(999, far, 0.0)], st_schema)]
+    joined = stream_asof_join(
+        _stream_dir(spark, _land(tmp_path, "rev", r_files)),
+        _stream_dir(spark, _land(tmp_path, "rst", s_files)),
+        on="user_id", time_col="ts", id_col="event_id",
+        value_col="calib_value", watermark="10 hours",
+    )
+    # watermark must COVER the disorder span (500 min): like every
+    # watermarked stateful op, input later than the delay is dropped
+    # at ingestion — the operator's documented contract, not a bug.
+    got = {
+        r["event_id"]: r["calib_value"]
+        for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["event_id"] < 900
+    }
+    bl = spark.createDataFrame(readings, ev_schema)
+    br = spark.createDataFrame(states, st_schema)
+    want = {
+        r["event_id"]: r["calib_value"]
+        for r in asof_join(
+            bl, br, on="user_id", time_col="ts", value_cols=["calib_value"]
+        ).collect()
+    }
+    assert got == want and len(got) == 40
