@@ -1,0 +1,196 @@
+"""Byte-pair-encoding tokenizer: corpus-trained merges + distributed
+encoding (§2.12 text family — the tokenizer-ACCURATE upgrade over
+``operators/text.py::subword_count_estimate``'s length heuristic).
+
+Training-data budgeting is denominated in tokenizer tokens; a
+length/4 estimate drifts 10-30% across languages and formats, so
+mixtures built on it silently mis-allocate. Real BPE (Sennrich et al.
+2016; the GPT/Llama tokenizer family's core) fixes that, and its
+structure maps cleanly onto Spark's:
+
+* the DATA-sized work is the word count — one distributed
+  map-side-combined aggregate over the corpus;
+* merge LEARNING operates on the distinct-(word, count) table, which
+  is corpus-SUBLINEAR (vocabulary growth ~ Heaps' law) — the same
+  driver-side bound every production BPE trainer (sentencepiece,
+  HuggingFace) relies on; the collect is bounded and documented, not
+  a distributed loop driven from the driver;
+* ENCODING is distributed again: the corpus's distinct words get
+  their piece sequences via an Arrow ``mapInPandas`` over the
+  vocab-sized frame (the per-word merge replay is genuinely
+  non-vectorizable Python), and every document then joins
+  broadcast-style against that mapping — tokens never leave the JVM
+  except once per DISTINCT word.
+
+Determinism: merge selection breaks count ties by lexicographically
+SMALLEST pair, so the learned merge list is a pure function of the
+word-count table (pinned by an independent replay in tests). Words
+carry the classic ``</w>`` end-of-word marker, so pieces distinguish
+word-final from word-internal occurrences and encoding generalizes
+to UNSEEN words (the whole point over a word-level vocabulary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
+    tokenize_lower,
+)
+
+#: End-of-word marker appended to every word's final symbol.
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): the distributed, data-sized half of BPE training —
+    one explode + map-side-combined count over lowercase whitespace
+    tokens."""
+    staged = docs.select(tokenize_lower(F.col(text_col)).alias("_tk"))
+    return (
+        staged.select(F.explode("_tk").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _symbols(word: str) -> tuple[str, ...]:
+    if not word:
+        return ()
+    chars = list(word)
+    chars[-1] = chars[-1] + EOW
+    return tuple(chars)
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a learned merge list — replaying merges
+    in learned order, each applied left-to-right (the reference BPE
+    encoder). Pure function; used per DISTINCT word only."""
+    syms = list(_symbols(word))
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` merges from the corpus. The word-count
+    aggregate runs distributed; the (word, n) table — vocabulary-
+    sized, corpus-sublinear — collects to the driver for the merge
+    loop (module docstring bound). Stops early when no pair reaches
+    ``min_pair_count``. Ties on count resolve to the lexicographically
+    smallest pair, so the result is deterministic for a given
+    corpus."""
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    vocab = {
+        r["word"]: int(r["n"]) for r in word_counts(docs, text_col).collect()
+    }
+    if not vocab:
+        raise ValueError("corpus contains no tokens")
+    words: dict[tuple[str, ...], int] = {}
+    for w, n in vocab.items():
+        sym = _symbols(w)
+        words[sym] = words.get(sym, 0) + n
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        merged: dict[tuple[str, ...], int] = {}
+        for sym, n in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            merged[t] = merged.get(t, 0) + n
+        words = merged
+    return merges
+
+
+def piece_mapping(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, pieces, n_pieces) for a distinct-word frame: the
+    per-word merge replay runs as Arrow-batched ``mapInPandas`` over
+    the VOCAB-sized frame — the one genuinely non-vectorizable step,
+    paid once per distinct word, never per occurrence."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            pieces = [apply_merges(w, merges) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": pieces,
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    return words.select("word").distinct().mapInPandas(
+        run, schema="word string, pieces array<string>, n_pieces int"
+    )
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-accurate per-document counts: (id, n_words,
+    n_pieces). Distributed shape: explode words once, build the
+    vocab-sized piece mapping from THIS corpus's distinct words, one
+    broadcast join, one keyed sum — documents never pass through
+    Python."""
+    staged = docs.select(
+        F.col(id_col), tokenize_lower(F.col(text_col)).alias("_tk")
+    )
+    toks = staged.select(id_col, F.explode("_tk").alias("word")).filter(
+        F.col("word") != ""
+    )
+    mapping = piece_mapping(toks.select("word").distinct(), merges)
+    return (
+        toks.join(F.broadcast(mapping.select("word", "n_pieces")), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+    )
