@@ -107,28 +107,58 @@ def train_bpe(
     }
     if not vocab:
         raise ValueError("corpus contains no tokens")
-    words: dict[tuple[str, ...], int] = {}
+    # Incremental trainer state (the subword-nmt/sentencepiece shape —
+    # a full pair recount per merge would be O(n_merges × Σ|word|),
+    # hours at a production merge budget; review-found): words as a
+    # mutable id-keyed table, pair counts maintained globally, and a
+    # pair → word-id index so each merge touches only the words that
+    # CONTAIN it.
+    syms: dict[int, list[str]] = {}
+    counts: dict[int, int] = {}
+    agg: dict[tuple[str, ...], int] = {}
     for w, n in vocab.items():
-        sym = _symbols(w)
-        words[sym] = words.get(sym, 0) + n
+        s = _symbols(w)
+        agg[s] = agg.get(s, 0) + n
+    for wid, (s, n) in enumerate(agg.items()):
+        syms[wid] = list(s)
+        counts[wid] = n
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def _add(sym: list[str], wid: int, n: int, sign: int) -> None:
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + sign * n
+            if pair_counts[p] <= 0:
+                pair_counts.pop(p, None)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wid)
+            # stale ids in pair_words are tolerated: membership is
+            # re-checked against the word's CURRENT symbols on use
+
+    for wid, s in syms.items():
+        _add(s, wid, counts[wid], +1)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, n in words.items():
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
-        if not pairs:
+        if not pair_counts:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_count:
+        best_pair, best_n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_n < min_pair_count:
             break
-        a, b = best[0]
+        a, b = best_pair
         merges.append((a, b))
-        merged: dict[tuple[str, ...], int] = {}
-        for sym, n in words.items():
-            out = []
-            i = 0
+        for wid in list(pair_words.get((a, b), ())):
+            sym = syms[wid]
+            # stale-index guard: the word may no longer contain (a, b)
+            if not any(
+                sym[i] == a and sym[i + 1] == b for i in range(len(sym) - 1)
+            ):
+                continue
+            n = counts[wid]
+            _add(sym, wid, n, -1)
+            out, i = [], 0
             while i < len(sym):
                 if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
                     out.append(a + b)
@@ -136,9 +166,10 @@ def train_bpe(
                 else:
                     out.append(sym[i])
                     i += 1
-            t = tuple(out)
-            merged[t] = merged.get(t, 0) + n
-        words = merged
+            syms[wid] = out
+            _add(out, wid, n, +1)
+        pair_words.pop((a, b), None)
+        pair_counts.pop((a, b), None)
     return merges
 
 

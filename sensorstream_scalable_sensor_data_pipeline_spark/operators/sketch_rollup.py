@@ -113,10 +113,15 @@ def rollup_quantile_sketches(
         F.kll_merge_agg_double("qsketch").alias("qsketch"),
         F.sum("n_rows").alias("n_rows"),
     )
-    for q in quantiles:
+    # collision-proof names: q50, q95, q99_5, ... — a whole-percent
+    # rounding would silently overwrite one of two close quantiles
+    # (0.995 and 0.999 both → "q100"; review-found)
+    names = [f"q{float(q) * 100:g}".replace(".", "_") for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles requested: {list(quantiles)}")
+    for q, name in zip(quantiles, names):
         merged = merged.withColumn(
-            f"q{int(round(q * 100)):02d}",
-            F.kll_sketch_get_quantile_double("qsketch", F.lit(float(q))),
+            name, F.kll_sketch_get_quantile_double("qsketch", F.lit(float(q)))
         )
     return merged
 
@@ -172,7 +177,21 @@ def segment_overlap(
                 ignorenulls=True,
             ).alias("_sb"),
         )
+        .localCheckpoint(eager=True)
     )
+    # a typo'd segment would propagate NULL through every theta
+    # expression and read as "no overlap" in a report — raise instead
+    # (review-found); the frame is one row, the check costs nothing
+    probe = two.select(
+        F.col("_sa").isNull().alias("a_missing"),
+        F.col("_sb").isNull().alias("b_missing"),
+    ).collect()[0]
+    if probe["a_missing"] or probe["b_missing"]:
+        missing = [
+            s for s, gone in ((seg_a, probe["a_missing"]), (seg_b, probe["b_missing"]))
+            if gone
+        ]
+        raise ValueError(f"segment(s) {missing!r} not present in {key_col!r}")
     est = F.theta_sketch_estimate
     inter = F.theta_intersection(F.col("_sa"), F.col("_sb"))
     union = F.theta_union(F.col("_sa"), F.col("_sb"))

@@ -226,21 +226,28 @@ def contrastive_logprob_score(
     ).select(F.explode("_tk").alias("token"))
     t_vocab = t_toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
 
-    n_bg = int(bg_vocab.agg(F.sum("n_b")).collect()[0][0] or 0)
-    n_tg = int(t_vocab.agg(F.sum("n_t")).collect()[0][0] or 0)
+    # ONE vocab frame (full outer on token), materialized once: the
+    # three scalars come out of one aggregate job and the scoring join
+    # reuses the same materialization — the naive form re-executed the
+    # corpus explodes ~3× each (review-found; the sibling
+    # unigram_logprob_score's one-collect discipline).
+    both = bg_vocab.join(t_vocab, "token", "full_outer").localCheckpoint(
+        eager=True
+    )
+    tot = both.agg(
+        F.sum("n_b").alias("nb"),
+        F.sum("n_t").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_bg = int(tot["nb"] or 0)
+    n_tg = int(tot["nt"] or 0)
     if n_bg == 0 or n_tg == 0:
         raise ValueError("both corpora must contain at least one token")
-    v_union = int(
-        bg_vocab.select("token")
-        .unionByName(t_vocab.select("token"))
-        .distinct()
-        .count()
-    )
+    v_union = int(tot["v"])
 
-    joined = (
-        toks.join(F.broadcast(bg_vocab), "token")
-        .join(F.broadcast(t_vocab), "token", "left")
-    )
+    # corpus tokens always carry n_b (their own vocab), and target-only
+    # tokens never join back to toks — the inner join is exact
+    joined = toks.join(F.broadcast(both), "token")
     lp_t = F.log(
         (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
         / F.lit(float(n_tg + v_union))

@@ -163,6 +163,39 @@ def _drain(changes: DataFrame, apply_fn, checkpoint: str, await_seconds: int, la
         )
 
 
+def pruned_table_rows(
+    spark: SparkSession,
+    table_path: str,
+    touched: DataFrame,
+    join_cols: list[str],
+    partition_col: str | None,
+) -> DataFrame:
+    """The durable table's rows matching ``touched``'s keys, read at
+    touched-partition cost: an IN-list partition filter from the
+    batch's distinct partition values (static pruning — the filter
+    reaches the scan's PartitionFilters; SQL IN never matches NULL,
+    so a NULL partition value gets the explicit isNull disjunct),
+    then a broadcast semi-join on ``join_cols``. Pass
+    ``partition_col=None`` to skip pruning (when keys may move
+    partitions). Shared by the merge-upsert and sketch-maintenance
+    sinks — one place to maintain the pruning semantics."""
+    table = spark.read.parquet(table_path)
+    if partition_col is not None:
+        # Bounded by the merge granularity (exactly the partitions the
+        # dynamic overwrite rewrites anyway) — driver-safe collect,
+        # same convention as merge_upsert's touched-partition list.
+        parts = [r[0] for r in touched.select(partition_col).distinct().collect()]
+        pred = F.col(partition_col).isin([p for p in parts if p is not None])
+        if any(p is None for p in parts):
+            pred = pred | F.col(partition_col).isNull()
+        table = table.filter(pred)
+    return table.join(
+        F.broadcast(touched.select(*join_cols).distinct()),
+        join_cols,
+        "left_semi",
+    )
+
+
 def _current_rows_for(
     spark: SparkSession,
     table_path: str,
@@ -171,30 +204,17 @@ def _current_rows_for(
     partition_col: str,
     keys_move_partitions: bool,
 ) -> DataFrame:
-    """The table's current rows for the batch's keys, read at
-    touched-partition cost: an IN-list partition filter from the
-    batch's distinct partition values (static pruning — the filter
-    reaches the scan's PartitionFilters), then a broadcast semi-join
-    on the keys. Pruning is sound only under the default
-    key-determines-partition contract; with
-    ``keys_move_partitions=True`` the read stays unpruned."""
-    table = spark.read.parquet(table_path)
-    if not keys_move_partitions:
-        # Bounded by the merge granularity (exactly the partitions the
-        # dynamic overwrite rewrites anyway) — driver-safe collect,
-        # same convention as merge_upsert's touched-partition list.
-        parts = [r[0] for r in latest.select(partition_col).distinct().collect()]
-        # SQL IN never matches NULL: a batch carrying a NULL partition
-        # value (Hive default partition) needs the explicit disjunct or
-        # its current rows would be invisible to the comparison.
-        pred = F.col(partition_col).isin([p for p in parts if p is not None])
-        if any(p is None for p in parts):
-            pred = pred | F.col(partition_col).isNull()
-        table = table.filter(pred)
-    return table.join(
-        F.broadcast(latest.select(*key_cols).distinct()),
+    """The table's current rows for the batch's keys — the
+    :func:`pruned_table_rows` read projected to the batch's columns.
+    Pruning is sound only under the default key-determines-partition
+    contract; with ``keys_move_partitions=True`` the read stays
+    unpruned."""
+    return pruned_table_rows(
+        spark,
+        table_path,
+        latest,
         key_cols,
-        "left_semi",
+        None if keys_move_partitions else partition_col,
     ).select(*latest.columns)
 
 

@@ -40,6 +40,7 @@ from sensorstream_scalable_sensor_data_pipeline_spark.sources.merge import (
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.streaming.dimensions import (
     _drain,
+    pruned_table_rows,
 )
 
 
@@ -70,20 +71,24 @@ def apply_sketch_batch(
         F.col("sketch").alias("_sk_new"),
         F.col("n_rows").alias("_n_new"),
     )
+    # NULL group values would fall through every equi-join below (and
+    # merge_upsert's key anti-join): the committed row becomes
+    # invisible, rows duplicate, and the replay gate stops gating —
+    # silent corruption. Sketch-table group keys are dimensional keys;
+    # require them non-null (review-found).
+    null_pred = None
+    for c in group_cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if fresh.filter(null_pred).limit(1).count() > 0:
+        raise ValueError(
+            f"NULL value in group columns {group_cols}: sketch-table "
+            "group keys must be non-null (filter or coalesce upstream)"
+        )
     key_cols = [c for c in group_cols if c != partition_col]
     if _path_exists(spark, table_path):
-        parts = [r[0] for r in fresh.select(partition_col).distinct().collect()]
-        pred = F.col(partition_col).isin([p for p in parts if p is not None])
-        if any(p is None for p in parts):
-            pred = pred | F.col(partition_col).isNull()
-        current = (
-            spark.read.parquet(table_path)
-            .filter(pred)
-            .join(
-                F.broadcast(fresh.select(*group_cols).distinct()),
-                group_cols,
-                "left_semi",
-            )
+        current = pruned_table_rows(
+            spark, table_path, fresh, group_cols, partition_col
         )
         j = fresh.join(current, group_cols, "left")
         replayed = F.col("last_batch_id") == F.lit(int(batch_id))

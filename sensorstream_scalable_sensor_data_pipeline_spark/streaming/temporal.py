@@ -310,7 +310,11 @@ def stream_asof_join(
     s_side = state.select(
         F.col(on),
         F.col(time_col).alias("_ts"),
-        F.lit(None).cast("long").alias("_rid"),
+        # sentinel, NOT NULL: a nullable long chunk materializes as
+        # float64 in pandas and silently corrupts reading ids ≥ 2^53
+        # (review-found); the value is never read — state rows are
+        # masked out before ids are touched.
+        F.lit(-1).cast("long").alias("_rid"),
         F.col(value_col).cast("double").alias("_sv"),
         F.lit(True).alias("_is_state"),
     )

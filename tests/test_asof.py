@@ -1093,3 +1093,44 @@ def test_stream_asof_join_random_batch_splits(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_stream_asof_join_preserves_large_ids(spark, tmp_path):
+    """Reading ids above 2^53 must survive: a nullable long chunk
+    materializes as float64 in pandas and silently corrupts them, so
+    the state side carries a sentinel instead of NULL
+    (review-found)."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal import (
+        stream_asof_join,
+    )
+
+    big = (1 << 60) + 12345  # not representable in float64
+    t0 = dt.datetime(2024, 1, 1)
+    ev_schema = "event_id long, user_id long, ts timestamp"
+    st_schema = "user_id long, ts timestamp, calib_value double"
+    readings = spark.createDataFrame(
+        [(big, 10, t0 + dt.timedelta(hours=2))], ev_schema
+    )
+    states = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(hours=1), 5.0)], st_schema
+    )
+    flush_r = spark.createDataFrame([(99, 999, t0 + dt.timedelta(days=400))], ev_schema)
+    flush_s = spark.createDataFrame([(999, t0 + dt.timedelta(days=400), 0.0)], st_schema)
+    joined = stream_asof_join(
+        _stream_dir(spark, _land(tmp_path, "bev", [readings, flush_r])),
+        _stream_dir(spark, _land(tmp_path, "bst", [states, flush_s])),
+        on="user_id", time_col="ts", id_col="event_id",
+        value_col="calib_value", watermark="1 minute",
+    )
+    rows = [
+        r for r in drain_to_memory(joined, output_mode="append").collect()
+        if r["user_id"] == 10
+    ]
+    assert len(rows) == 1
+    assert rows[0]["event_id"] == big  # exact, not float-rounded
+    assert rows[0]["calib_value"] == 5.0

@@ -7,6 +7,7 @@ import datetime as dt
 import os
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import merge_intervals
@@ -269,3 +270,32 @@ def test_theta_overlap_from_fine_grain_rollup(spark):
     r = segment_overlap(sk, "seg", "A", "B").collect()[0]
     assert round(r["n_intersection"]) == len(a & b)
     assert round(r["n_union"]) == len(a | b)
+
+
+def test_kll_subpercent_quantiles_do_not_collide(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketch_rollup import (
+        build_quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "value double"
+    )
+    fine = build_quantile_sketches(df, [], "value")
+    row = rollup_quantile_sketches(fine, [], quantiles=[0.995, 0.999]).collect()[0]
+    assert "q99_5" in row.asDict() and "q99_9" in row.asDict()
+    assert row["q99_5"] <= row["q99_9"]
+    with pytest.raises(ValueError, match="duplicate"):
+        rollup_quantile_sketches(fine, [], quantiles=[0.5, 0.5]).collect()
+
+
+def test_theta_overlap_missing_segment_raises(spark):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sketch_rollup import (
+        build_theta_sketches,
+        segment_overlap,
+    )
+
+    df = spark.createDataFrame([("A", 1), ("A", 2)], "seg string, user long")
+    sk = build_theta_sketches(df, ["seg"], "user")
+    with pytest.raises(ValueError, match="not present"):
+        segment_overlap(sk, "seg", "A", "BB")

@@ -113,3 +113,16 @@ def test_validation(spark, tmp_path):
             spark, str(tmp_path / "y"), df, ["day"], "user_id", "day",
             batch_id=0,
         )
+
+
+def test_null_group_key_rejected(spark, tmp_path):
+    """NULL group values would fall through every equi-join and break
+    both replay guarantees — the sink rejects them with a clear
+    contract error (review-found)."""
+    rows = [("d1", None, 1), ("d1", "click", 2)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(ValueError, match="non-null"):
+        apply_sketch_batch(
+            spark, str(tmp_path / "t"), df, ["day", "event_type"],
+            "user_id", "day", batch_id=0,
+        )
