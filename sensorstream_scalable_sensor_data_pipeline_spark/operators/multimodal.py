@@ -336,7 +336,9 @@ def decode_audio(payload: bytes) -> dict:
         "n_channels": int(samples.shape[1]),
         "duration_s": (n / rate) if rate else 0.0,
         "rms": float(np.sqrt((x * x).mean())) if samples.size else 0.0,
-        "peak": int(np.abs(samples).max()) if samples.size else 0,
+        # widened before abs: np.abs(int16(-32768)) overflows back to
+        # -32768 and a full-scale negative sample would vanish from max
+        "peak": int(np.abs(x).max()) if samples.size else 0,
     }
 
 

@@ -71,6 +71,10 @@ def apply_sketch_batch(
         F.col("sketch").alias("_sk_new"),
         F.col("n_rows").alias("_n_new"),
     )
+    # materialize once: the null probe below and the join/merge path
+    # both consume `fresh`; without this the per-batch groupBy
+    # aggregation executes twice per micro-batch (review-found).
+    fresh = fresh.localCheckpoint(eager=True)
     # NULL group values would fall through every equi-join below (and
     # merge_upsert's key anti-join): the committed row becomes
     # invisible, rows duplicate, and the replay gate stops gating —

@@ -34,6 +34,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.identifiers import (
+    quote_ident,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import asof_join
 from sensorstream_scalable_sensor_data_pipeline_spark.session import prepare_session
 
@@ -115,7 +118,9 @@ def stream_latest_state(
     delivery)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{on} long, ts_us long, {value_col} double"
+    out_schema = (
+        f"{quote_ident(on)} long, ts_us long, {quote_ident(value_col)} double"
+    )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -320,7 +325,10 @@ def stream_asof_join(
     )
     tagged = r_side.unionByName(s_side).withWatermark("_ts", watermark)
 
-    out_schema = f"{on} {key_type}, {id_col} long, ts_us long, {value_col} double"
+    out_schema = (
+        f"{quote_ident(on)} {key_type}, {quote_ident(id_col)} long, "
+        f"ts_us long, {quote_ident(value_col)} double"
+    )
     state_schema = (
         "p_ids array<long>, p_ts array<long>, s_ts array<long>, s_v array<double>"
     )
@@ -390,8 +398,14 @@ def stream_asof_join(
                     [p[1] for p in kept_hist],
                 )
             )
-            if keep_ids:
-                # re-fire this key when the watermark next advances
+            if keep_ids or len(kept_hist) > 1:
+                # re-fire this key when the watermark next advances:
+                # pending readings need finalizing, and a dormant key's
+                # multi-row history needs re-compacting down to the
+                # single horizon carrier (without this, a key that goes
+                # quiet retains every history row ≥ the last-seen
+                # watermark forever). A 1-row history is already
+                # minimal — no timeout, no wasted re-invocations.
                 gs.setTimeoutTimestamp(gs.getCurrentWatermarkMs() + 1)
         else:
             gs.remove()

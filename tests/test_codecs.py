@@ -215,6 +215,14 @@ def test_extract_audio_features_end_to_end(spark):
         decode_audio(b"BM not a wav")
 
 
+def test_decode_audio_peak_full_scale_negative():
+    # np.abs(int16(-32768)) overflows back to -32768; the peak must be
+    # computed on a widened dtype so a full-scale negative sample wins
+    samples = np.array([-32768, 100, -5], dtype=np.int16)
+    feats = decode_audio(encode_wav(samples, 8000))
+    assert feats["peak"] == 32768
+
+
 # ------------------------------------------------------------------ AVI
 
 
