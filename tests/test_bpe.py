@@ -130,6 +130,70 @@ def test_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         train_bpe(docs, n_merges=0)
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        train_bpe(docs, n_merges=1, max_vocab_rows=0)
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         train_bpe(empty, n_merges=5)
+
+
+#: Heavy-tail corpus: the classic head plus 50 distinct singleton
+#: words all containing the bigram "zq" — uncapped, ("z", "q") has
+#: count 50 and would be the FIRST merge; any cap/floor that excludes
+#: the tail restores the classic ("e", "s") first merge. The learned
+#: list therefore proves exactly which words reached the driver.
+_TAIL = [f"zq{i:03d}" for i in range(50)]
+_HEAVY = _CLASSIC + " " + " ".join(_TAIL)
+_HEAD_FREQS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_max_vocab_rows_caps_the_driver_collect(spark):
+    docs = spark.createDataFrame(
+        [(1, _HEAVY)], "doc_id long, text string"
+    ).repartition(4)
+    # uncapped: the 50-singleton tail dominates pair counts — ("q","0")
+    # and ("z","q") both hit 50, lexicographic tie-break picks the first
+    assert train_bpe(docs, n_merges=3)[0] == ("q", "0")
+    # capped to the 4 head words (counts 6,5,3,2 — all above any
+    # singleton): tail never reaches the driver, classic merges return
+    capped = train_bpe(docs, n_merges=10, max_vocab_rows=4)
+    assert capped[0] == ("e", "s")
+    assert capped == _replay_train(_HEAD_FREQS, 10)
+
+
+def test_max_vocab_rows_tie_break_is_deterministic(spark):
+    # 3 singleton words, cap 2: the top-N cut ties on count and must
+    # resolve by word ascending whatever the partitioning
+    docs = spark.createDataFrame(
+        [(1, "ccc aaa bbb")], "doc_id long, text string"
+    )
+    for parts in (1, 3):
+        m = train_bpe(
+            docs.repartition(parts), n_merges=5,
+            max_vocab_rows=2, min_pair_count=1,
+        )
+        assert m == _replay_train({"aaa": 1, "bbb": 1}, 5, min_count=1)
+
+
+def test_min_word_count_floor(spark):
+    docs = spark.createDataFrame([(1, _HEAVY)], "doc_id long, text string")
+    floored = train_bpe(docs, n_merges=10, min_word_count=2)
+    assert floored == _replay_train(_HEAD_FREQS, 10)
+
+
+def test_token_stats_shuffle_fallback_above_broadcast_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, _CLASSIC), (2, "low lower zq000")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=8)
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in bpe_token_stats(docs, merges).collect()
+    }
+    # cap of 1 forces the shuffle-join path (5 distinct words > 1);
+    # results must be identical to the broadcast plan
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in bpe_token_stats(docs, merges, max_broadcast_vocab=1).collect()
+    }
+    assert got == want
