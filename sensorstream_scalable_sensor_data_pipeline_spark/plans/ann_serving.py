@@ -164,17 +164,21 @@ def ivf_serve_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQ8 lists 38 MB — 6.3× narrower; a batch probes nprobe/k = 4/32
     = 1/8 of the partitions, so the pruned scan reads ≈ 30 MB (float)
     vs ≈ 4.7 MB (SQ8) per serve. On a warm local NVMe that byte gap
-    is NOT the whole bottleneck — serving here is scoring-heavy (120
+    is NOT the bottleneck — serving here is scoring-heavy (120
     queries × 4 probes × ~9.4k-vector lists ≈ 4.5M candidate
-    96-dim dots) — so the recorded pair bounds SQ8's dequantize CPU
-    overhead against its scan saving. Measured cold-JVM 3-rep
-    medians: SQ8 9.3 s vs float 11.4 s (0.82×), with overlapping
-    per-rep spreads (7.8-10.5 vs 8.7-18.0) — read as parity-to-
-    modest-win locally, i.e. the narrow form's decode cost does NOT
-    eat its byte saving even when the bytes are cheap. The 6.3× byte
-    ratio is the claim that transfers: on cold object-store serving
-    the pruned read IS the latency, and the measured footprints are
-    the evidence it's real, not estimated."""
+    96-dim dots) — so the recorded pair measures SQ8's dequantize
+    CPU overhead, and locally SQ8 LOSES on wall time: the r8 driver
+    bench (cold-JVM, 3 reps) recorded float 8.87 s (8.67-9.65) vs
+    SQ8 12.99 s (10.51-13.72) — a 1.46× CPU-side cost for the
+    ``zip_with`` dequantize of ~4.5M candidate vectors per serve.
+    (An earlier quiet-sandbox run showed the pair overlapping; the
+    driver's non-overlapping samples supersede it.) The trade this
+    head pair records is therefore: pay ~1.5× CPU on warm local
+    storage to cut the pruned read 6.3× in bytes. SQ8's argument is
+    I/O-bound serving — TB-sized cold object-store lists where the
+    pruned read IS the latency — and the measured 237→38 MB
+    footprints are the evidence the byte side is real, not
+    estimated; the wall-time numbers are the honest CPU price."""
     if _index_dir_large is None:
         ivf_serve_large_setup(spark, sf_dir)
     return query_ivf_index(
