@@ -225,9 +225,11 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(out, keyed)
 
 
-@query(
-    "dedup_simhash",
-    oracle=r"""
+#: simhash's oracle, kept importable for the rotated-slot local suite
+#: (tests/test_queries_vs_oracle.py) after the round-9 registry
+#: rotation (r8 verdict task #3): its slot now carries span-level
+#: exact-substring dedup (``dedup_substring`` below).
+DEDUP_SIMHASH_ORACLE = r"""
     WITH """ + _TOKS_CTE + r""",
     tok AS (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks),
     h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
@@ -246,8 +248,9 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shash a JOIN shash b
       ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
+    """
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit md5-domain simhash per doc
     (operators/dedup_fuzzy.py::simhash_md5), blocked self-join on the
@@ -255,7 +258,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one partial-aggregated hash aggregate; the pair join is
     keyed on the prefix block (2^16 buckets — uniform unless the
     corpus is one giant near-dup class, which IS the skew AQE
-    splits)."""
+    splits).
+
+    Rotated OUT of the 50-slot driver registry in round 9 (r8 verdict
+    task #3): the dedup family keeps four driver-green rows (exact,
+    MinHash-LSH, blocked n-gram, embedding-cosine) and simhash stays
+    locally oracle-pinned in tests/test_queries_vs_oracle.py's
+    rotated-slot suite; the freed slot carries span-level
+    exact-substring dedup, the most user-load-bearing r8 addition."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_md5(docs, "doc_id", "text", bits=60)
     # (doc_id, simhash) is 16 bytes/doc; persist so the hash pipeline
@@ -279,6 +289,105 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
     )
     return materialize_and_release(out, blocked)
+
+
+#: Span length for the registered query — matches the bench head:
+#: below the synthetic documents' typical length so the window stage
+#: does real work, long enough that only planted/boilerplate passages
+#: match.
+_SUBSTR_SPAN = 10
+
+#: Full SQL twin of operators/dedup_substring.py::remove_duplicate_spans
+#: at span_tokens=10. Same five stages: tokenize (original case kept,
+#: lowercase only for matching), per-position window fingerprints,
+#: global canonical = min (doc_id, wpos) per duplicated fingerprint
+#: (row_number twin of Spark's min(struct)), covered-position
+#: expansion (the set union of removal windows — equals the Spark
+#: side's merged-interval complement), and reassembly by anti-joining
+#: covered positions then re-joining kept tokens with single spaces.
+_DEDUP_SUBSTRING_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk
+      FROM documents
+    ),
+    lk AS (
+      SELECT doc_id, tk, list_transform(tk, t -> lower(t)) AS lt FROM toks
+    ),
+    winpos AS (
+      SELECT doc_id, lt,
+             unnest(generate_series(0, len(lt) - {_SUBSTR_SPAN})) AS wpos
+      FROM lk
+    ),
+    wins AS (
+      SELECT doc_id, wpos,
+             md5(array_to_string(
+               list_slice(lt, wpos + 1, wpos + {_SUBSTR_SPAN}), ' ')) AS wfp
+      FROM winpos
+    ),
+    marked AS (
+      SELECT doc_id, wpos,
+             count(*) OVER (PARTITION BY wfp) AS n,
+             row_number() OVER (PARTITION BY wfp ORDER BY doc_id, wpos) AS rn
+      FROM wins
+    ),
+    removal AS (
+      SELECT doc_id, wpos FROM marked WHERE n >= 2 AND rn > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id,
+               unnest(generate_series(wpos + 1, wpos + {_SUBSTR_SPAN})) AS p
+        FROM removal
+      )
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(tk))) AS i,
+             unnest(tk) AS tok
+      FROM toks
+    ),
+    keptagg AS (
+      SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS ktext
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = p.doc_id AND c.p = p.i
+      )
+      GROUP BY p.doc_id
+    ),
+    nrem AS (
+      SELECT doc_id, count(*) AS nr FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.ktext, '') AS text,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.nr, 0) AS BIGINT) AS n_tokens_removed
+    FROM toks t
+    LEFT JOIN keptagg k ON t.doc_id = k.doc_id
+    LEFT JOIN nrem r ON t.doc_id = r.doc_id
+    """
+
+
+@query("dedup_substring", oracle=_DEDUP_SUBSTRING_ORACLE)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span-level) dedup over the full documents
+    table — operators/dedup_substring.py::remove_duplicate_spans, the
+    Lee et al. 2022 ExactSubstr tier at window granularity. Returns
+    every document's rebuilt text plus token accounting, so the
+    driver's value hash pins the whole chain per document: window
+    fingerprints, the global-canonical aggregate, interval merge, and
+    the O(n) complement-slice reassembly.
+
+    Rotated INTO the 50-slot driver registry in round 9 (r8 verdict
+    task #3), taking ``dedup_simhash``'s slot (that query stays
+    locally oracle-pinned in the rotated-slot suite)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_substring import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, span_tokens=_SUBSTR_SPAN)
 
 
 # ------------------------------------------------- embedding near-dup

@@ -58,15 +58,24 @@ def test_semi_join_stays_semi(spark, sf_dir):
 
 
 def test_no_cartesian_anywhere_in_dedup(spark, sf_dir):
+    # dedup_simhash rotated out of the registry in round 9; its plan
+    # contract is pinned here directly, same as the registered family
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        dedup_simhash,
+    )
+
     for name in [
         "dedup_minhash_lsh",
         "dedup_ngram_blocked",
-        "dedup_simhash",
+        "dedup_substring",
         "dedup_embedding_cosine",
     ]:
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = dedup_simhash(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):

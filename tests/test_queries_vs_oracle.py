@@ -210,13 +210,29 @@ def test_rotated_q6_forecast_revenue_matches_oracle(spark, duck, sf_dir):
 
 
 def test_registry_is_exactly_50_with_temporal_family():
-    """The driver records at most 50 registry rows; the round-8
-    rotation must land exactly at the cap with the temporal family
-    inside and every carried §2 slot still present."""
+    """The driver records at most 50 registry rows; the round-8/9
+    rotations must land exactly at the cap with the temporal family
+    and span-level dedup inside and every carried §2 slot present."""
     names = set(QUERIES)
     assert len(QUERIES) == 50
-    assert {"asof_join", "range_join", "resample_locf"} <= names
-    assert not {"d1_dedup_deterministic", "j_multi_hop_enrich", "q6_forecast_revenue"} & names
+    assert {"asof_join", "range_join", "resample_locf", "dedup_substring"} <= names
+    assert not {
+        "d1_dedup_deterministic",
+        "j_multi_hop_enrich",
+        "q6_forecast_revenue",
+        "dedup_simhash",
+    } & names
+
+
+def test_rotated_dedup_simhash_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        DEDUP_SIMHASH_ORACLE,
+        dedup_simhash,
+    )
+
+    sdf = dedup_simhash(spark, sf_dir).toPandas()
+    ddf = duck.sql(DEDUP_SIMHASH_ORACLE).df()
+    assert_frames_match(sdf, ddf, "dedup_simhash")
 
 
 def test_entry_smoke(spark):
