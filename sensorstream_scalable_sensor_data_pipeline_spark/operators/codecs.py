@@ -1,12 +1,16 @@
 """Pure-Python image/audio codecs for the multimodal stage.
 
 This container ships no codec libraries (PIL/opencv/soundfile), but
-two ubiquitous container formats are simple enough to parse exactly
-with ``struct`` + numpy — uncompressed BMP (BITMAPINFOHEADER, 8- and
-24-bit, BI_RGB) and RIFF/WAVE PCM (8- and 16-bit) — which makes the
-multimodal plumbing's decode step REAL for those magics instead of a
-stub (r6 verdict task #3: the 140th component). Every other format
-still raises ``NotImplementedError`` — honest env-bound scope, not a
+several ubiquitous container formats are simple enough to parse
+exactly with ``struct`` + numpy — uncompressed BMP (BITMAPINFOHEADER,
+8- and 24-bit, BI_RGB), RIFF/WAVE PCM (8- and 16-bit), and — because
+PNG's only compression is DEFLATE, which the stdlib ``zlib`` provides
+— 8-bit non-interlaced PNG (all five color types, all five scanline
+filters; r8 verdict task #4, the first COMPRESSED format closed).
+This makes the multimodal plumbing's decode step REAL for those
+magics instead of a stub (r6 verdict task #3). Every other format
+(JPEG/MJPEG/h264 need entropy coders far beyond the stdlib) still
+raises ``NotImplementedError`` — honest env-bound scope, not a
 silent fake.
 
 Everything here is per-payload Python executed INSIDE the Arrow
@@ -29,10 +33,12 @@ _BI_RGB = 0
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' / 'wav' / 'avi' / None by magic number — the dispatch
-    key the multimodal stages branch on."""
+    """'bmp' / 'png' / 'wav' / 'avi' / None by magic number — the
+    dispatch key the multimodal stages branch on."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -141,6 +147,182 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h) * in_h // out_h).clip(0, in_h - 1)
     xs = (np.arange(out_w) * in_w // out_w).clip(0, in_w - 1)
     return np.ascontiguousarray(img[ys][:, xs])
+
+
+# ----------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: color type → samples per pixel (8-bit depth, so bytes per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (chunk_type, body) for every chunk, CRC-verified — a
+    corrupt chunk is a data-integrity error, not a format gap."""
+    import zlib
+
+    pos, end = 8, len(payload)
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size or pos + 12 + size > end:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos += 12 + size
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (0 none / 1 sub / 2 up /
+    3 average / 4 paeth) on the decompressed stream. Sub and up are
+    whole-row numpy; average/paeth carry a left-neighbor dependency,
+    so those rows walk pixels in Python — fine for the filter bytes an
+    encoder actually emits, and this decoder sits inside the
+    Arrow-batched ``mapInPandas`` stage where per-payload Python is
+    the contract."""
+    rows = raw.reshape(h, 1 + rowbytes)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, rowbytes), dtype=np.int64)
+    prev = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            cur = row
+        elif f == 1:  # sub: cumulative sum along the pixel axis
+            cur = row.reshape(-1, bpp).cumsum(axis=0).reshape(rowbytes)
+        elif f == 2:  # up
+            cur = row + prev
+        elif f in (3, 4):  # average / paeth: left-dependent walk
+            cur = np.zeros(rowbytes, dtype=np.int64)
+            for i in range(rowbytes):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f == 3:
+                    cur[i] = row[i] + ((a + b) >> 1)
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = row[i] + pred
+                cur[i] &= 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        cur = cur & 0xFF
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth, non-interlaced PNG (stdlib ``zlib``
+    DEFLATE — the first COMPRESSED format this module closes, r8
+    verdict task #4) into a uint8 array: gray → (h, w), gray+alpha →
+    (h, w, 2), RGB / paletted → (h, w, 3), RGBA → (h, w, 4). All five
+    8-bit color types and all five scanline filters are supported;
+    out of scope — 1/2/4/16-bit depths, Adam7 interlace, and tRNS
+    palette transparency — raise ``NotImplementedError``."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload (bad signature)")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            raise NotImplementedError("PNG tRNS palette transparency")
+        elif ctype == b"IDAT":
+            idat += body
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG compression/filter method {comp}/{filt} invalid")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG depth unsupported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color_type} invalid")
+    if w == 0 or h == 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color_type]
+    rowbytes = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + rowbytes):
+        raise ValueError("PNG pixel stream length mismatch")
+    px = _png_unfilter(raw, h, rowbytes, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if pal.size % 3 or pal.size == 0:
+            raise ValueError("PNG PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"PNG pixel index {int(idx.max())} outside the "
+                f"{pal.shape[0]}-entry palette"
+            )
+        return np.ascontiguousarray(pal[idx])
+    if ch == 1:
+        return np.ascontiguousarray(px.reshape(h, w))
+    return np.ascontiguousarray(px.reshape(h, w, ch))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a uint8 array as an 8-bit non-interlaced PNG: (h, w) →
+    grayscale, (h, w, 2) → gray+alpha, (h, w, 3) → RGB, (h, w, 4) →
+    RGBA. Scanlines use filter 0 with a fixed-level stdlib zlib
+    stream, so encoding is deterministic; pixel-exact round-trip with
+    :func:`decode_png` is pinned in tests."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[img.shape[2]]
+        ch = img.shape[2]
+    else:
+        raise ValueError("expected (h,w[,2|3|4]) uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    body = img.reshape(h, w * ch)
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = body
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 # ----------------------------------------------------------------- WAV

@@ -5,11 +5,12 @@ typed metadata columns alongside. The *plumbing* — schemas, metadata
 extraction, Arrow-batched Pandas processing over ``mapInPandas``,
 partitioning behavior — is real and tested. The codec step is REAL
 for the formats parseable without external libraries — uncompressed
-BMP images and PCM WAV audio, via :mod:`operators.codecs`
-(struct+numpy, r6 verdict task #3) — and raises
-``NotImplementedError`` for every other magic (JPEG/PNG/MP4/... need
-codec libraries this container doesn't ship); the deterministic fake
-decoder remains available to exercise the plumbing format-agnostically.
+BMP and 8-bit PNG images (DEFLATE via stdlib zlib), PCM WAV audio,
+via :mod:`operators.codecs` (struct+numpy, r6 verdict task #3 +
+r8 task #4) — and raises ``NotImplementedError`` for every other
+magic (JPEG/MP4/... need codec libraries this container doesn't
+ship); the deterministic fake decoder remains available to exercise
+the plumbing format-agnostically.
 
 Scale notes: metadata extraction (length/md5/magic) is pure codegen
 column math — runs at scan speed, and because the metadata lives in
@@ -55,29 +56,31 @@ def binary_with_metadata(df: DataFrame, binary_col: str) -> DataFrame:
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     """Decode an image payload into features.
 
-    The REAL path decodes uncompressed BMP (``operators/codecs.py``,
-    pure struct+numpy) and reports the same feature keys computed
-    over the decoded PIXELS (n_frames=1 — a still image); any other
-    magic raises ``NotImplementedError`` (JPEG/PNG need codec
-    libraries this container doesn't ship). ``fake=True`` returns
-    deterministic pseudo-features from the raw bytes so the Spark
-    plumbing is exercisable on arbitrary payloads.
+    The REAL path decodes uncompressed BMP and 8-bit PNG
+    (``operators/codecs.py``, pure struct+numpy+zlib) and reports the
+    same feature keys computed over the decoded PIXELS (n_frames=1 —
+    a still image); any other magic raises ``NotImplementedError``
+    (JPEG needs entropy-codec libraries this container doesn't ship).
+    ``fake=True`` returns deterministic pseudo-features from the raw
+    bytes so the Spark plumbing is exercisable on arbitrary payloads.
     """
     import numpy as np
 
     if not fake:
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
             decode_bmp,
+            decode_png,
             sniff_format,
         )
 
-        if sniff_format(payload) != "bmp":
+        kind = sniff_format(payload)
+        if kind not in ("bmp", "png"):
             raise NotImplementedError(
-                "real decoding supports uncompressed BMP only (other "
-                "formats need codec libraries); run with fake=True for "
-                "the format-agnostic deterministic stub"
+                "real decoding supports uncompressed BMP and 8-bit PNG "
+                "only (other formats need codec libraries); run with "
+                "fake=True for the format-agnostic deterministic stub"
             )
-        px = decode_bmp(payload)
+        px = decode_bmp(payload) if kind == "bmp" else decode_png(payload)
         s = int(px.sum(dtype=np.int64))
         return {
             "n_bytes": len(payload),
@@ -139,10 +142,13 @@ def resize_image(payload: bytes, target_bytes: int, *, fake: bool = False) -> by
     """Resize an image payload to (approximately) ``target_bytes``.
 
     The REAL path is decode → nearest-neighbor downscale → re-encode
-    for uncompressed BMP: the output is the largest uniform downscale
-    whose BMP encoding fits ``target_bytes`` (floor 1×1 — a target
-    below the ~58-byte 1×1 file returns that minimal encoding);
-    payloads already within budget pass through byte-identical.
+    for uncompressed BMP and 8-bit PNG: the output is the largest
+    uniform downscale whose re-encoding fits ``target_bytes`` (floor
+    1×1 — a target below the minimal 1×1 file returns that minimal
+    encoding); payloads already within budget pass through
+    byte-identical. BMP size is exactly monotone in scale; PNG's
+    DEFLATE length is only almost-monotone, which the shrink loop
+    absorbs (each miss shrinks 10% more, terminating at 1×1).
     Other magics raise ``NotImplementedError``. ``fake=True`` is the
     format-agnostic deterministic strided byte subsample to exactly
     ``target_bytes``.
@@ -150,28 +156,32 @@ def resize_image(payload: bytes, target_bytes: int, *, fake: bool = False) -> by
     if not fake:
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
             decode_bmp,
+            decode_png,
             encode_bmp,
+            encode_png,
             resize_nearest,
             sniff_format,
         )
 
-        if sniff_format(payload) != "bmp":
+        kind = sniff_format(payload)
+        if kind not in ("bmp", "png"):
             raise NotImplementedError(
-                "real resizing supports uncompressed BMP only (other "
-                "formats need codec libraries); run with fake=True for "
-                "the format-agnostic deterministic stub"
+                "real resizing supports uncompressed BMP and 8-bit PNG "
+                "only (other formats need codec libraries); run with "
+                "fake=True for the format-agnostic deterministic stub"
             )
         if len(payload) <= target_bytes:
             return payload
-        img = decode_bmp(payload)
+        decode, encode = (
+            (decode_bmp, encode_bmp) if kind == "bmp" else (decode_png, encode_png)
+        )
+        img = decode(payload)
         h, w = img.shape[:2]
-        # 24-bit encoded size is 54 + h·stride(w); shrink uniformly
-        # until it fits (monotone in scale, so the loop terminates).
         scale = (target_bytes / len(payload)) ** 0.5
         while True:
             oh = max(1, int(h * scale))
             ow = max(1, int(w * scale))
-            out = encode_bmp(resize_nearest(img, oh, ow))
+            out = encode(resize_nearest(img, oh, ow))
             if len(out) <= target_bytes or (oh == 1 and ow == 1):
                 return out
             scale *= 0.9
