@@ -31,14 +31,23 @@ BEFORE the timer (e.g. ``ivf_query_batch`` builds the index untimed —
 the build is its own timed head; amortized serving cost is exactly
 what the pair of numbers demonstrates).
 
-Each query is materialized with a ``count()`` over the full result —
-we time plan execution, not Arrow transfer to the driver. Head
-authors: ``count()`` lets Catalyst PRUNE columns nobody consumes —
-a per-row operator whose cost lives entirely in an unread column
-(e.g. a window-carried value) is deleted from the counted plan
-(measured: 0.29 s vs 8.56 s on a 20 M-row as-of join). A head must
-end in an aggregate/filter that consumes its computed columns
-(plans/temporal.py doctrine) or its number measures a scan.
+Each query is materialized with ``collect()`` over the full result
+(r9 harness fix). Through round 8 the harness used ``count()``, which
+lets Catalyst prune every column nobody consumes — the r5 doctrine
+("end heads in an aggregate that consumes the computed columns",
+plans/temporal.py, measured 0.29 s vs 8.56 s on a 20 M-row as-of
+join) protected the EXTRA heads but was itself insufficient: (a) a
+registry head returning PER-ROW output still loses its computed
+expressions under count() (text_quality_score measured 0.28 s counted
+vs 1.48 s collected at sf0.01 — which also explains the r7/r8
+"movement on unchanged code": the counted number was a scan-plus-
+startup residual, mostly noise), and (b) an ungrouped-aggregate head
+constant-folds COMPLETELY — one output row needs none of its inputs
+(dedup_substring: 1.87 s counted vs 7.07 s collected at sf0.1).
+``collect()`` forces every output column; results are aggregate/top-k
+sized so driver transfer is noise. Affected heads' r1-r8 numbers
+under-measure; BENCH_r09 re-baselines them (audit table in
+COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -113,6 +122,15 @@ HEADLINE = [
     "ivf_serve_large",
     "ivf_serve_large_sq8",
     "dedup_substring",
+    # Round 9: the true stream-stream as-of join — correctness-pinned
+    # since r8 but sessionize was the only streaming head with a
+    # recorded cost (r8 verdict task #5) — and the curation capstone
+    # WITH the span-level stage (r8 task #6; a separate head so the
+    # carried capstone number stays comparable and the span stage's
+    # cost is an explicit delta). The 35 heads above are unchanged
+    # for comparability.
+    "stream_asof_join",
+    "curate_with_span_dedup",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -191,6 +209,14 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.streaming.sessions",
         "stream_sessionize_head",
     ),
+    "stream_asof_join": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal",
+        "stream_asof_join_head",
+    ),
+    "curate_with_span_dedup": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.text",
+        "curate_with_span_dedup_head",
+    ),
 }
 
 
@@ -225,7 +251,18 @@ def run_one(name: str) -> None:
     if setup is not None:
         setup(spark, SF_DIR)
     t0 = time.time()
-    rows = fn(spark, SF_DIR).count()
+    # collect(), NOT count() (r9 harness fix): count() lets Catalyst
+    # (a) prune every computed column of a per-row head — the scan and
+    # row count survive but the expressions under test do not
+    # (text_quality_score: 0.28 s counted vs 1.48 s collected at
+    # sf0.01) — and (b) constant-fold a global-aggregate head outright
+    # (an ungrouped aggregate always yields one row, so count()=1
+    # needs none of its inputs; dedup_substring: 1.87 s vs 7.07 s at
+    # sf0.1). collect() materializes every output column; head result
+    # sets are aggregate/top-k sized (≤ ~100k narrow rows), so driver
+    # transfer is noise. Affected heads' r1-r8 numbers under-measure;
+    # BENCH_r09 is the honest re-baseline (see COVERAGE.md).
+    rows = len(fn(spark, SF_DIR).collect())
     dt = round(time.time() - t0, 3)
     print(json.dumps({"query": name, "sec": dt, "rows": rows}))
     spark.stop()

@@ -21,16 +21,41 @@ import json
 import sys
 
 
+#: Scalar keys in the bench JSON that are not head names.
+_NON_HEADS = {"metric", "value", "sf", "cpus", "n", "rc", "reps"}
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         rec = json.load(f)
     if "tail" in rec:  # driver wrapper: the JSON line lives in stdout tail
-        line = [
-            ln
-            for ln in rec["tail"].splitlines()
-            if ln.startswith('{"metric"')
-        ][-1]
-        rec = json.loads(line)
+        lines = [
+            ln for ln in rec["tail"].splitlines() if ln.startswith('{"metric"')
+        ]
+        if lines:
+            return json.loads(lines[-1])
+        # The driver truncates tails to their last ~2000 chars, which
+        # cuts the JSON line's head off — recover per-head data by
+        # regex: sample arrays ("head": [a, b, c]) carry the medians;
+        # scalar entries cover sample-less records (r1).
+        import re
+        import statistics
+
+        t = rec["tail"]
+        samples = {
+            m.group(1): [float(x) for x in m.group(2).split(",")]
+            for m in re.finditer(r'"(\w+)": \[([\d.eE+\-, ]+)\]', t)
+        }
+        queries = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"(\w+)": ([\d.]+)[,}]', t)
+            if m.group(1) not in _NON_HEADS
+        }
+        for h, s in samples.items():
+            queries.setdefault(h, statistics.median(s))
+        if not queries:
+            raise ValueError(f"{path}: no bench line and no parsable tail")
+        return {"queries": queries, "samples": samples}
     return rec
 
 

@@ -25,7 +25,7 @@ the child can sum per-stage shuffle read/write bytes from the REST
 status API after the run. Output: one JSON line per (head, sf).
 
 Usage:
-    python scripts/stress_sf1.py [--gen-only] [out_dir]
+    python scripts/stress_sf1.py [--gen-only] [--heads a,b,c] [out_dir]
     python scripts/stress_sf1.py --one <head> <sf_dir>   # child mode
 
 Results land in stdout; the curated numbers + root-cause notes live in
@@ -56,7 +56,25 @@ HEADS = [
     "ivf_index_build",
     "dedup_minhash_lsh",
     "sim_ann_ivf",
+    # Round 9 (r8 verdict tasks #5/#8): the r8/r9 heads without sf1
+    # evidence. The large-serving pair ignores sf_dir (fixed synthetic
+    # corpus), so its 10× point scales the CORPUS instead via
+    # SPARK_GRAFT_ANN_LARGE_N (see _head_env).
+    "dedup_substring",
+    "stream_asof_join",
+    "ivf_serve_large",
+    "ivf_serve_large_sq8",
 ]
+
+#: 10× corpus for the scale-fixed serving pair at the sf1 rung.
+_ANN_LARGE_N_SF1 = 3_000_000
+
+
+def _head_env(head: str, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    if head.startswith("ivf_serve_large") and sf_dir != SRC:
+        env["SPARK_GRAFT_ANN_LARGE_N"] = str(_ANN_LARGE_N_SF1)
+    return env
 
 
 def generate(spark, out_dir: str) -> None:
@@ -179,18 +197,34 @@ def run_one(head: str, sf_dir: str) -> None:
         load_table,
     )
 
+    setup = None
     if head in bench.EXTRA_HEADS:
         import importlib
 
         mod, attr = bench.EXTRA_HEADS[head]
-        fn = getattr(importlib.import_module(mod), attr)
+        m = importlib.import_module(mod)
+        fn = getattr(m, attr)
+        # untimed fixture hook, same contract as bench.py's child:
+        # without this the serving heads would lazily run their index
+        # BUILD inside the timed region and the number measures the
+        # wrong thing
+        setup = getattr(m, f"{attr}_setup", None)
     else:
         fn = plans.all_queries()[head]
     load_table(spark, sf_dir, "region").count()  # warmup (negligible shuffle)
+    if setup is not None:
+        setup(spark, sf_dir)
+    # baseline the stage counters so untimed setup/warmup shuffle
+    # (e.g. the serving heads' index build) doesn't pollute the
+    # measured head's bytes
+    rd0, wr0 = _shuffle_bytes(spark)
     t0 = time.time()
-    rows = fn(spark, sf_dir).count()
+    # collect(), not count() — same r9 harness fix as bench.py: count()
+    # prunes computed columns / constant-folds global-agg heads
+    rows = len(fn(spark, sf_dir).collect())
     dt = round(time.time() - t0, 3)
     rd, wr = _shuffle_bytes(spark)
+    rd, wr = rd - rd0, wr - wr0
     print(
         json.dumps(
             {
@@ -211,7 +245,13 @@ def main() -> None:
         run_one(sys.argv[2], sys.argv[3])
         return
     gen_only = "--gen-only" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    heads = HEADS
+    argv = list(sys.argv[1:])
+    if "--heads" in argv:
+        i = argv.index("--heads")
+        heads = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     out_dir = args[0] if args else DEFAULT_OUT
     if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
         from sensorstream_scalable_sensor_data_pipeline_spark.session import get_spark
@@ -224,12 +264,13 @@ def main() -> None:
     if gen_only:
         return
     for sf_dir in (SRC, out_dir):
-        for head in HEADS:
+        for head in heads:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", head, sf_dir],
                 capture_output=True,
                 text=True,
                 timeout=3000,
+                env=_head_env(head, sf_dir),
             )
             lines = [l for l in proc.stdout.splitlines() if l.startswith('{"head"')]
             if proc.returncode != 0 or not lines:

@@ -103,11 +103,16 @@ def ivf_query_batch_sq8_setup(spark: SparkSession, sf_dir: str) -> None:
 #: The large deterministic serving corpus (r7 verdict task #5: a
 #: scale where list BYTES dominate the serving read, unlike sf0.1's
 #: 2 000 vectors where the whole scan rounds to nothing either way).
-_LARGE_N = 300_000
+#: Corpus size is env-overridable so the sf1 scale-stress harness
+#: (scripts/stress_sf1.py) can measure the SAME serving plan at 10×
+#: the vectors without a second code path; the query stride scales
+#: with it so the batch stays ~120 queries (organic scale-up: more
+#: list rows per probe, not more probes).
+_LARGE_N = int(os.environ.get("SPARK_GRAFT_ANN_LARGE_N", "300000"))
 _LARGE_DIM = 96
 _LARGE_K = 32
 _LARGE_NPROBE = 4
-_LARGE_QUERY_STRIDE = 2_500  # → 120 queries per batch
+_LARGE_QUERY_STRIDE = max(1, _LARGE_N // 120)  # default 2 500 → 120 queries
 
 _index_dir_large: str | None = None
 _index_dir_large_sq8: str | None = None

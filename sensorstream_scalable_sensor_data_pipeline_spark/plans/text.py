@@ -449,6 +449,8 @@ def curate_training_corpus(
     scrub: bool = False,
     max_dup_line_frac: float | None = None,
     max_top_ngram_frac: float | None = None,
+    remove_dup_spans: bool = False,
+    span_tokens: int = 20,
 ) -> DataFrame:
     """The COMPLETE training-data curation flow as one composition —
     what a real corpus pipeline runs end to end (not registered: the
@@ -458,8 +460,9 @@ def curate_training_corpus(
 
     [optional PII scrub] → quality gate → exact dedup (md5 canonical,
     min-id survivor) → MinHash+LSH near-dup pairs →
-    connected-components resolution → canonical drop → deterministic
-    train/holdout split.
+    connected-components resolution → canonical drop → [optional
+    span-level exact-substring dedup, ``remove_dup_spans=True``] →
+    deterministic train/holdout split.
 
     ``scrub=True`` applies :func:`~...operators.scrub.scrub_text`
     BEFORE tokenization, so the gate, the content fingerprint, and
@@ -590,7 +593,45 @@ def curate_training_corpus(
     ).filter(F.col("jaccard") >= 0.8)
     unique = drop_near_duplicates(exact_unique, pairs)
 
+    if remove_dup_spans:
+        # Span-level pass over the SURVIVORS (r8 verdict task #6):
+        # document-granularity dedup above cannot touch boilerplate
+        # passages repeated inside otherwise-distinct documents; the
+        # ExactSubstr operator removes every non-canonical occurrence
+        # and n_tokens shrinks accordingly. Runs after the near-dup
+        # drop so dropped documents claim no canonical copies, and
+        # before the split — which hashes doc_id only, so the
+        # zero-holdout-leakage property is untouched by the rewrite.
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_substring import (
+            remove_duplicate_spans as _remove_spans,
+        )
+
+        unique = _remove_spans(
+            unique.select("doc_id", "text"), span_tokens=span_tokens
+        ).select(
+            "doc_id",
+            (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_tokens"),
+        )
+
     out = hash_split(unique, "doc_id", holdout_per_mille=holdout_per_mille).select(
         "doc_id", "n_tokens", "split"
     )
     return materialize_and_release(out, exact_unique, sh, bands)
+
+
+def curate_with_span_dedup_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head (r8 verdict task #6): the full curation capstone
+    WITH the span-level exact-substring stage enabled — a separate
+    head from the carried ``curate_training_corpus`` so the span
+    stage's incremental cost is a recorded round-over-round DELTA
+    rather than a silent workload change to a comparability head.
+    Ends in a per-split aggregate consuming n_tokens (bench-head
+    doctrine: the summary must read the span-adjusted counts or the
+    reassembly prunes out of the timed plan)."""
+    out = curate_training_corpus(
+        spark, sf_dir, remove_dup_spans=True, span_tokens=10
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -539,3 +539,111 @@ def stream_interval_join_outer(
     return l.join(r, cond, "leftOuter").select(
         "l.*", *[F.col(f"r.{c}") for c in intervals.columns if c != on]
     )
+
+
+# ------------------------------------------------------- bench head
+
+#: Landing dirs built by the untimed setup hook (bench.py runs
+#: ``stream_asof_join_head_setup`` before starting the timer, the
+#: ann_serving fixture discipline): readings and calibration state
+#: each land as (data file, far-future flush file) so the availableNow
+#: drain's final watermark passes every real row.
+_asof_head_dirs: tuple[str, str] | None = None
+
+#: Every 29th event becomes a calibration state change — dense enough
+#: that most keys carry real as-of history at bench scale.
+_ASOF_HEAD_STATE_MOD = 29
+_ASOF_HEAD_FLUSH_ID = 999_999_999
+
+
+def _land_one(df: DataFrame, landing: str, idx: int) -> None:
+    """Write ``df`` as one ordered file in ``landing`` (file order =
+    micro-batch order under maxFilesPerTrigger=1)."""
+    import glob
+    import os
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="asof_head_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(landing, exist_ok=True)
+    src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.copy(src, os.path.join(landing, f"{idx:03d}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def stream_asof_join_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed fixture: land the full event stream as readings and a
+    1-in-29 calibration subset as state changes, each followed by a
+    far-future flush row that drives the final watermark past every
+    real event."""
+    import datetime as dt
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    global _asof_head_dirs
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    state = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _ASOF_HEAD_STATE_MOD == 0)
+        .select("user_id", "ts", F.col("value").alias("calib_value"))
+    )
+    far = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=400)
+    flush_r = spark.createDataFrame(
+        [(_ASOF_HEAD_FLUSH_ID, -1, far)], ev.schema
+    )
+    flush_s = spark.createDataFrame([(-1, far, 0.0)], state.schema)
+    root = tempfile.mkdtemp(prefix="asof_head_")
+    r_dir = os.path.join(root, "readings")
+    s_dir = os.path.join(root, "state")
+    _land_one(ev, r_dir, 0)
+    _land_one(flush_r, r_dir, 1)
+    _land_one(state, s_dir, 0)
+    _land_one(flush_s, s_dir, 1)
+    _asof_head_dirs = (r_dir, s_dir)
+
+
+def stream_asof_join_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed bench head for the TRUE stream-stream as-of join (r8
+    verdict task #5: sessionize was the only streaming head with a
+    recorded cost). Drains the full availableNow run — the unioned
+    tagged stream, the keyed ``applyInPandasWithState`` buffer logic,
+    watermark-driven finalization, and the timeout-flushed tail —
+    then summarizes so every output column is consumed (bench-head
+    doctrine: the aggregate must read the joined values or Catalyst
+    prunes the operator from the timed plan)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+
+    if _asof_head_dirs is None:
+        stream_asof_join_head_setup(spark, sf_dir)
+    r_dir, s_dir = _asof_head_dirs
+
+    def _stream(d: str) -> DataFrame:
+        phys = spark.read.parquet(d).schema
+        return (
+            spark.readStream.schema(phys).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+
+    joined = stream_asof_join(
+        _stream(r_dir),
+        _stream(s_dir),
+        on="user_id",
+        time_col="ts",
+        id_col="event_id",
+        value_col="calib_value",
+        watermark="1 minute",
+    )
+    out = drain_to_memory(joined, output_mode="append").filter(
+        F.col("event_id") != _ASOF_HEAD_FLUSH_ID
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.count("calib_value").alias("n_matched"),
+        F.avg("calib_value").alias("avg_calib"),
+        # avg, not sum: Σ ts_us over ~1e5 µs-epoch rows overflows long
+        F.avg("ts_us").alias("avg_ts_us"),
+    )

@@ -1134,3 +1134,37 @@ def test_stream_asof_join_preserves_large_ids(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["event_id"] == big  # exact, not float-rounded
     assert rows[0]["calib_value"] == 5.0
+
+
+def test_stream_asof_join_head_matches_batch_summary(spark, sf_dir):
+    """The bench head's drained summary must equal the same summary
+    computed from the BATCH as-of join over the identical readings /
+    calibration split — the head measures cost, this pins that what
+    it measures is the correct join."""
+    import pytest
+
+    import sensorstream_scalable_sensor_data_pipeline_spark.streaming.temporal as st
+
+    st._asof_head_dirs = None  # fresh landing dirs for this sf_dir
+    got = st.stream_asof_join_head(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    calib = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % st._ASOF_HEAD_STATE_MOD == 0)
+        .select("user_id", "ts", F.col("value").alias("calib_value"))
+    )
+    want = (
+        asof_join(ev, calib, on="user_id", time_col="ts",
+                  value_cols=["calib_value"])
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.count("calib_value").alias("n_matched"),
+            F.avg("calib_value").alias("avg_calib"),
+            F.avg(F.unix_micros("ts")).alias("avg_ts_us"),
+        )
+        .collect()[0]
+    )
+    assert got["n_readings"] == want["n_readings"] > 0
+    assert got["n_matched"] == want["n_matched"] > 0
+    assert got["avg_calib"] == pytest.approx(want["avg_calib"], rel=1e-12)
+    assert got["avg_ts_us"] == pytest.approx(want["avg_ts_us"], rel=1e-12)

@@ -51,8 +51,9 @@ def test_r2_heads_still_benched():
     # temporal family and persisted-IVF build/serve pair + r6's SQ8
     # serving tier, hot-key skew pair, and the semdedup/anomaly/
     # streaming-session trio + r8's large-corpus serving pair and
-    # span-level substring dedup.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 35
+    # span-level substring dedup + r9's stream-stream as-of head and
+    # span-enabled curation capstone.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 37
     assert {
         "curate_training_corpus",
         "asof_join",
@@ -70,6 +71,8 @@ def test_r2_heads_still_benched():
         "ivf_serve_large",
         "ivf_serve_large_sq8",
         "dedup_substring",
+        "stream_asof_join",
+        "curate_with_span_dedup",
     } <= set(bench.HEADLINE)
 
 
@@ -82,6 +85,7 @@ def test_setup_hooks_resolve():
         "ivf_query_batch_sq8",
         "ivf_serve_large",
         "ivf_serve_large_sq8",
+        "stream_asof_join",
     ):
         mod, attr = bench.EXTRA_HEADS[head]
         m = importlib.import_module(mod)

@@ -1255,3 +1255,52 @@ def test_contrastive_logprob_separates_target_like_docs(spark):
         contrastive_logprob_score(
             docs, spark.createDataFrame([], "doc_id long, text string")
         )
+
+
+def test_curation_span_stage_removes_cross_doc_passages(spark, tmp_path):
+    """remove_dup_spans=True: a long passage repeated inside two
+    otherwise-distinct documents (which document-level exact AND
+    near-dup stages both keep) is removed from the non-canonical
+    document only, and the doc_id-hashed split is untouched — the
+    zero-holdout-leakage property survives the text rewrite."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    passage = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    )  # 12 tokens: 3 complete 10-token windows per occurrence
+    docs = spark.createDataFrame(
+        [
+            (1, "the story begins here with many plain words "
+                + passage + " and it ends in a calm way"),
+            (2, "a different opening tells of other things "
+                + passage + " while you read that final line"),
+            (3, "the weather is mild and the sea is calm today in "
+                "every way you like"),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    plain = {r["doc_id"]: r for r in curate_training_corpus(spark, sf).collect()}
+    spanned = {
+        r["doc_id"]: r
+        for r in curate_training_corpus(
+            spark, sf, remove_dup_spans=True, span_tokens=10
+        ).collect()
+    }
+    # document-level stages keep all three; the span stage drops no doc
+    assert plain.keys() == spanned.keys() == {1, 2, 3}
+    # split hashes doc_id only — identical either way (no leakage shift)
+    assert {i: r["split"] for i, r in plain.items()} == {
+        i: r["split"] for i, r in spanned.items()
+    }
+    # canonical copy (min doc_id) keeps its passage; doc 2 loses all
+    # 12 passage tokens; the distinct doc is untouched
+    assert spanned[1]["n_tokens"] == plain[1]["n_tokens"]
+    assert spanned[2]["n_tokens"] == plain[2]["n_tokens"] - 12
+    assert spanned[3]["n_tokens"] == plain[3]["n_tokens"]
+    assert cm.isEmpty(), "span-stage curation leaked persisted frames"
