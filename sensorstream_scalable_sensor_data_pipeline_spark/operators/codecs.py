@@ -261,7 +261,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
     rowbytes = w * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # malformed-payload contract: ValueError, not a raw zlib.error
+        # surfacing from an executor (same rule as the BMP palette check)
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != h * (1 + rowbytes):
         raise ValueError("PNG pixel stream length mismatch")
     px = _png_unfilter(raw, h, rowbytes, ch)

@@ -551,3 +551,20 @@ def test_extract_features_mixed_bmp_png_end_to_end(spark):
     assert got.keys() == imgs.keys()
     for i, im in imgs.items():
         assert got[i]["byte_sum"] == int(im.sum(dtype=np.int64))
+
+
+def test_png_missing_or_corrupt_idat_raises_valueerror():
+    """An empty/corrupt IDAT stream must raise the module's
+    ValueError contract, not a raw zlib.error from an executor."""
+    import zlib as _zlib
+
+    no_idat = (
+        _PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(no_idat)
+    # IEND never arrives -> truncated-stream contract
+    with pytest.raises(ValueError, match="IEND"):
+        decode_png(encode_png(np.zeros((2, 2, 3), np.uint8))[:-12])
