@@ -1,0 +1,602 @@
+"""Pure-Python baseline JPEG codec (the last image format from the
+multimodal scope that is closable without external libraries).
+
+JPEG's entropy layer is Huffman coding — implementable exactly with a
+Python bit reader — and its transform layer is the 8×8 DCT, which is
+two numpy matrix multiplies per block. That makes baseline
+(sequential, 8-bit, Huffman) JFIF decodable and encodable with the
+same struct+numpy discipline as :mod:`operators.codecs` (r6 task #3,
+PNG in r9). Scope, honestly drawn:
+
+* DECODE: baseline DCT (SOF0), 8-bit precision, 1 or 3 components,
+  4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers (DRI/RSTn),
+  multi-segment DQT/DHT. Out of scope — progressive (SOF2),
+  extended-sequential (SOF1) with >8-bit, arithmetic coding (SOF9+),
+  hierarchical — raise ``NotImplementedError``; corrupt streams
+  raise ``ValueError`` (the module's malformed-payload contract).
+* ENCODE: baseline, 4:4:4 (grayscale or RGB), Annex-K standard
+  quantization tables scaled by a ``quality`` parameter and the
+  Annex-K standard Huffman tables — the exact tables every libjpeg
+  encoder defaults to. Deterministic bytes for a given input.
+
+Lossy means the round trip is approximate: quantization error is
+bounded by the chosen tables, pinned in tests as PSNR floors plus an
+exact DC-only case. The per-payload Python here (bit reader, Huffman
+walk) runs inside the Arrow ``mapInPandas`` stages of
+:mod:`operators.multimodal` where per-payload Python is the contract;
+the per-block math (DCT, dequantize, clip, color transform) is numpy.
+
+Reference tie: SURVEY §2.12 multimodal scope; closes the JPEG line of
+the r5-r8 "What's missing" compressed-codec item for baseline files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- tables
+
+#: Annex K.1 — luminance quantization, natural (row-major) order.
+_STD_LUMA_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.2 — chrominance quantization.
+_STD_CHROMA_Q = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.3 standard Huffman tables: (bits[1..16], huffval).
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: Zigzag scan order: _ZIGZAG[k] = (row, col) of the k-th coefficient.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Orthonormal 8-point DCT-II basis; IDCT is A.T @ X @ A, forward is
+#: A @ x @ A.T — float64 throughout, one rounding at the end.
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _A[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, per the JPEG canonical-code algorithm."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), inverse of :func:`_huff_decode_table`."""
+    return {v: (c, l) for (l, c), v in _huff_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing
+    and RSTn awareness (scan segments are split on restarts before
+    reading, so the reader itself never sees markers)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted mid-symbol")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _unstuff(data: bytes) -> bytes:
+    """Drop the 0x00 stuffing byte after literal 0xFF in entropy data."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+# --------------------------------------------------------------- decode
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF payload into uint8 (h, w) grayscale or
+    (h, w, 3) RGB (BT.601 full-range, the JFIF convention). See the
+    module docstring for the supported/rejected envelope."""
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.frombuffer(seg, np.uint8, 64, o + 1).astype(np.int64)
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = tbl  # stored in zigzag order
+                qt[tq] = q.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                tab = _huff_decode_table(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                o += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
+                "progressive/extended/lossless/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs[cs] = (tt >> 4, tt & 0xF)
+            data_start = pos + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan_tabs, qt, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG stream ended without SOS")
+
+
+def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if h == 0 or w == 0:
+        raise ValueError("bad JPEG dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise NotImplementedError("JPEG sampling factors beyond 2x2")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # split entropy data on RSTn markers (decoder resync points)
+    end = payload.find(b"\xff\xd9", start)
+    if end < 0:
+        end = len(payload)
+    raw = payload[start:end]
+    segments = []
+    seg_start = 0
+    i = 0
+    while i < len(raw) - 1:
+        if raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7:
+            segments.append(_unstuff(raw[seg_start:i]))
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(_unstuff(raw[seg_start:]))
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
+        for c in comps
+    ]
+    pred = [0] * len(comps)
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct_tab = dc_tabs.get(scan_tabs[c["id"]][0])
+                act_tab = ac_tabs.get(scan_tabs[c["id"]][1])
+                if dct_tab is None or act_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                q = qt.get(c["tq"])
+                if q is None:
+                    raise ValueError("JPEG component references missing DQT")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        t = reader.read_huff(dct_tab)
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huff(act_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coeff = np.zeros(64, np.int64)
+                        coeff[_ZIGZAG] = zz
+                        block = coeff.reshape(8, 8) * q
+                        px = _A.T @ block @ _A + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample subsampled planes to full frame resolution, crop, merge
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- encode
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg's quality→scale mapping over the Annex-K tables."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    luma = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255)
+    chroma = np.clip((_STD_CHROMA_Q * scale + 50) // 100, 1, 255)
+    return luma, chroma
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _encode_block(wr, block, q, dc_tab, ac_tab, pred):
+    coeff = _A @ (block - 128.0) @ _A.T
+    zz = np.rint(coeff / q).astype(np.int64).reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = int(diff).bit_length() if diff != 0 else 0
+    code, ln = dc_tab[t]
+    wr.write(code, ln)
+    if t:
+        v = diff if diff > 0 else diff + (1 << t) - 1
+        wr.write(v, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        wr.write(code, ln)
+        mag = v if v > 0 else v + (1 << s) - 1
+        wr.write(mag, s)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        wr.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline
+    JFIF with Annex-K standard Huffman tables. ``subsampling`` is
+    ``"444"`` (every plane full resolution) or ``"420"`` (chroma 2×2
+    box-averaged — the dominant real-world layout, and the path that
+    exercises the decoder's multi-block interleave + upsample).
+    Deterministic; ``restart_interval`` > 0 emits DRI + RSTn every
+    that many MCUs (the resync path the decoder must honor)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and not (img.ndim == 3 and img.shape[2] == 3):
+        raise ValueError("expected (h,w) grayscale or (h,w,3) RGB uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    sub = subsampling == "420" and not gray
+    luma_q, chroma_q = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [luma_q]
+        hv = [(1, 1)]
+    else:
+        x = img.astype(np.float64)
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub:
+            # 2×2 box-average chroma over even-padded dims
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cb = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+            cr = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+            cb = cb.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [luma_q, chroma_q, chroma_q]
+
+    # pad each plane so the MCU grid tiles it exactly
+    hmax = max(p[0] for p in hv)
+    vmax = max(p[1] for p in hv)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (ch_, cv_) in zip(planes, hv):
+        th, tw = mcus_y * cv_ * 8, mcus_x * ch_ * 8
+        padded.append(
+            np.pad(
+                p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+            )
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        z = q.reshape(64)[_ZIGZAG]
+        return (
+            b"\xff\xdb"
+            + struct.pack(">H", 67)
+            + bytes([tid])
+            + bytes(int(v) for v in z)
+        )
+
+    out += dqt(0, luma_q)
+    if not gray:
+        out += dqt(1, chroma_q)
+
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += struct.pack(
+            ">BBB", i + 1, (hv[i][0] << 4) | hv[i][1], 0 if i == 0 else 1
+        )
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dht(0, 0, _STD_DC_LUMA) + dht(1, 0, _STD_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _STD_DC_CHROMA) + dht(1, 1, _STD_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += struct.pack(">BB", i + 1, 0x00 if i == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_enc = [
+        _huff_encode_table(*_STD_DC_LUMA),
+        _huff_encode_table(*_STD_DC_CHROMA),
+    ]
+    ac_enc = [
+        _huff_encode_table(*_STD_AC_LUMA),
+        _huff_encode_table(*_STD_AC_CHROMA),
+    ]
+    wr = _BitWriter()
+    pred = [0] * nc
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += wr.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wr = _BitWriter()
+                pred = [0] * nc
+            for ci in range(nc):
+                ti = 0 if ci == 0 else 1
+                ch_, cv_ = hv[ci]
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        y0 = (my * cv_ + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(
+                            wr, block, qts[ci], dc_enc[ti], ac_enc[ti], pred[ci]
+                        )
+            mcu += 1
+    out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

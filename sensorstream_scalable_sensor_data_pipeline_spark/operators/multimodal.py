@@ -5,12 +5,12 @@ typed metadata columns alongside. The *plumbing* — schemas, metadata
 extraction, Arrow-batched Pandas processing over ``mapInPandas``,
 partitioning behavior — is real and tested. The codec step is REAL
 for the formats parseable without external libraries — uncompressed
-BMP and 8-bit PNG images (DEFLATE via stdlib zlib), PCM WAV audio,
-via :mod:`operators.codecs` (struct+numpy, r6 verdict task #3 +
-r8 task #4) — and raises ``NotImplementedError`` for every other
-magic (JPEG/MP4/... need codec libraries this container doesn't
-ship); the deterministic fake decoder remains available to exercise
-the plumbing format-agnostically.
+BMP, 8-bit PNG (DEFLATE via stdlib zlib), baseline JPEG
+(:mod:`operators.jpeg`, r9), PCM WAV audio, uncompressed-DIB AVI —
+and raises ``NotImplementedError`` for every other magic
+(progressive JPEG/MP4/h264 need codec machinery beyond the stdlib);
+the deterministic fake decoder remains available to exercise the
+plumbing format-agnostically.
 
 Scale notes: metadata extraction (length/md5/magic) is pure codegen
 column math — runs at scan speed, and because the metadata lives in
@@ -56,13 +56,14 @@ def binary_with_metadata(df: DataFrame, binary_col: str) -> DataFrame:
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     """Decode an image payload into features.
 
-    The REAL path decodes uncompressed BMP and 8-bit PNG
-    (``operators/codecs.py``, pure struct+numpy+zlib) and reports the
-    same feature keys computed over the decoded PIXELS (n_frames=1 —
-    a still image); any other magic raises ``NotImplementedError``
-    (JPEG needs entropy-codec libraries this container doesn't ship).
-    ``fake=True`` returns deterministic pseudo-features from the raw
-    bytes so the Spark plumbing is exercisable on arbitrary payloads.
+    The REAL path decodes uncompressed BMP, 8-bit PNG, and baseline
+    JPEG (``operators/codecs.py`` + ``operators/jpeg.py``, pure
+    struct+numpy+zlib) and reports the same feature keys computed
+    over the decoded PIXELS (n_frames=1 — a still image); any other
+    magic — and the non-baseline JPEG envelope — raises
+    ``NotImplementedError``. ``fake=True`` returns deterministic
+    pseudo-features from the raw bytes so the Spark plumbing is
+    exercisable on arbitrary payloads.
     """
     import numpy as np
 
@@ -72,15 +73,20 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
             decode_png,
             sniff_format,
         )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
 
         kind = sniff_format(payload)
-        if kind not in ("bmp", "png"):
+        decoders = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg}
+        if kind not in decoders:
             raise NotImplementedError(
-                "real decoding supports uncompressed BMP and 8-bit PNG "
-                "only (other formats need codec libraries); run with "
-                "fake=True for the format-agnostic deterministic stub"
+                "real decoding supports uncompressed BMP, 8-bit PNG, and "
+                "baseline JPEG only (other formats need codec libraries); "
+                "run with fake=True for the format-agnostic deterministic "
+                "stub"
             )
-        px = decode_bmp(payload) if kind == "bmp" else decode_png(payload)
+        px = decoders[kind](payload)
         s = int(px.sum(dtype=np.int64))
         return {
             "n_bytes": len(payload),
@@ -142,13 +148,14 @@ def resize_image(payload: bytes, target_bytes: int, *, fake: bool = False) -> by
     """Resize an image payload to (approximately) ``target_bytes``.
 
     The REAL path is decode → nearest-neighbor downscale → re-encode
-    for uncompressed BMP and 8-bit PNG: the output is the largest
-    uniform downscale whose re-encoding fits ``target_bytes`` (floor
-    1×1 — a target below the minimal 1×1 file returns that minimal
-    encoding); payloads already within budget pass through
-    byte-identical. BMP size is exactly monotone in scale; PNG's
-    DEFLATE length is only almost-monotone, which the shrink loop
-    absorbs (each miss shrinks 10% more, terminating at 1×1).
+    for uncompressed BMP, 8-bit PNG, and baseline JPEG (re-encoded
+    4:2:0 quality-85 — the thumbnail convention): the output is the
+    largest uniform downscale whose re-encoding fits ``target_bytes``
+    (floor 1×1 — a target below the minimal 1×1 file returns that
+    minimal encoding); payloads already within budget pass through
+    byte-identical. BMP size is exactly monotone in scale; PNG/JPEG
+    compressed lengths are only almost-monotone, which the shrink
+    loop absorbs (each miss shrinks 10% more, terminating at 1×1).
     Other magics raise ``NotImplementedError``. ``fake=True`` is the
     format-agnostic deterministic strided byte subsample to exactly
     ``target_bytes``.
@@ -162,19 +169,32 @@ def resize_image(payload: bytes, target_bytes: int, *, fake: bool = False) -> by
             resize_nearest,
             sniff_format,
         )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
 
         kind = sniff_format(payload)
-        if kind not in ("bmp", "png"):
+        codec = {
+            "bmp": (decode_bmp, encode_bmp),
+            "png": (decode_png, encode_png),
+            "jpeg": (
+                decode_jpeg,
+                lambda im: encode_jpeg(im, quality=85, subsampling="420")
+                if im.ndim == 3
+                else encode_jpeg(im, quality=85),
+            ),
+        }
+        if kind not in codec:
             raise NotImplementedError(
-                "real resizing supports uncompressed BMP and 8-bit PNG "
-                "only (other formats need codec libraries); run with "
-                "fake=True for the format-agnostic deterministic stub"
+                "real resizing supports uncompressed BMP, 8-bit PNG, and "
+                "baseline JPEG only (other formats need codec libraries); "
+                "run with fake=True for the format-agnostic deterministic "
+                "stub"
             )
         if len(payload) <= target_bytes:
             return payload
-        decode, encode = (
-            (decode_bmp, encode_bmp) if kind == "bmp" else (decode_png, encode_png)
-        )
+        decode, encode = codec[kind]
         img = decode(payload)
         h, w = img.shape[:2]
         scale = (target_bytes / len(payload)) ** 0.5

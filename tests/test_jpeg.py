@@ -1,0 +1,183 @@
+"""Baseline JPEG codec (operators/jpeg.py): lossy round trips pinned
+as PSNR floors + an exact DC-only case, the entropy layer pinned
+against a HAND-COMPUTED spec-side bitstream (independent of both the
+encoder and decoder), 4:2:0 and restart-marker paths, the rejection
+envelope, and the multimodal dispatch end-to-end."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    sniff_format,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+
+
+def test_sniff_and_markers():
+    p = encode_jpeg(_gradient(16, 16))
+    assert sniff_format(p) == "jpeg"
+    assert p[:3] == b"\xff\xd8\xff" and p[-2:] == b"\xff\xd9"
+    # deterministic bytes
+    assert p == encode_jpeg(_gradient(16, 16))
+
+
+def test_dc_only_constant_image_is_exact():
+    """A constant image is DC-only; for a luma value whose shifted DC
+    (8·(v−128)) is a multiple of the DC quant step the round trip is
+    EXACT — quantization introduces zero error. 120 → DC −64, luma
+    q[0,0]=16 at quality 50 → quantized −4 exactly."""
+    c = np.full((24, 16, 3), 120, np.uint8)
+    out = decode_jpeg(encode_jpeg(c, quality=50))
+    assert out.shape == (24, 16, 3)
+    assert int(np.abs(out.astype(int) - 120).max()) == 0
+    # arbitrary constants: error bounded by half the DC quant step / 8
+    for v in (57, 201):
+        out = decode_jpeg(encode_jpeg(np.full((8, 8), v, np.uint8), quality=50))
+        assert int(np.abs(out.astype(int) - v).max()) <= 2
+
+
+def test_entropy_bits_match_hand_computed_spec_stream():
+    """8×8 grayscale constant 136: shifted block is all +8, so the
+    quantized DCT is DC=+4 (64/16), all AC zero. Per spec F.1.2:
+    DC category 3 (Annex K luma DC code for 3 = '100'), magnitude
+    bits '100' (4), then EOB (luma AC code for 0x00 = '1010') →
+    '100'+'100'+'1010' = 0b1001001010, padded with 1s to
+    0b10010010_10111111 = 0x92 0xBF. Pinned byte-for-byte against
+    the encoder's entropy segment — computed here from the published
+    Annex-K tables, not from the module."""
+    p = encode_jpeg(np.full((8, 8), 136, np.uint8), quality=50)
+    # entropy data sits between the SOS header and EOI
+    sos = p.find(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", p, sos + 2)
+    entropy = p[sos + 2 + seglen : -2]
+    assert entropy == bytes([0b10010010, 0b10111111])
+    assert int(decode_jpeg(p)[0, 0]) == 136
+
+
+def test_roundtrip_psnr_floors():
+    g = _gradient(64, 96)
+    assert _psnr(g, decode_jpeg(encode_jpeg(g, quality=95))) > 45
+    assert _psnr(g, decode_jpeg(encode_jpeg(g, quality=95, subsampling="420"))) > 40
+    yy, xx = np.mgrid[0:48, 0:56]
+    smooth = (128 + 60 * np.sin(yy / 9.0) + 50 * np.cos(xx / 7.0))
+    im = np.clip(
+        np.stack([smooth, smooth * 0.8 + 20, 255 - smooth], -1), 0, 255
+    ).astype(np.uint8)
+    assert _psnr(im, decode_jpeg(encode_jpeg(im, quality=75))) > 35
+    # grayscale
+    gs = ((yy * 3 + xx) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gs, quality=90))
+    assert out.shape == gs.shape and _psnr(gs, out) > 40
+
+
+def test_non_multiple_of_8_dimensions():
+    for shape, sub in [((37, 41), "444"), ((19, 27), "444"), ((37, 41), "420")]:
+        img = _gradient(*shape)
+        out = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub))
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 35
+
+
+def test_restart_markers_resync():
+    g = _gradient(48, 48)
+    p = encode_jpeg(g, quality=92, restart_interval=2)
+    assert b"\xff\xdd" in p  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in p for i in range(8))
+    assert _psnr(g, decode_jpeg(p)) > 40
+    # interval=1 resets predictors every MCU — hardest resync case
+    p1 = encode_jpeg(g, quality=92, restart_interval=1)
+    assert _psnr(g, decode_jpeg(p1)) > 40
+
+
+def test_420_smaller_than_444():
+    g = _gradient(64, 64)
+    assert len(encode_jpeg(g, quality=90, subsampling="420")) < len(
+        encode_jpeg(g, quality=90, subsampling="444")
+    )
+
+
+def test_rejections():
+    good = encode_jpeg(_gradient(16, 16))
+    with pytest.raises(NotImplementedError, match="SOI"):
+        decode_jpeg(b"\x89PNGnope")
+    # progressive: rewrite SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+    # 12-bit precision: patch SOF precision byte
+    bad = bytearray(good)
+    sof = bad.index(b"\xff\xc0")
+    bad[sof + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_jpeg(_gradient(8, 8), quality=0)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(_gradient(8, 8), subsampling="422")
+
+
+def test_multimodal_dispatch_jpeg(spark):
+    """extract_features / resize_payloads real paths handle JPEG
+    payloads mixed with BMP/PNG inside one Arrow batch."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_bmp,
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        resize_image,
+    )
+
+    g = _gradient(32, 32)
+    jp = encode_jpeg(g, quality=95)
+    feats = decode_image(jp)
+    dec = decode_jpeg(jp)
+    assert feats["byte_sum"] == int(dec.sum(dtype=np.int64))
+    assert feats["n_frames"] == 1
+
+    # resize target must clear JPEG's ~620-byte fixed header floor
+    # (JFIF + DQT + Annex-K DHT segments) — use a payload that dwarfs it
+    big = encode_jpeg(_gradient(160, 160), quality=95)
+    target = len(big) // 3
+    assert target > 700
+    small = resize_image(big, target)
+    assert sniff_format(small) == "jpeg" and len(small) <= target
+    assert decode_jpeg(small).shape[0] < 160
+
+    rows = [
+        (1, bytearray(encode_bmp(g))),
+        (2, bytearray(encode_png(g))),
+        (3, bytearray(jp)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_features(df, "doc_id", "payload", fake_decoder=False).collect()
+    }
+    assert got[1]["byte_sum"] == got[2]["byte_sum"] == int(g.sum(dtype=np.int64))
+    assert got[3]["byte_sum"] == int(dec.sum(dtype=np.int64))
