@@ -10,9 +10,11 @@ filters; r8 verdict task #4, the first COMPRESSED format closed).
 This makes the multimodal plumbing's decode step REAL for those
 magics instead of a stub (r6 verdict task #3). Baseline JPEG joined
 in r9 via :mod:`operators.jpeg` (Huffman is bit-exact in Python, the
-DCT is numpy). Every other format — progressive/arithmetic JPEG,
-MJPEG, h264 — still raises ``NotImplementedError``: honest env-bound
-scope, not a silent fake.
+DCT is numpy), and with it MJPEG AVI (one baseline JPEG per ``##dc``
+chunk, OpenDML default-Huffman convention) — the first compressed
+VIDEO codec. Every other format — progressive/arithmetic JPEG, h264,
+VP9 — still raises ``NotImplementedError``: honest env-bound scope,
+not a silent fake.
 
 Everything here is per-payload Python executed INSIDE the Arrow
 ``mapInPandas`` stages of :mod:`operators.multimodal` — the decode
@@ -31,6 +33,8 @@ import numpy as np
 # ----------------------------------------------------------------- BMP
 
 _BI_RGB = 0
+#: BITMAPINFOHEADER biCompression fourcc for motion-JPEG streams.
+_MJPG = struct.unpack("<I", b"MJPG")[0]
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -391,13 +395,20 @@ def _riff_chunks(payload: bytes, start: int, end: int):
 
 
 def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
-    """Decode an uncompressed-DIB AVI into (frames, fps): frames is
-    uint8 (n, height, width, 3) RGB. Supported: RIFF 'AVI ' with one
-    'vids' stream whose strf is a 40-byte BITMAPINFOHEADER, 24-bit
-    BI_RGB frames stored as ``##db`` chunks in the 'movi' list
-    (bottom-up BGR rows, 4-byte padded — the BMP pixel-array layout).
-    Compressed streams (MJPEG/h264/...) raise ``NotImplementedError``
-    — they need real codec libraries."""
+    """Decode an AVI into (frames, fps): frames is uint8
+    (n, height, width, 3) RGB. Supported: RIFF 'AVI ' with one
+    'vids' stream whose strf is a 40-byte BITMAPINFOHEADER, and either
+
+    * BI_RGB 24-bit frames in ``##db`` chunks (bottom-up BGR rows,
+      4-byte padded — the BMP pixel-array layout), or
+    * 'MJPG' frames in ``##dc`` chunks, each a baseline JPEG decoded
+      by :mod:`operators.jpeg` with the OpenDML default-Huffman
+      convention (DHT-less frames use the Annex-K standard tables) —
+      the first COMPRESSED video codec closed (r9; grayscale frames
+      are broadcast to RGB so the output shape is uniform).
+
+    Other codecs (h264/VP9/...) raise ``NotImplementedError`` — they
+    need real codec libraries."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise NotImplementedError("not a RIFF/AVI payload")
     width = height = bitcount = None
@@ -422,12 +433,30 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
                 # silently mirror every frame).
                 width, height, top_down = w, abs(h), h < 0
                 bitcount, compression = bc, comp
-            elif cid[2:4] == b"db":
+            elif cid[2:4] in (b"db", b"dc"):
                 frames.append(payload[body : body + size])
 
     walk(12, len(payload))
     if width is None or not frames:
         raise ValueError("AVI missing video stream header or frames")
+    fps = (rate / scale) if (rate and scale) else 0.0
+    if compression == _MJPG:
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+        for i, raw in enumerate(frames):
+            img = decode_jpeg(bytes(raw), default_huffman=True)
+            if img.ndim == 2:
+                img = np.stack([img, img, img], axis=-1)
+            if img.shape[:2] != (height, width):
+                raise ValueError(
+                    f"MJPEG frame {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"stream header says {width}x{height}"
+                )
+            out[i] = img  # JPEG frames are top-down; no row flip
+        return out, fps
     if compression != _BI_RGB or bitcount != 24:
         raise NotImplementedError(
             f"compressed/{bitcount}-bit AVI video unsupported (needs a codec)"
@@ -442,29 +471,61 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
         )
         rgb = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
         out[i] = rgb if top_down else rgb[::-1]
-    fps = (rate / scale) if (rate and scale) else 0.0
     return out, fps
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Encode uint8 (n, h, w, 3) RGB frames as an uncompressed-DIB
-    AVI (fccHandler 'DIB ', ``00db`` chunks) — byte-exact round-trip
-    with :func:`decode_avi_frames`. The deterministic synthetic-video
-    source for the frame-sampling stage's real path."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 10, codec: str = "dib", quality: int = 90
+) -> bytes:
+    """Encode uint8 (n, h, w, 3) RGB frames as an AVI. ``codec``:
+
+    * ``"dib"`` — uncompressed (fccHandler 'DIB ', ``00db`` chunks);
+      byte-exact round-trip with :func:`decode_avi_frames`.
+    * ``"mjpg"`` — motion-JPEG (fccHandler/biCompression 'MJPG',
+      ``00dc`` chunks, one baseline 4:2:0 JPEG per frame at
+      ``quality``); round-trip is PSNR-bounded like any JPEG.
+
+    The deterministic synthetic-video source for the frame-sampling
+    stage's real path."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("expected (n_frames, h, w, 3) uint8 RGB")
     if fps <= 0:
         raise ValueError("fps must be positive")
+    if codec not in ("dib", "mjpg"):
+        raise ValueError("codec must be 'dib' or 'mjpg'")
     n, h, w = frames.shape[:3]
-    stride = ((w * 3) + 3) // 4 * 4
-    frame_bytes = stride * h
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
 
     def list_chunk(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
+
+    # encode frame bodies first: compressed sizes drive the header's
+    # buffer-size fields
+    movi_parts = []  # join once — += in a loop is O(n²) in clip size
+    if codec == "mjpg":
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+
+        handler = compression = b"MJPG"
+        bodies = [
+            encode_jpeg(f, quality=quality, subsampling="420") for f in frames
+        ]
+        frame_bytes = max(len(b) for b in bodies)
+        for b in bodies:
+            movi_parts.append(chunk(b"00dc", b))
+    else:
+        handler = b"DIB "
+        compression = struct.pack("<I", _BI_RGB)
+        stride = ((w * 3) + 3) // 4 * 4
+        frame_bytes = stride * h
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        for f in frames:
+            padded[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+            movi_parts.append(chunk(b"00db", padded.tobytes()))
 
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
@@ -474,21 +535,18 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     # scale=1, rate=fps, start, length=n, suggestedBufferSize,
     # quality (signed, -1 = default), sampleSize, rcFrame.
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + handler
         + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, -1, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
-    strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, _BI_RGB, frame_bytes, 2835, 2835, 0, 0
+    strf = (
+        struct.pack("<IiiHH", 40, w, h, 1, 24)
+        + compression
+        + struct.pack("<IiiII", frame_bytes, 2835, 2835, 0, 0)
     )
     hdrl = list_chunk(
         b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     )
-    movi_parts = []  # join once — += in a loop is O(n²) in clip size
-    padded = np.zeros((h, stride), dtype=np.uint8)
-    for f in frames:
-        padded[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
-        movi_parts.append(chunk(b"00db", padded.tobytes()))
     movi = list_chunk(b"movi", b"".join(movi_parts))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -209,10 +209,17 @@ def _unstuff(data: bytes) -> bytes:
 # --------------------------------------------------------------- decode
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, default_huffman: bool = False) -> np.ndarray:
     """Decode a baseline JFIF payload into uint8 (h, w) grayscale or
     (h, w, 3) RGB (BT.601 full-range, the JFIF convention). See the
-    module docstring for the supported/rejected envelope."""
+    module docstring for the supported/rejected envelope.
+
+    ``default_huffman=True`` resolves Huffman-table ids with no DHT
+    segment to the Annex-K standard tables — the OpenDML MJPEG
+    convention (AVI MJPEG frames routinely omit DHT and the spec
+    directs decoders to assume the standard tables). Off by default:
+    a standalone JFIF with a missing DHT is malformed and stays a
+    ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload (no SOI)")
     pos = 2
@@ -225,6 +232,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # B.1.1.2: any number of 0xFF fill bytes
+            pos += 1        # may pad before a marker — skip one and
+            continue        # re-test (the next byte may be the code)
         pos += 2
         if marker == 0xD9:  # EOI
             break
@@ -278,11 +288,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # baseline allows several single-component scans; the
+                # MCU walk below assumes ONE interleaved scan — reject
+                # cleanly rather than KeyError mid-decode
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG"
+                )
             scan_tabs = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tabs[cs] = (tt >> 4, tt & 0xF)
+            for c in frame["comps"]:
+                if c["id"] not in scan_tabs:
+                    raise ValueError("JPEG SOS component ids != SOF ids")
             data_start = pos + seglen
+            if default_huffman:
+                for tid, spec in ((0, _STD_DC_LUMA), (1, _STD_DC_CHROMA)):
+                    dc_tabs.setdefault(tid, _huff_decode_table(*spec))
+                for tid, spec in ((0, _STD_AC_LUMA), (1, _STD_AC_CHROMA)):
+                    ac_tabs.setdefault(tid, _huff_decode_table(*spec))
             return _decode_scan(
                 payload, data_start, frame, scan_tabs, qt, dc_tabs, ac_tabs,
                 restart_interval,

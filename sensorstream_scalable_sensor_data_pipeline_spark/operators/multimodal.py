@@ -6,7 +6,8 @@ extraction, Arrow-batched Pandas processing over ``mapInPandas``,
 partitioning behavior — is real and tested. The codec step is REAL
 for the formats parseable without external libraries — uncompressed
 BMP, 8-bit PNG (DEFLATE via stdlib zlib), baseline JPEG
-(:mod:`operators.jpeg`, r9), PCM WAV audio, uncompressed-DIB AVI —
+(:mod:`operators.jpeg`, r9), PCM WAV audio, uncompressed-DIB and
+MJPEG AVI —
 and raises ``NotImplementedError`` for every other magic
 (progressive JPEG/MP4/h264 need codec machinery beyond the stdlib);
 the deterministic fake decoder remains available to exercise the
@@ -278,13 +279,15 @@ def sample_frames(
     (the exploded frames never pass through the driver and partition
     like any other relation).
 
-    The REAL path (``fake_codec=False``) decodes uncompressed-DIB AVI
-    containers (``operators/codecs.py::decode_avi_frames``) and emits
-    every ``every_n``-th frame re-encoded as a standalone BMP — so
+    The REAL path (``fake_codec=False``) decodes uncompressed-DIB and
+    MJPEG AVI containers (``operators/codecs.py::decode_avi_frames``;
+    MJPEG via the r9 baseline-JPEG codec) and emits every
+    ``every_n``-th frame re-encoded as a standalone BMP — so
     sampled frames feed straight back into :func:`decode_image` /
     :func:`resize_image` (frame → thumbnail pipelines compose).
-    Compressed video (MJPEG/h264/...) raises ``NotImplementedError``
-    — that genuinely needs codec libraries. The deterministic fake
+    Other compressed video (h264/VP9/...) raises
+    ``NotImplementedError`` — that genuinely needs codec
+    libraries. The deterministic fake
     treats the payload as fixed-size frames of ``_FAKE_FRAME_BYTES``
     (the same framing ``decode_image``'s fake ``n_frames`` reports,
     so the two stubs agree)."""
@@ -308,10 +311,11 @@ def sample_frames(
 
                     if sniff_format(payload) != "avi":
                         raise NotImplementedError(
-                            "real frame extraction supports uncompressed-DIB "
-                            "AVI only (other containers need codec "
-                            "libraries); run with fake_codec=True for the "
-                            "format-agnostic deterministic stub"
+                            "real frame extraction supports AVI containers "
+                            "only (uncompressed-DIB or MJPEG; other "
+                            "containers need codec libraries); run with "
+                            "fake_codec=True for the format-agnostic "
+                            "deterministic stub"
                         )
                     decoded, _fps = decode_avi_frames(payload)
                     for fi in range(0, decoded.shape[0], every_n):

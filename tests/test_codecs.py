@@ -255,9 +255,9 @@ def test_avi_rejects_compressed_and_non_avi():
     with pytest.raises(NotImplementedError):
         decode_avi_frames(b"\x00\x00\x00 ftypisom" + b"\x00" * 32)  # MP4 magic
     payload = bytearray(encode_avi(_frames(2, 4, 4), fps=5))
-    # flip strf biCompression to MJPG
+    # flip strf biCompression to H264 (MJPG is supported since r9)
     i = bytes(payload).find(b"strf")
-    struct.pack_into("<I", payload, i + 8 + 16, 1196444237)
+    payload[i + 8 + 16 : i + 8 + 20] = b"H264"
     with pytest.raises(NotImplementedError):
         decode_avi_frames(bytes(payload))
 
@@ -323,6 +323,154 @@ def test_avi_top_down_height_sign():
         pos = body + stride * h
     out, _ = decode_avi_frames(bytes(payload))
     assert np.array_equal(out, frames)
+
+
+def _smooth_frames(n, h, w):
+    """JPEG-friendly gradient frames (noise compresses terribly under
+    4:2:0; MJPEG fidelity pins use smooth content like real video)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.stack(
+                [(yy * 3 + i * 11) % 256, (xx * 3) % 256, (yy + xx + i) % 256],
+                -1,
+            )
+            for i in range(n)
+        ]
+    ).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_avi_mjpeg_roundtrip_psnr_and_fps():
+    """codec='mjpg': one baseline 4:2:0 JPEG per ##dc chunk; decode
+    recovers shape/fps exactly and pixels to a JPEG-lossy PSNR floor."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = _smooth_frames(4, 12, 17)  # non-multiple-of-8 dims
+    payload = encode_avi(frames, fps=24, codec="mjpg", quality=95)
+    assert sniff_format(payload) == "avi"
+    out, fps = decode_avi_frames(payload)
+    assert out.shape == frames.shape and fps == 24.0
+    for i in range(frames.shape[0]):
+        assert _psnr(out[i], frames[i]) > 30.0
+    # deterministic bytes, and visibly smaller than uncompressed DIB
+    assert payload == encode_avi(frames, fps=24, codec="mjpg", quality=95)
+    big = _smooth_frames(4, 64, 64)
+    assert len(encode_avi(big, codec="mjpg")) < len(encode_avi(big))
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Drop every DHT segment from a JPEG stream (the OpenDML MJPEG
+    wire shape: frames carry no Huffman tables)."""
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += jpeg[pos:]
+            return bytes(out)
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker != 0xC4:
+            out += jpeg[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    raise AssertionError("no SOS in test JPEG")
+
+
+def test_avi_mjpeg_dht_less_frames_use_standard_tables():
+    """Hand-built MJPG container (independent of encode_avi) whose
+    GRAYSCALE frames have their DHT segments stripped — the decoder
+    must apply the Annex-K default tables (OpenDML convention) and
+    broadcast gray to RGB; result equals decoding the un-stripped
+    JPEG directly."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 9, 13
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = [(yy * 7 + xx * 5 + i) % 256 for i in range(3)]
+    jpegs = [encode_jpeg(g.astype(np.uint8), quality=90) for g in gray]
+    stripped = [_strip_dht(j) for j in jpegs]
+    assert all(len(s) < len(j) for s, j in zip(stripped, jpegs))
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", 100_000, 0, 0, 0x10, 3, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, 10, 0, 3, 0, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"MJPG" + struct.pack(
+        "<IiiII", 0, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", s) for s in stripped))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out, fps = decode_avi_frames(payload)
+    assert out.shape == (3, h, w, 3) and fps == 10.0
+    for i, j in enumerate(jpegs):
+        direct = decode_jpeg(j)  # tables present: no default needed
+        assert np.array_equal(out[i], np.stack([direct] * 3, -1))
+
+
+def test_avi_mjpeg_frame_dim_mismatch_raises():
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    payload = bytearray(encode_avi(_smooth_frames(2, 8, 8), codec="mjpg"))
+    i = bytes(payload).find(b"strf")
+    struct.pack_into("<i", payload, i + 8 + 4, 9)  # lie about width
+    with pytest.raises(ValueError):
+        decode_avi_frames(bytes(payload))
+
+
+def test_sample_frames_real_mjpeg_avi_end_to_end(spark):
+    """The REAL framer over a COMPRESSED container: MJPG AVI in,
+    sampled frames out as BMPs whose pixels match the source to a
+    JPEG PSNR floor (the full decode→re-encode compose)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_avi,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    vids = {1: _smooth_frames(5, 16, 16), 2: _smooth_frames(2, 16, 16)}
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(encode_avi(f, fps=10, codec="mjpg", quality=95)))
+            for i, f in vids.items()
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, "doc_id", "payload", every_n=2, fake_codec=False).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert {d: sorted(fs) for d, fs in by_doc.items()} == {1: [0, 2, 4], 2: [0]}
+    for d, fs in by_doc.items():
+        for fi, bmp_bytes in fs.items():
+            assert _psnr(decode_bmp(bmp_bytes), vids[d][fi]) > 30.0
 
 
 def test_bmp_palette_index_out_of_range_raises_valueerror():

@@ -140,6 +140,62 @@ def test_rejections():
         encode_jpeg(_gradient(8, 8), subsampling="422")
 
 
+def test_fill_bytes_before_marker_accepted():
+    """B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    code — decode must skip them, not die on 'marker expected'."""
+    good = encode_jpeg(_gradient(16, 16))
+    i = good.index(b"\xff\xdb")  # first DQT
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+
+def test_multi_scan_sos_rejected_cleanly():
+    """A baseline stream whose SOS lists fewer components than the
+    frame (non-interleaved multi-scan) must raise NotImplementedError
+    before the MCU walk, not KeyError mid-decode."""
+    good = encode_jpeg(_gradient(16, 16))  # 3-component frame
+    i = good.index(b"\xff\xda")
+    one_comp_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(good[:i] + one_comp_sos + good[i + 2 + 12 :])
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker != 0xC4:
+            out += jpeg[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    raise AssertionError("no SOS")
+
+
+def test_default_huffman_mjpeg_convention():
+    """DHT-less streams: decode(default_huffman=True) applies the
+    Annex-K tables and matches the un-stripped decode exactly (the
+    encoder uses exactly those tables); without the flag a missing
+    DHT stays a ValueError — and explicit DHT segments still win
+    when present."""
+    for img in (_gradient(16, 24), _gradient(9, 9)[:, :, 0]):
+        good = encode_jpeg(img, quality=85)
+        stripped = _strip_dht(good)
+        assert len(stripped) < len(good)
+        with pytest.raises(ValueError, match="missing DHT"):
+            decode_jpeg(stripped)
+        assert np.array_equal(
+            decode_jpeg(stripped, default_huffman=True), decode_jpeg(good)
+        )
+        # tables present: flag is a no-op, not an override
+        assert np.array_equal(
+            decode_jpeg(good, default_huffman=True), decode_jpeg(good)
+        )
+
+
 def test_multimodal_dispatch_jpeg(spark):
     """extract_features / resize_payloads real paths handle JPEG
     payloads mixed with BMP/PNG inside one Arrow batch."""
