@@ -62,6 +62,27 @@ def grid_dot_sql(a: str, b: str) -> str:
     )
 
 
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two integer-array columns (SQ8
+    codes) — the ADC fast path for quantized serving: no per-element
+    double multiply, no floor, no reconstructed float array. Order-
+    and engine-exact by construction (integer adds are associative).
+    Range: int8×int8 products are ≤ 127² = 16 129, so overflow needs
+    > 2^63/16 129 ≈ 5.7e14 dims — unreachable. Same HOF staging
+    discipline as :func:`grid_dot`: pass materialized attributes."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast(_ACC) * y.cast(_ACC))
+    return F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, v: acc + v)
+
+
+def int_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`int_dot` (exact integer arithmetic on
+    both engines — no tolerance needed)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)))"
+    )
+
+
 def grid_cosine_sql(a: str, b: str) -> str:
     """DuckDB twin of pairwise cosine (inline norms — fine for oracle
     scale; the Spark side precomputes norms per row instead)."""

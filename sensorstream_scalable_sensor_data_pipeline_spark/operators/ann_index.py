@@ -33,7 +33,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import grid_dot
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+    grid_dot,
+    int_dot,
+)
 
 
 def _grid_l2(a: F.Column, c: F.Column) -> F.Column:
@@ -135,12 +138,37 @@ def query_ivf_index(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    score: str = "auto",
 ) -> DataFrame:
     """Top-k cosine neighbors for a (query_id, embedding) batch from a
     persisted index: rank centroids per query (broadcast-k, window
     over the tiny query×k frame), prune the list scan to the probed
     partitions, score candidates, per-query top-k. Returns
-    (query_id, nbr_id, cosine, rank)."""
+    (query_id, nbr_id, cosine, rank).
+
+    ``score`` applies only to SQ8-stored lists and picks the scoring
+    arithmetic over the pruned candidates:
+
+    * ``"int8"`` (and ``"auto"``, the default) — symmetric ADC, the
+      FAISS-style fast path: the query batch is ALSO quantized once
+      up front, and each candidate scores as
+      ``q_scale·scale·Σ q_code_i·code_i`` — one exact BIGINT
+      ``zip_with`` per candidate, no reconstructed float array, no
+      per-element double multiply/floor. Exact integer arithmetic →
+      order/engine-deterministic by construction. Ranking fidelity
+      vs the float index is pinned in tests (the extra query-side
+      quantization adds error ≤ max|q|/254 per component on top of
+      the stored-code error the dequant path already has).
+    * ``"dequant"`` — reconstruct each candidate vector
+      (``codes·scale``) and grid-dot it against the float query:
+      bit-identical cosines to a float index built from the
+      dequantized vectors, at ~1.5× the float path's CPU (the r8
+      driver-measured dequantize overhead this option preserves for
+      when exact dequantized-cosine parity matters).
+
+    Float-stored lists ignore ``score``."""
+    if score not in ("auto", "int8", "dequant"):
+        raise ValueError("score must be 'auto', 'int8' or 'dequant'")
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qs = queries.select(
         F.col("query_id"),
@@ -160,10 +188,11 @@ def query_ivf_index(
     # ≤ k distinct centroid ids for the whole batch — driver-bounded.
     probe_js = sorted({r["j"] for r in probes.select("j").distinct().collect()})
     lists = load_ivf_lists(spark, index_dir, probe_js)
-    if "codes" in lists.columns:
-        # SQ8-stored lists: reconstruct vectors AFTER partition
-        # pruning, so the narrow (codes, scale) form is what crosses
-        # the scan; staged as an attribute before the dot (HOF
+    quantized = "codes" in lists.columns
+    if quantized and score == "dequant":
+        # SQ8-stored lists, dequant scoring: reconstruct vectors AFTER
+        # partition pruning, so the narrow (codes, scale) form is what
+        # crosses the scan; staged as an attribute before the dot (HOF
         # nesting discipline).
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
             dequantize_embedding,
@@ -172,19 +201,55 @@ def query_ivf_index(
         lists = lists.withColumn(
             "embedding", dequantize_embedding(F.col("codes"), F.col("scale"))
         ).select("j", "vec_id", "embedding", "n2")
-    scored = (
-        F.broadcast(probes.join(qs, "query_id"))
-        .join(lists, "j")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("nbr_id"),
-            (
-                grid_dot(F.col("q_emb"), F.col("embedding"))
-                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
-            ).alias("cosine"),
+    if quantized and score != "dequant":
+        # symmetric int8 ADC: quantize the (tiny, broadcast) query
+        # batch once; each candidate then costs ONE exact BIGINT
+        # zip_with — no reconstructed array, no double mult/floor
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.quantize import (
+            quantize_embedding,
         )
-    )
+
+        qc, qsc = quantize_embedding(F.col("q_emb"))
+        bq = (
+            probes.join(qs, "query_id")
+            .select(
+                "query_id", "j", qc.alias("q_codes"), qsc.alias("q_scale")
+            )
+            .withColumn(
+                "q_hn2",
+                F.col("q_scale")
+                * F.col("q_scale")
+                * int_dot(F.col("q_codes"), F.col("q_codes")).cast("double"),
+            )
+        )
+        scored = (
+            F.broadcast(bq)
+            .join(lists, "j")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("nbr_id"),
+                (
+                    (F.col("q_scale") * F.col("scale"))
+                    * int_dot(F.col("q_codes"), F.col("codes")).cast("double")
+                    / (F.sqrt(F.col("q_hn2")) * F.sqrt(F.col("n2")))
+                ).alias("cosine"),
+            )
+        )
+    else:
+        scored = (
+            F.broadcast(probes.join(qs, "query_id"))
+            .join(lists, "j")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("nbr_id"),
+                (
+                    grid_dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
+                ).alias("cosine"),
+            )
+        )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
     )

@@ -171,19 +171,24 @@ def ivf_serve_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs ≈ 4.7 MB (SQ8) per serve. On a warm local NVMe that byte gap
     is NOT the bottleneck — serving here is scoring-heavy (120
     queries × 4 probes × ~9.4k-vector lists ≈ 4.5M candidate
-    96-dim dots) — so the recorded pair measures SQ8's dequantize
-    CPU overhead, and locally SQ8 LOSES on wall time: the r8 driver
-    bench (cold-JVM, 3 reps) recorded float 8.87 s (8.67-9.65) vs
-    SQ8 12.99 s (10.51-13.72) — a 1.46× CPU-side cost for the
-    ``zip_with`` dequantize of ~4.5M candidate vectors per serve.
-    (An earlier quiet-sandbox run showed the pair overlapping; the
-    driver's non-overlapping samples supersede it.) The trade this
-    head pair records is therefore: pay ~1.5× CPU on warm local
-    storage to cut the pruned read 6.3× in bytes. SQ8's argument is
-    I/O-bound serving — TB-sized cold object-store lists where the
-    pruned read IS the latency — and the measured 237→38 MB
-    footprints are the evidence the byte side is real, not
-    estimated; the wall-time numbers are the honest CPU price."""
+    96-dim dots) — so the pair records SQ8's SCORING cost, and that
+    cost depends on the scoring arithmetic:
+
+    * r8 (dequantize scoring, the only path then): SQ8 LOST on wall
+      time — driver bench (cold-JVM, 3 reps) float 8.87 s
+      (8.67-9.65) vs SQ8 12.99 s (10.51-13.72), a 1.46× CPU cost
+      for the per-candidate ``zip_with`` reconstruct + grid dot.
+    * r9 (symmetric int8 ADC, now the SQ8 default): one exact BIGINT
+      ``zip_with`` per candidate — no reconstructed array, no double
+      multiply/floor — measured warm-session reps: float
+      8.2/6.3/5.5 s, SQ8-dequant 7.1/6.5/6.6 s, SQ8-int8
+      5.9/4.9/4.4 s. SQ8 now wins BOTH axes locally: ~0.8× the
+      float path's CPU and 6.3× fewer pruned-scan bytes (BENCH_r09
+      carries the cold-JVM driver numbers for the pair).
+
+    At TB-scale cold object storage the byte side dominates anyway
+    (the pruned read IS the latency); the measured 237→38 MB
+    footprints are the evidence that side is real, not estimated."""
     if _index_dir_large is None:
         ivf_serve_large_setup(spark, sf_dir)
     return query_ivf_index(
@@ -199,9 +204,11 @@ def ivf_serve_large_sq8_setup(spark: SparkSession, sf_dir: str) -> None:
 
 def ivf_serve_large_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 twin of :func:`ivf_serve_large` — same corpus, same query
-    batch, same plan; the pruned scan reads the (codes, scale) form
-    (≈ 4.7 MB vs 30 MB probed) and dequantizes AFTER pruning. See the
-    float head's docstring for the full byte accounting."""
+    batch, same probe plan; the pruned scan reads the (codes, scale)
+    form (≈ 4.7 MB vs 30 MB probed) and scores with the symmetric
+    int8 ADC path (r9 default: exact BIGINT code dots — see
+    ``query_ivf_index(score=...)``). See the float head's docstring
+    for the byte accounting and the r8-dequant vs r9-int8 history."""
     if _index_dir_large_sq8 is None:
         ivf_serve_large_sq8_setup(spark, sf_dir)
     return query_ivf_index(
@@ -212,19 +219,21 @@ def ivf_serve_large_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_query_batch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed serving head against the SQ8 index — same query batch and
-    same plan as ``ivf_query_batch`` except the pruned list scan reads
-    the narrow (codes, scale) form and dequantizes AFTER pruning;
-    ranking agreement vs the float index is pinned in tests.
+    same probe plan as ``ivf_query_batch`` except the pruned list
+    scan reads the narrow (codes, scale) form, scored via the
+    symmetric int8 ADC default (r9); ranking agreement vs the float
+    index is pinned in tests.
 
     MEASUREMENT HONESTY: at sf0.1's 2 000-vector corpus the pair
     measures the CPU trade, not the I/O trade — the whole list scan
-    is a few hundred KB either way, so the float head wins slightly
-    (SQ8 pays a per-row ``zip_with`` dequantize for a scan-byte
-    saving that rounds to zero here). SQ8's argument is I/O-bound
-    serving at corpus scale: 4× fewer bytes per pruned-partition
-    read when lists are TB-sized and cold. The head exists so the
-    CPU overhead side of that trade is a recorded number rather than
-    a guess."""
+    is a few hundred KB either way, so the pair's delta is the
+    scoring arithmetic (int8 code dots vs float grid dots), with
+    fixed per-head machinery dominating both. SQ8's argument is
+    I/O-bound serving at corpus scale: 4× fewer bytes per
+    pruned-partition read when lists are TB-sized and cold (see
+    ``ivf_serve_large`` for the corpus where both axes are
+    measured). The head exists so the CPU side of that trade is a
+    recorded number rather than a guess."""
     if _index_dir_sq8 is None:
         ivf_query_batch_sq8_setup(spark, sf_dir)
     return query_ivf_index(

@@ -3,6 +3,7 @@ and the partition-pruning contract that makes inverted lists real."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.ann_index import (
@@ -88,13 +89,20 @@ def test_quantized_ivf_index_serves_with_high_agreement(spark, sf_dir, tmp_path)
         (r["query_id"], r["nbr_id"])
         for r in query_ivf_index(spark, fidx, queries, k=5, nprobe=2).collect()
     }
-    qpairs = {
-        (r["query_id"], r["nbr_id"])
-        for r in query_ivf_index(spark, qidx, queries, k=5, nprobe=2).collect()
-    }
     n_queries = queries.count()
-    assert len(qpairs) == 5 * n_queries  # every query fully answered
-    assert len(fpairs & qpairs) / len(fpairs) >= 0.8
+    # both SQ8 scoring paths: symmetric int8 ADC (the default/auto
+    # fast path) and dequantize (exact dequantized-cosine parity)
+    for mode in ("int8", "dequant"):
+        qpairs = {
+            (r["query_id"], r["nbr_id"])
+            for r in query_ivf_index(
+                spark, qidx, queries, k=5, nprobe=2, score=mode
+            ).collect()
+        }
+        assert len(qpairs) == 5 * n_queries  # every query fully answered
+        assert len(fpairs & qpairs) / len(fpairs) >= 0.8
+    with pytest.raises(ValueError):
+        query_ivf_index(spark, qidx, queries, score="fp16")
 
 
 def test_ivf_train_sampled_path_produces_k_seeds(spark, sf_dir):
@@ -197,3 +205,54 @@ def test_append_matches_full_rebuild_assignment(spark, sf_dir, tmp_path):
     base = assignment_drift(spark, idx, half_a)
     drift = assignment_drift(spark, idx, half_b)
     assert drift <= 2.0 * base
+
+
+def test_sq8_int8_scoring_matches_duckdb_replay(spark, duck, sf_dir, tmp_path):
+    """Engine determinism of the int8 ADC cosine: for served pairs,
+    DuckDB replaying the SAME arithmetic — quantize the query
+    (round-half-away, 127/absmax), exact BIGINT code dot, then
+    ((q_scale·scale)·dot) / (sqrt((q_scale²)·qdot)·sqrt(n2)) — must
+    reproduce Spark's cosine EXACTLY (integer dot is exact; every
+    float op is a single IEEE operation in the same order)."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
+        int_dot_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qidx = build_ivf_index(spark, emb, str(tmp_path / "adc"), k=10, quantize=True)
+    queries = emb.filter(F.expr("vec_id % 200 = 0")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_ivf_index(spark, qidx, queries, k=3, nprobe=2, score="int8").collect()
+    assert got
+    lists_glob = os.path.join(qidx, "lists", "*", "*.parquet")
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"]))[:6]:
+        sql = f"""
+        WITH q AS (
+          SELECT embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS am
+          FROM embeddings WHERE vec_id = {r['query_id']}
+        ),
+        qq AS (
+          SELECT CASE WHEN am = 0
+                   THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 127 / am)
+                               AS BIGINT)) END AS qc,
+                 am / 127 AS qscale
+          FROM q
+        ),
+        c AS (
+          SELECT codes, scale, n2
+          FROM read_parquet('{lists_glob}') WHERE vec_id = {r['nbr_id']}
+        )
+        SELECT ((qscale * scale) * {int_dot_sql('qc', 'codes')})
+               / (sqrt((qscale * qscale) * {int_dot_sql('qc', 'qc')})
+                  * sqrt(n2)) AS cosine
+        FROM qq, c
+        """
+        val = duck.sql(sql).fetchone()[0]
+        assert val == r["cosine"], (r["query_id"], r["nbr_id"], val, r["cosine"])
