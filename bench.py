@@ -131,6 +131,11 @@ HEADLINE = [
     # for comparability.
     "stream_asof_join",
     "curate_with_span_dedup",
+    # Round 9 (session 2): the IVFPQ storage tier — third point of
+    # the serving family (float 237 MB / SQ8 38 MB / PQ 7.9 MB lists
+    # at 300k×96) with ADC LUT scoring. The 37 heads above are
+    # unchanged for comparability.
+    "ivf_serve_large_pq",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -184,6 +189,10 @@ EXTRA_HEADS = {
     "ivf_serve_large_sq8": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
         "ivf_serve_large_sq8",
+    ),
+    "ivf_serve_large_pq": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.ann_serving",
+        "ivf_serve_large_pq",
     ),
     "dedup_substring": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup",

@@ -144,15 +144,54 @@ def _large_queries(spark: SparkSession) -> DataFrame:
     )
 
 
-def _build_large(spark: SparkSession, quantize: bool) -> str:
-    out = os.path.join(
-        tempfile.mkdtemp(prefix=f"ivf_large{'_sq8' if quantize else ''}_"),
+#: Bump when any large-index layout/params change — the cached-dir
+#: key below embeds it so stale caches from older code never serve.
+_LARGE_LAYOUT_V = "v1"
+
+
+def _large_cache_dir(tag: str) -> str:
+    """Deterministic per-(corpus, layout) index path so the UNTIMED
+    build runs once per bench run instead of once per cold-JVM rep
+    (3 reps × a multi-minute PQ build is harness wall, not engine
+    signal). The timed serve is unaffected — same files, same bytes,
+    still a cold JVM per rep; reusing a persisted index across query
+    batches is precisely what a serving index is for."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bench_{tag}_{_LARGE_N}x{_LARGE_DIM}_{_LARGE_LAYOUT_V}",
         "index",
     )
-    build_ivf_index(
-        spark, _large_corpus(spark), out, k=_LARGE_K,
-        sample_per_mille=100, quantize=quantize,
+
+
+def _index_complete(out: str, parts: tuple[str, ...]) -> bool:
+    return all(
+        os.path.exists(os.path.join(out, p, "_SUCCESS")) for p in parts
     )
+
+
+def _build_large(spark: SparkSession, quantize: bool) -> str:
+    out = _large_cache_dir("ivf_sq8" if quantize else "ivf_float")
+    # _SUCCESS markers land only when each parquet write completes, so
+    # a crashed half-build never passes this gate
+    if not _index_complete(out, ("lists", "centroids")):
+        build_ivf_index(
+            spark, _large_corpus(spark), out, k=_LARGE_K,
+            sample_per_mille=100, quantize=quantize,
+        )
+    return out
+
+
+def _build_large_pq(spark: SparkSession) -> str:
+    out = _large_cache_dir("ivfpq_m16k64")
+    if not _index_complete(out, ("lists", "centroids", "codebook")):
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import (
+            build_ivfpq_index,
+        )
+
+        build_ivfpq_index(
+            spark, _large_corpus(spark), out, k=_LARGE_K,
+            m=16, ksub=64, sample_per_mille=100,
+        )
     return out
 
 
@@ -213,6 +252,45 @@ def ivf_serve_large_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_serve_large_sq8_setup(spark, sf_dir)
     return query_ivf_index(
         spark, _index_dir_large_sq8, _large_queries(spark),
+        k=5, nprobe=_LARGE_NPROBE,
+    )
+
+
+_index_dir_large_pq: str | None = None
+
+
+def ivf_serve_large_pq_setup(spark: SparkSession, sf_dir: str) -> None:
+    global _index_dir_large_pq
+    _index_dir_large_pq = _build_large_pq(spark)
+
+
+def ivf_serve_large_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third storage tier of the serving family — IVFPQ (m=16,
+    ksub=64: 16 one-byte codes + one double per vector,
+    operators/pq.py) over the same 300k×96 corpus, same query batch,
+    same probe plan as :func:`ivf_serve_large`.
+
+    MEASURED lists footprint (this corpus, parquet): float 237 MB →
+    SQ8 38 MB → PQ 7.9 MB — 30× under float, 4.8× under SQ8; a
+    4-probe batch reads ≈ 1 MB. Scoring is the ADC LUT path: m array
+    lookups + m−1 adds per candidate — no per-dimension work at all
+    (warm-session reps measured 15.3/7.1/3.6 s vs float
+    8.2/6.3/5.5 s; BENCH_r09 carries the cold-JVM numbers). Recall
+    cost is the tier's price and is pinned in tests/test_pq.py at
+    small scale (top5-in-top20 ≥ 0.9 vs the float index on
+    near-random vectors — the hard case). The build (~150 s at 300k,
+    the ×ksub encode fan-out) runs once per bench run via the cached
+    index dir; `sf1 stress` for this head is intentionally not
+    recorded — the 3M build is ~25 min of harness wall for no new
+    signal beyond the 300k byte/CPU tier points."""
+    if _index_dir_large_pq is None:
+        ivf_serve_large_pq_setup(spark, sf_dir)
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import (
+        query_ivfpq_index,
+    )
+
+    return query_ivfpq_index(
+        spark, _index_dir_large_pq, _large_queries(spark),
         k=5, nprobe=_LARGE_NPROBE,
     )
 

@@ -52,8 +52,9 @@ def test_r2_heads_still_benched():
     # serving tier, hot-key skew pair, and the semdedup/anomaly/
     # streaming-session trio + r8's large-corpus serving pair and
     # span-level substring dedup + r9's stream-stream as-of head and
-    # span-enabled curation capstone.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 37
+    # span-enabled curation capstone + r9 session 2's IVFPQ serving
+    # tier.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 38
     assert {
         "curate_training_corpus",
         "asof_join",
@@ -73,6 +74,7 @@ def test_r2_heads_still_benched():
         "dedup_substring",
         "stream_asof_join",
         "curate_with_span_dedup",
+        "ivf_serve_large_pq",
     } <= set(bench.HEADLINE)
 
 
@@ -85,6 +87,7 @@ def test_setup_hooks_resolve():
         "ivf_query_batch_sq8",
         "ivf_serve_large",
         "ivf_serve_large_sq8",
+        "ivf_serve_large_pq",
         "stream_asof_join",
     ):
         mod, attr = bench.EXTRA_HEADS[head]
