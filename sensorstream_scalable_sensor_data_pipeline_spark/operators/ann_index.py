@@ -158,7 +158,13 @@ def query_ivf_index(
       order/engine-deterministic by construction. Ranking fidelity
       vs the float index is pinned in tests (the extra query-side
       quantization adds error ≤ max|q|/254 per component on top of
-      the stored-code error the dequant path already has).
+      the stored-code error the dequant path already has). Note the
+      denominator reuses the STORED ``n2`` — the grid-floored norm
+      of the float32-rounded reconstruction — while the numerator is
+      the exact int8 dot, so the reported value is not exactly
+      cos(q̂, x̂): it can marginally exceed 1 in magnitude and
+      differs from the dequant path at the ULP level (harmless for
+      ranking; pinned ≥0.8 top-k agreement in tests).
     * ``"dequant"`` — reconstruct each candidate vector
       (``codes·scale``) and grid-dot it against the float query:
       bit-identical cosines to a float index built from the

@@ -495,6 +495,10 @@ def encode_avi(
     if codec not in ("dib", "mjpg"):
         raise ValueError("codec must be 'dib' or 'mjpg'")
     n, h, w = frames.shape[:3]
+    if n < 1:
+        # both codecs, up front — the mjpg path would otherwise die on
+        # max() over an empty per-frame size list
+        raise ValueError("need at least one frame to encode an AVI")
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))

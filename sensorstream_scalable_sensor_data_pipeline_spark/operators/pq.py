@@ -105,7 +105,14 @@ def train_pq(
     as µ-grid integer sums grouped by (subspace, centroid, dim) —
     m·ksub·dsub rows to the driver, the codebook itself.
     ``sample_per_mille`` bounds training to the deterministic
-    hash-bucket sample (sparse-id-safe seeding, min-id per stratum)."""
+    hash-bucket sample (sparse-id-safe seeding, min-id per stratum).
+
+    Dense-ci contract: downstream ADC scoring indexes the per-query
+    LUT POSITIONALLY (``element_at(row, code+1)``), so the returned
+    codebook's ``ci`` values are always re-indexed to exactly
+    ``range(n_seeds)`` here — sparse ``vec_id`` inputs (which would
+    otherwise leave gaps in the strided ``vec_id // stride`` keys and
+    silently mis-score every code above the first gap) are safe."""
     dim = len(emb.select("embedding").first()["embedding"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -133,12 +140,30 @@ def train_pq(
     else:
         n = base.count()
         stride = max(1, n // ksub)
-        seed_vecs = {
+        strided = {
             int(r["vec_id"]) // stride: [float(x) for x in r["embedding"]]
             for r in base.filter(
                 (F.col("vec_id") % stride == 0)
                 & (F.col("vec_id") < stride * ksub)
             ).collect()
+        }
+        if len(strided) < min(ksub, n):
+            # sparse / shifted ids: the dense-id modulo predicate
+            # under-fills (possibly to zero) — fall back to the
+            # hash-stratum seeding the sampled path uses
+            from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+                ivf_seed_sampled_frame,
+            )
+
+            strided = {
+                int(r["_b"]): [float(x) for x in r["e"]]
+                for r in ivf_seed_sampled_frame(base, ksub).collect()
+            }
+        # re-index to dense ci 0..len-1 (gapped keys would break
+        # ADC's positional LUT lookup, which requires ci ==
+        # range(n_seeds) exactly)
+        seed_vecs = {
+            i: v for i, (_, v) in enumerate(sorted(strided.items()))
         }
     # slice the seed vectors into per-subspace seed centroids
     seeds = {
@@ -195,6 +220,21 @@ def _floor(x: float) -> float:
     return math.floor(x)
 
 
+def _check_codebook_dim(df: DataFrame, col: str, m: int, dsub: int) -> None:
+    """First-row probe (same probe ``train_pq`` uses): the input dim
+    must equal ``m * dsub`` or ``slice`` silently yields short final
+    subvectors → wrong codes / LUT dots with no error."""
+    row = df.select(col).first()
+    if row is None:
+        return
+    dim = len(row[col])
+    if dim != m * dsub:
+        raise ValueError(
+            f"embedding dim {dim} != m*dsub = {m}*{dsub} = {m * dsub}: "
+            "corpus/query dim and PQ codebook disagree"
+        )
+
+
 def codebook_df(spark: SparkSession, codebook: list) -> DataFrame:
     return spark.createDataFrame(
         codebook, "m int, ci int, c array<double>, sq double"
@@ -211,6 +251,7 @@ def pq_encode(
     cross terms), summed in fixed subspace order."""
     m = 1 + max(r[0] for r in codebook)
     dsub = len(codebook[0][2])
+    _check_codebook_dim(emb, "embedding", m, dsub)
     cb = codebook_df(spark, codebook)
     sub = subvector_frame(emb.select("vec_id", "embedding"), m, dsub)
     assigned = (
@@ -324,6 +365,7 @@ def query_ivfpq_index(
     # whole frame is |batch|·m·ksub rows, broadcast-sized
     mq = cb.agg(F.max("m")).collect()[0][0] + 1
     dsub = len(cb.select("c").first()["c"])
+    _check_codebook_dim(queries, "embedding", mq, dsub)
     qsub = qs.select(
         "query_id",
         F.posexplode(

@@ -150,17 +150,61 @@ _LARGE_LAYOUT_V = "v1"
 
 
 def _large_cache_dir(tag: str) -> str:
-    """Deterministic per-(corpus, layout) index path so the UNTIMED
-    build runs once per bench run instead of once per cold-JVM rep
-    (3 reps × a multi-minute PQ build is harness wall, not engine
-    signal). The timed serve is unaffected — same files, same bytes,
-    still a cold JVM per rep; reusing a persisted index across query
-    batches is precisely what a serving index is for."""
+    """Deterministic per-(corpus, layout, user) index path so the
+    UNTIMED build runs once per bench run instead of once per
+    cold-JVM rep (3 reps × a multi-minute PQ build is harness wall,
+    not engine signal). The timed serve is unaffected — same files,
+    same bytes, still a cold JVM per rep; reusing a persisted index
+    across query batches is precisely what a serving index is for.
+
+    The key embeds (a) a hash of every build parameter, so any
+    corpus/quantize arithmetic change invalidates the cache without
+    a manual ``_LARGE_LAYOUT_V`` bump (the version string remains as
+    a belt-and-braces escape hatch), and (b) the invoking user, so
+    another account on a shared host can neither pre-seed nor
+    squat the path. Builds land via atomic ``os.rename`` from a
+    pid-suffixed staging dir (see ``_build_into``)."""
+    import getpass
+    import hashlib
+
+    params = (
+        f"{tag}|{_LARGE_N}x{_LARGE_DIM}|k{_LARGE_K}"
+        f"|probe{_LARGE_NPROBE}|stride{_LARGE_QUERY_STRIDE}"
+        f"|{_LARGE_LAYOUT_V}"
+    )
+    key = hashlib.sha256(params.encode()).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_bench_{tag}_{_LARGE_N}x{_LARGE_DIM}_{_LARGE_LAYOUT_V}",
+        f"spark_graft_bench_{user}_{tag}_{key}",
         "index",
     )
+
+
+def _build_into(out: str, parts: tuple[str, ...], build) -> None:
+    """Build the index into ``<out>.tmp.<pid>`` then ``os.rename``
+    into place — concurrent bench runs race at most on the final
+    rename (first wins; losers fall back to the winner's complete
+    copy and discard their staging dir)."""
+    if _index_complete(out, parts):
+        return
+    stage = f"{out}.tmp.{os.getpid()}"
+    build(stage)
+    if not _index_complete(stage, parts):
+        raise RuntimeError(f"index build incomplete under {stage}")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(stage, out)
+    except OSError:
+        # a concurrent run won the rename; use its copy if complete
+        if not _index_complete(out, parts):
+            raise
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _index_complete(out: str, parts: tuple[str, ...]) -> bool:
@@ -173,25 +217,31 @@ def _build_large(spark: SparkSession, quantize: bool) -> str:
     out = _large_cache_dir("ivf_sq8" if quantize else "ivf_float")
     # _SUCCESS markers land only when each parquet write completes, so
     # a crashed half-build never passes this gate
-    if not _index_complete(out, ("lists", "centroids")):
-        build_ivf_index(
-            spark, _large_corpus(spark), out, k=_LARGE_K,
+    _build_into(
+        out,
+        ("lists", "centroids"),
+        lambda stage: build_ivf_index(
+            spark, _large_corpus(spark), stage, k=_LARGE_K,
             sample_per_mille=100, quantize=quantize,
-        )
+        ),
+    )
     return out
 
 
 def _build_large_pq(spark: SparkSession) -> str:
     out = _large_cache_dir("ivfpq_m16k64")
-    if not _index_complete(out, ("lists", "centroids", "codebook")):
-        from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import (
-            build_ivfpq_index,
-        )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import (
+        build_ivfpq_index,
+    )
 
-        build_ivfpq_index(
-            spark, _large_corpus(spark), out, k=_LARGE_K,
+    _build_into(
+        out,
+        ("lists", "centroids", "codebook"),
+        lambda stage: build_ivfpq_index(
+            spark, _large_corpus(spark), stage, k=_LARGE_K,
             m=16, ksub=64, sample_per_mille=100,
-        )
+        ),
+    )
     return out
 
 

@@ -246,6 +246,17 @@ def test_avi_roundtrip_exact_and_fps():
         assert fps == 12.0
 
 
+def test_avi_zero_frames_clear_error_both_codecs():
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_avi,
+    )
+
+    empty = np.zeros((0, 4, 4, 3), dtype=np.uint8)
+    for codec in ("dib", "mjpg"):
+        with pytest.raises(ValueError, match="at least one frame"):
+            encode_avi(empty, fps=10, codec=codec)
+
+
 def test_avi_rejects_compressed_and_non_avi():
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
         decode_avi_frames,

@@ -108,6 +108,40 @@ def test_pq_validation(spark, sf_dir):
         train_pq(spark, emb, m=7)
 
 
+def test_pq_train_sparse_ids_dense_ci(spark, sf_dir):
+    """Sparse / non-contiguous vec_ids (every 3rd id dropped, ids
+    shifted by 1000) still yield a codebook with ci exactly
+    range(n_seeds) per subspace — the dense-ci contract the
+    positional ADC LUT lookup depends on — and encoding against it
+    produces only in-range codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = emb.filter(F.expr("vec_id % 3 != 0")).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000)
+    )
+    cb = train_pq(spark, sparse, m=8, ksub=16)
+    per_m = {}
+    for mi, ci, _, _ in cb:
+        per_m.setdefault(mi, []).append(ci)
+    assert set(per_m) == set(range(8))
+    for mi, cis in per_m.items():
+        assert sorted(cis) == list(range(len(cis))), (mi, sorted(cis))
+    n_ci = len(per_m[0])
+    codes = pq_encode(spark, sparse, cb).select(
+        F.explode("codes").alias("c")
+    )
+    assert codes.filter((F.col("c") < 0) | (F.col("c") >= n_ci)).count() == 0
+
+
+def test_pq_dim_mismatch_raises(spark, sf_dir):
+    """Encoding or querying with a corpus whose dim != m*dsub of the
+    codebook raises instead of silently slicing short subvectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = train_pq(spark, emb, m=8, ksub=16)
+    short = emb.select("vec_id", F.expr("slice(embedding, 1, 60)").alias("embedding"))
+    with pytest.raises(ValueError, match="codebook disagree"):
+        pq_encode(spark, short, cb)
+
+
 def test_ivfpq_layout_and_byte_accounting(spark, indexes):
     """Lists are partitionBy(j) directories of (vec_id, codes[m], n2)
     with one-byte codes — and the storage tiers order as designed:
