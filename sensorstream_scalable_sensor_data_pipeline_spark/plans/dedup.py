@@ -176,9 +176,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(out, sh, bands)
 
 
-@query(
-    "dedup_ngram_blocked",
-    oracle=r"""
+#: ngram-blocked dedup's oracle, kept importable for the rotated-slot
+#: local suite (tests/test_queries_vs_oracle.py) after the round-10
+#: registry rotation: its slot now carries the TRUE stream-stream
+#: as-of join (plans/streaming_queries.py::stream_asof_join_query),
+#: the most load-bearing streaming operator without a driver row.
+DEDUP_NGRAM_BLOCKED_ORACLE = r"""
     WITH """ + _TOKS_CTE + r""",
     keyed AS (
       SELECT doc_id, list_distinct(ss) AS ds,
@@ -189,13 +192,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
              / len(list_distinct(a.ds || b.ds)) AS jaccard
     FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
 def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard: block key = min md5 over a doc's
     3-gram shingles (a 1-permutation MinHash), exact shingle Jaccard
     within each block. The degenerate-geometry end of the LSH family —
-    one blocking join, cheapest recall/cost point."""
+    one blocking join, cheapest recall/cost point.
+
+    Rotated OUT of the 50-slot driver registry in round 10 (r9
+    verdict task #4): the dedup family keeps three driver-green rows
+    (exact, MinHash-LSH, embedding-cosine) plus span-level substring;
+    this query stays locally oracle-pinned in the rotated-slot suite;
+    the freed slot carries the TRUE stream-stream as-of join."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = (
         with_shingles(docs, "doc_id", "text", out="ds", distinct=True)

@@ -571,11 +571,13 @@ def _land_one(df: DataFrame, landing: str, idx: int) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
-def stream_asof_join_head_setup(spark: SparkSession, sf_dir: str) -> None:
-    """Untimed fixture: land the full event stream as readings and a
-    1-in-29 calibration subset as state changes, each followed by a
-    far-future flush row that drives the final watermark past every
-    real event."""
+def land_asof_streams(
+    spark: SparkSession, sf_dir: str, state_mod: int = _ASOF_HEAD_STATE_MOD
+) -> tuple[str, str]:
+    """Land the full event stream as readings and a 1-in-``state_mod``
+    calibration subset as state changes, each followed by a far-future
+    flush row that drives the final watermark past every real event.
+    Returns (readings_dir, state_dir) under a fresh temp root."""
     import datetime as dt
     import os
 
@@ -583,11 +585,10 @@ def stream_asof_join_head_setup(spark: SparkSession, sf_dir: str) -> None:
         load_table,
     )
 
-    global _asof_head_dirs
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     state = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % _ASOF_HEAD_STATE_MOD == 0)
+        .filter(F.col("event_id") % state_mod == 0)
         .select("user_id", "ts", F.col("value").alias("calib_value"))
     )
     far = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=400)
@@ -602,7 +603,13 @@ def stream_asof_join_head_setup(spark: SparkSession, sf_dir: str) -> None:
     _land_one(flush_r, r_dir, 1)
     _land_one(state, s_dir, 0)
     _land_one(flush_s, s_dir, 1)
-    _asof_head_dirs = (r_dir, s_dir)
+    return r_dir, s_dir
+
+
+def stream_asof_join_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed fixture for the bench head: one landing per process."""
+    global _asof_head_dirs
+    _asof_head_dirs = land_asof_streams(spark, sf_dir)
 
 
 def stream_asof_join_head(spark: SparkSession, sf_dir: str) -> DataFrame:

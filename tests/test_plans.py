@@ -58,24 +58,26 @@ def test_semi_join_stays_semi(spark, sf_dir):
 
 
 def test_no_cartesian_anywhere_in_dedup(spark, sf_dir):
-    # dedup_simhash rotated out of the registry in round 9; its plan
-    # contract is pinned here directly, same as the registered family
+    # dedup_simhash (r9) and dedup_ngram_blocked (r10) rotated out of
+    # the registry; their plan contracts are pinned here directly,
+    # same as the registered family
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        dedup_ngram_blocked,
         dedup_simhash,
     )
 
     for name in [
         "dedup_minhash_lsh",
-        "dedup_ngram_blocked",
         "dedup_substring",
         "dedup_embedding_cosine",
     ]:
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    plan = dedup_simhash(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for fn in (dedup_simhash, dedup_ngram_blocked):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):

@@ -210,17 +210,25 @@ def test_rotated_q6_forecast_revenue_matches_oracle(spark, duck, sf_dir):
 
 
 def test_registry_is_exactly_50_with_temporal_family():
-    """The driver records at most 50 registry rows; the round-8/9
-    rotations must land exactly at the cap with the temporal family
-    and span-level dedup inside and every carried §2 slot present."""
+    """The driver records at most 50 registry rows; the round-8/9/10
+    rotations must land exactly at the cap with the temporal family,
+    span-level dedup and the stream-stream as-of inside and every
+    carried §2 slot present."""
     names = set(QUERIES)
     assert len(QUERIES) == 50
-    assert {"asof_join", "range_join", "resample_locf", "dedup_substring"} <= names
+    assert {
+        "asof_join",
+        "range_join",
+        "resample_locf",
+        "dedup_substring",
+        "stream_asof_join",
+    } <= names
     assert not {
         "d1_dedup_deterministic",
         "j_multi_hop_enrich",
         "q6_forecast_revenue",
         "dedup_simhash",
+        "dedup_ngram_blocked",
     } & names
 
 
@@ -233,6 +241,17 @@ def test_rotated_dedup_simhash_matches_oracle(spark, duck, sf_dir):
     sdf = dedup_simhash(spark, sf_dir).toPandas()
     ddf = duck.sql(DEDUP_SIMHASH_ORACLE).df()
     assert_frames_match(sdf, ddf, "dedup_simhash")
+
+
+def test_rotated_dedup_ngram_blocked_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        DEDUP_NGRAM_BLOCKED_ORACLE,
+        dedup_ngram_blocked,
+    )
+
+    sdf = dedup_ngram_blocked(spark, sf_dir).toPandas()
+    ddf = duck.sql(DEDUP_NGRAM_BLOCKED_ORACLE).df()
+    assert_frames_match(sdf, ddf, "dedup_ngram_blocked")
 
 
 def test_entry_smoke(spark):
