@@ -271,7 +271,14 @@ def run_one(name: str) -> None:
     # sets are aggregate/top-k sized (≤ ~100k narrow rows), so driver
     # transfer is noise. Affected heads' r1-r8 numbers under-measure;
     # BENCH_r09 is the honest re-baseline (see COVERAGE.md).
-    rows = len(fn(spark, SF_DIR).collect())
+    df = fn(spark, SF_DIR)
+    if os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE") == "count":
+        # AUDIT-ONLY mode (scripts/audit_count_collect.py): reproduce
+        # the pre-r9 count() harness so the counted-vs-collected delta
+        # can be measured per head at bench scale. Never the default.
+        rows = df.count()
+    else:
+        rows = len(df.collect())
     dt = round(time.time() - t0, 3)
     print(json.dumps({"query": name, "sec": dt, "rows": rows}))
     spark.stop()

@@ -8,16 +8,26 @@ two numpy matrix multiplies per block. That makes baseline
 same struct+numpy discipline as :mod:`operators.codecs` (r6 task #3,
 PNG in r9). Scope, honestly drawn:
 
-* DECODE: baseline DCT (SOF0), 8-bit precision, 1 or 3 components,
-  4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers (DRI/RSTn),
-  multi-segment DQT/DHT. Out of scope — progressive (SOF2),
-  extended-sequential (SOF1) with >8-bit, arithmetic coding (SOF9+),
-  hierarchical — raise ``NotImplementedError``; corrupt streams
-  raise ``ValueError`` (the module's malformed-payload contract).
+* DECODE: baseline DCT (SOF0) and progressive DCT (SOF2, r10 — the
+  majority variant of real-world web JPEGs), 8-bit precision, 1 or 3
+  components, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers
+  (DRI/RSTn), multi-segment DQT/DHT. Progressive covers the full
+  Annex-G Huffman envelope: interleaved/non-interleaved DC first +
+  refinement scans, per-component AC first + refinement scans with
+  spectral selection, successive approximation and EOB runs. Out of
+  scope — extended-sequential (SOF1) with >8-bit, arithmetic coding
+  (SOF9+), hierarchical — raise ``NotImplementedError``; corrupt
+  streams raise ``ValueError`` (the malformed-payload contract).
 * ENCODE: baseline, 4:4:4 (grayscale or RGB), Annex-K standard
   quantization tables scaled by a ``quality`` parameter and the
   Annex-K standard Huffman tables — the exact tables every libjpeg
-  encoder defaults to. Deterministic bytes for a given input.
+  encoder defaults to. Deterministic bytes for a given input. Plus a
+  progressive encoder (:func:`encode_jpeg_progressive`) emitting a
+  4-phase scan script (DC first @Al=1 → per-component AC first @Al=1
+  → DC refine → per-component AC refine) that transmits EXACTLY the
+  baseline-quantized coefficients, so progressive and baseline
+  encodes of the same image decode to IDENTICAL pixels (pinned in
+  tests — the strongest cross-check the two code paths allow).
 
 Lossy means the round trip is approximate: quantization error is
 bounded by the chosen tables, pinned in tests as PSNR floors plus an
@@ -265,7 +275,7 @@ def decode_jpeg(payload: bytes, default_huffman: bool = False) -> np.ndarray:
                 tab = _huff_decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 o += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -275,18 +285,29 @@ def decode_jpeg(payload: bytes, default_huffman: bool = False) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "progressive/extended/lossless/arithmetic)"
+                "extended/lossless/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if frame.get("progressive"):
+                if default_huffman:
+                    for tid, spec in ((0, _STD_DC_LUMA), (1, _STD_DC_CHROMA)):
+                        dc_tabs.setdefault(tid, _huff_decode_table(*spec))
+                    for tid, spec in ((0, _STD_AC_LUMA), (1, _STD_AC_CHROMA)):
+                        ac_tabs.setdefault(tid, _huff_decode_table(*spec))
+                return _decode_progressive(
+                    payload, pos - 2, frame, qt, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
             ns = seg[0]
             if ns != len(frame["comps"]):
                 # baseline allows several single-component scans; the
@@ -332,18 +353,7 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
     end = payload.find(b"\xff\xd9", start)
     if end < 0:
         end = len(payload)
-    raw = payload[start:end]
-    segments = []
-    seg_start = 0
-    i = 0
-    while i < len(raw) - 1:
-        if raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7:
-            segments.append(_unstuff(raw[seg_start:i]))
-            seg_start = i + 2
-            i += 2
-        else:
-            i += 1
-    segments.append(_unstuff(raw[seg_start:]))
+    segments = _split_restarts(payload[start:end])
 
     planes = [
         np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
@@ -399,7 +409,29 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
 
-    # upsample subsampled planes to full frame resolution, crop, merge
+    return _merge_planes(comps, planes, h, w, hmax, vmax)
+
+
+def _split_restarts(raw: bytes) -> list[bytes]:
+    """Split entropy-coded data on RSTn markers, unstuffing each
+    segment (shared by the baseline and progressive scan decoders)."""
+    segments = []
+    seg_start = 0
+    i = 0
+    while i < len(raw) - 1:
+        if raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7:
+            segments.append(_unstuff(raw[seg_start:i]))
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(_unstuff(raw[seg_start:]))
+    return segments
+
+
+def _merge_planes(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample subsampled planes to full resolution, crop, merge to
+    grayscale or RGB (BT.601 full-range)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -412,6 +444,289 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive decode
+
+
+def _next_marker(payload: bytes, start: int) -> int:
+    """End of an entropy-coded segment: index of the next 0xFF that
+    introduces a real marker (not 0x00 stuffing, not RSTn, not a fill
+    byte)."""
+    i = start
+    n = len(payload)
+    while True:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        b = payload[i + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            i += 2
+        elif b == 0xFF:
+            i += 1
+        else:
+            return i
+
+
+def _decode_progressive(payload, pos, frame, qt, dc_tabs, ac_tabs, dri):
+    """Progressive (SOF2) Huffman decode, T.81 Annex G: accumulate
+    DCT coefficients across scans (DC first/refine, per-component AC
+    first/refine with spectral selection, successive approximation
+    and EOB runs), then dequantize + IDCT once at EOI. ``pos`` points
+    at the first SOS marker; this loop owns the rest of the stream
+    (DHT/DQT/DRI may be redefined between scans)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if h == 0 or w == 0:
+        raise ValueError("bad JPEG dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise NotImplementedError("JPEG sampling factors beyond 2x2")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # coefficient store per component (zigzag index order), padded to
+    # the interleaved MCU grid; non-interleaved scans touch only the
+    # ceil(comp_dim/8) prefix
+    coefs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+        for c in comps
+    ]
+    nblocks = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        nblocks.append(((ch_ + 7) // 8, (cw + 7) // 8))
+    cid_to_ci = {c["id"]: i for i, c in enumerate(comps)}
+
+    saw_scan = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.frombuffer(seg, np.uint8, 64, o + 1).astype(np.int64)
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = tbl
+                qt[tq] = q.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                o += 17 + n
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            ns = seg[0]
+            sel = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in cid_to_ci:
+                    raise ValueError("JPEG SOS component ids != SOF ids")
+                sel.append((cid_to_ci[cs], tt >> 4, tt & 0xF))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            data_start = pos + seglen
+            end = _next_marker(payload, data_start)
+            _decode_prog_scan(
+                coefs, comps, sel, ss, se, ah, al,
+                _split_restarts(payload[data_start:end]),
+                dri, dc_tabs, ac_tabs, mcus_x, mcus_y, nblocks,
+            )
+            saw_scan = True
+            pos = end
+            continue
+        # APPn/COM: skip
+        pos += seglen
+    if not saw_scan:
+        raise ValueError("JPEG stream ended without SOS")
+
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG component references missing DQT")
+        by, bx = coefs[ci].shape[:2]
+        nat = np.zeros((by, bx, 64), np.int64)
+        nat[..., _ZIGZAG] = coefs[ci]
+        blocks = nat.reshape(by, bx, 8, 8) * q[None, None]
+        # per-block matmul in the baseline decoder's exact op order
+        # (a batched einsum sums in a different order; ULP drift at a
+        # pixel sitting exactly on .5 would break the pinned
+        # progressive==baseline pixel equality)
+        plane = np.empty((by * 8, bx * 8), np.float64)
+        for r in range(by):
+            for c in range(bx):
+                plane[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = (
+                    _A.T @ blocks[r, c].astype(np.float64) @ _A + 128.0
+                )
+        planes.append(plane)
+    return _merge_planes(comps, planes, h, w, hmax, vmax)
+
+
+def _decode_prog_scan(
+    coefs, comps, sel, ss, se, ah, al, segments, dri,
+    dc_tabs, ac_tabs, mcus_x, mcus_y, nblocks,
+):
+    """One progressive scan over the coefficient store. Restart
+    markers reset the DC predictors and the EOB run."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+    else:
+        if len(sel) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("bad spectral selection")
+    # the scan's block sequence, grouped into restart units (MCUs for
+    # interleaved scans, single blocks for non-interleaved ones)
+    units = []
+    if len(sel) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci, td, ta in sel:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, td, ta, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(unit)
+    else:
+        ci, td, ta = sel[0]
+        bh, bw = nblocks[ci]
+        for r in range(bh):
+            for cc in range(bw):
+                units.append([(ci, td, ta, r, cc)])
+
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    pred = [0] * len(comps)
+    eobrun = 0
+    for u_idx, unit in enumerate(units):
+        if dri and u_idx and u_idx % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+            eobrun = 0
+        for ci, td, ta, r, cc in unit:
+            block = coefs[ci][r, cc]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    tab = dc_tabs.get(td)
+                    if tab is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    t = reader.read_huff(tab)
+                    pred[ci] += _extend(reader.read_bits(t), t)
+                    block[0] = pred[ci] << al
+                else:  # DC refinement: one raw bit
+                    if reader.read_bit():
+                        block[0] |= 1 << al
+            else:
+                tab = ac_tabs.get(ta)
+                if tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, block, ss, se, al, tab, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, block, ss, se, al, tab, eobrun)
+
+
+def _ac_first_block(reader, block, ss, se, al, tab, eobrun):
+    """G.1.2.2: first AC scan of a band — run/size coding with EOB
+    runs; coefficients land shifted left by the scan's Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overrun")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, block, ss, se, al, tab, eobrun):
+    """G.1.2.3: AC refinement — newly-nonzero coefficients arrive as
+    ±(1<<Al) after runs of zero-history positions; every nonzero-
+    history position passed contributes one correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                val = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # remainder handled by the EOB tail below
+                val = 0  # ZRL: skip 16 zero-history positions
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(block[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --------------------------------------------------------------- encode
@@ -486,19 +801,10 @@ def _encode_block(wr, block, q, dc_tab, ac_tab, pred):
     return int(zz[0])
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline
-    JFIF with Annex-K standard Huffman tables. ``subsampling`` is
-    ``"444"`` (every plane full resolution) or ``"420"`` (chroma 2×2
-    box-averaged — the dominant real-world layout, and the path that
-    exercises the decoder's multi-block interleave + upsample).
-    Deterministic; ``restart_interval`` > 0 emits DRI + RSTn every
-    that many MCUs (the resync path the decoder must honor)."""
+def _prepare_encode(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encode front half: validate, color-transform, subsample
+    and MCU-pad. Returns (gray, h, w, hv, qts, padded_planes, mcus_x,
+    mcus_y, luma_q, chroma_q)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and not (img.ndim == 3 and img.shape[2] == 3):
@@ -546,7 +852,14 @@ def encode_jpeg(
                 p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
             )
         )
+    return gray, h, w, hv, qts, padded, mcus_x, mcus_y, luma_q, chroma_q
 
+
+def _emit_headers(
+    h, w, nc, hv, luma_q, chroma_q, gray, sof_marker, restart_interval
+) -> bytearray:
+    """SOI through DRI (everything before the first SOS), shared by
+    the baseline (SOF0) and progressive (SOF2) encoders."""
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
@@ -565,13 +878,12 @@ def encode_jpeg(
     if not gray:
         out += dqt(1, chroma_q)
 
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
         sof += struct.pack(
             ">BBB", i + 1, (hv[i][0] << 4) | hv[i][1], 0 if i == 0 else 1
         )
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
 
     def dht(tc: int, th: int, spec) -> bytes:
         bits, vals = spec
@@ -583,6 +895,29 @@ def encode_jpeg(
         out += dht(0, 1, _STD_DC_CHROMA) + dht(1, 1, _STD_AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline
+    JFIF with Annex-K standard Huffman tables. ``subsampling`` is
+    ``"444"`` (every plane full resolution) or ``"420"`` (chroma 2×2
+    box-averaged — the dominant real-world layout, and the path that
+    exercises the decoder's multi-block interleave + upsample).
+    Deterministic; ``restart_interval`` > 0 emits DRI + RSTn every
+    that many MCUs (the resync path the decoder must honor)."""
+    gray, h, w, hv, qts, padded, mcus_x, mcus_y, luma_q, chroma_q = (
+        _prepare_encode(img, quality, subsampling)
+    )
+    nc = 1 if gray else 3
+    out = _emit_headers(
+        h, w, nc, hv, luma_q, chroma_q, gray, 0xC0, restart_interval
+    )
 
     sos = bytes([nc])
     for i in range(nc):
@@ -623,5 +958,202 @@ def encode_jpeg(
                         )
             mcu += 1
     out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------- progressive encode
+
+
+def _quantized_zigzag_blocks(padded: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) int64 quantized coefficients in zigzag order —
+    the exact values the baseline scan emits. Deliberately the SAME
+    per-block ``_A @ (block-128) @ _A.T`` as :func:`_encode_block`
+    (NOT a batched einsum: a different float summation order shifts
+    coefficients sitting exactly on .5 by one ULP and ``rint`` then
+    rounds them differently, breaking progressive==baseline pixel
+    equality — observed on a real block)."""
+    by, bx = padded.shape[0] // 8, padded.shape[1] // 8
+    out = np.empty((by, bx, 64), np.int64)
+    for r in range(by):
+        for c in range(bx):
+            block = padded[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8]
+            coeff = _A @ (block - 128.0) @ _A.T
+            out[r, c] = np.rint(coeff / q).astype(np.int64).reshape(64)[_ZIGZAG]
+    return out
+
+
+def _emit_ac_first(wr, zig, ss, se, al, ac_tab) -> None:
+    """First AC scan of one block at successive-approximation Al:
+    encode trunc(|c|/2^Al) with the baseline run/size alphabet. EOB
+    runs are deliberately held at length 1 (symbol 0x00 per block) so
+    the Annex-K standard AC tables — which lack the longer EOBn
+    symbols — always suffice; the decoder handles general runs."""
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        t = int(abs(int(zig[k])) >> al)
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_tab[0xF0]
+            wr.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = ac_tab[(r << 4) | s]
+        wr.write(code, ln)
+        mag = t if int(zig[k]) > 0 else (1 << s) - 1 - t
+        wr.write(mag, s)
+        r = 0
+        emitted = True
+    if r > 0 or not emitted:
+        code, ln = ac_tab[0x00]  # EOB run of exactly 1
+        wr.write(code, ln)
+
+
+def _emit_ac_refine(wr, zig, ss, se, al, ac_tab) -> None:
+    """AC refinement of one block (Ah = Al+1 → one correction bit per
+    previously-nonzero coefficient; newly-visible ±1<<Al coefficients
+    carry runs of zero-history positions). Mirrors the decoder's
+    G.1.2.3 walk; EOB runs held at 1 as in :func:`_emit_ac_first`."""
+    absv = [abs(int(zig[k])) >> al for k in range(64)]
+    eob = 0
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, ln = ac_tab[0xF0]
+            wr.write(code, ln)
+            r -= 16
+            for b in br:
+                wr.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        code, ln = ac_tab[(r << 4) | 1]
+        wr.write(code, ln)
+        wr.write(1 if int(zig[k]) > 0 else 0, 1)
+        for b in br:
+            wr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br or eob == 0:
+        code, ln = ac_tab[0x00]  # EOB run of 1, with trailing bits
+        wr.write(code, ln)
+        for b in br:
+            wr.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode uint8 grayscale/RGB as PROGRESSIVE JFIF (SOF2) with a
+    4-phase scan script exercising every Annex-G Huffman scan kind:
+
+    1. DC first, interleaved, Ah=0/Al=1 (diffs of ``c0 >> 1``);
+    2. per-component AC first, Ss=1..63, Ah=0/Al=1;
+    3. DC refinement, interleaved, Ah=1/Al=0 (one raw bit/block);
+    4. per-component AC refinement, Ah=1/Al=0 (correction bits).
+
+    The script transmits EXACTLY the baseline-quantized coefficients
+    — after full refinement the decoder holds the same numbers a
+    baseline scan delivers, so ``decode_jpeg(progressive)`` equals
+    ``decode_jpeg(baseline)`` pixel-for-pixel at the same quality and
+    subsampling (pinned in tests). Standard Annex-K tables; EOB runs
+    length-1 by construction (see :func:`_emit_ac_first`).
+    Deterministic bytes for a given input."""
+    gray, h, w, hv, qts, padded, mcus_x, mcus_y, luma_q, chroma_q = (
+        _prepare_encode(img, quality, subsampling)
+    )
+    nc = 1 if gray else 3
+    out = _emit_headers(h, w, nc, hv, luma_q, chroma_q, gray, 0xC2, 0)
+    zigs = [
+        _quantized_zigzag_blocks(padded[ci], qts[ci]) for ci in range(nc)
+    ]
+    dc_enc = [
+        _huff_encode_table(*_STD_DC_LUMA),
+        _huff_encode_table(*_STD_DC_CHROMA),
+    ]
+    ac_enc = [
+        _huff_encode_table(*_STD_AC_LUMA),
+        _huff_encode_table(*_STD_AC_CHROMA),
+    ]
+    hmax = max(p[0] for p in hv)
+    vmax = max(p[1] for p in hv)
+
+    def interleaved_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    ch_, cv_ = hv[ci]
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            yield ci, my * cv_ + by, mx * ch_ + bx
+
+    def comp_blocks(ci):
+        cw = -(-w * hv[ci][0] // hmax)
+        ch_ = -(-h * hv[ci][1] // vmax)
+        for r in range((ch_ + 7) // 8):
+            for c in range((cw + 7) // 8):
+                yield r, c
+
+    def sos(comps_spec: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_spec)])
+        for cid, td, ta in comps_spec:
+            body += struct.pack(">BB", cid, (td << 4) | ta)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    all_comps = [(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)]
+
+    # scan 1: DC first (Al=1), interleaved
+    out += sos(all_comps, 0, 0, 0, 1)
+    wr = _BitWriter()
+    pred = [0] * nc
+    for ci, r, c in interleaved_blocks():
+        v = int(zigs[ci][r, c, 0]) >> 1  # arithmetic shift (floor)
+        diff = v - pred[ci]
+        pred[ci] = v
+        t = abs(diff).bit_length()
+        code, ln = dc_enc[0 if ci == 0 else 1][t]
+        wr.write(code, ln)
+        if t:
+            wr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += wr.flush()
+
+    # scan 2: AC first (Al=1), one scan per component
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        out += sos([(ci + 1, 0, ti)], 1, 63, 0, 1)
+        wr = _BitWriter()
+        for r, c in comp_blocks(ci):
+            _emit_ac_first(wr, zigs[ci][r, c], 1, 63, 1, ac_enc[ti])
+        out += wr.flush()
+
+    # scan 3: DC refinement (Ah=1, Al=0): one raw bit per block
+    out += sos(all_comps, 0, 0, 1, 0)
+    wr = _BitWriter()
+    for ci, r, c in interleaved_blocks():
+        wr.write(int(zigs[ci][r, c, 0]) & 1, 1)
+    out += wr.flush()
+
+    # scan 4: AC refinement (Ah=1, Al=0), one scan per component
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        out += sos([(ci + 1, 0, ti)], 1, 63, 1, 0)
+        wr = _BitWriter()
+        for r, c in comp_blocks(ci):
+            _emit_ac_refine(wr, zigs[ci][r, c], 1, 63, 0, ac_enc[ti])
+        out += wr.flush()
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -119,10 +119,15 @@ def test_rejections():
     good = encode_jpeg(_gradient(16, 16))
     with pytest.raises(NotImplementedError, match="SOI"):
         decode_jpeg(b"\x89PNGnope")
-    # progressive: rewrite SOF0 marker to SOF2
+    # SOF2 is supported since r10 — but a BASELINE scan (Ss=0, Se=63)
+    # inside a progressive frame is malformed, not unimplemented
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
+    # arithmetic coding stays NotImplementedError
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     # truncated entropy stream
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])
@@ -237,3 +242,130 @@ def test_multimodal_dispatch_jpeg(spark):
     }
     assert got[1]["byte_sum"] == got[2]["byte_sum"] == int(g.sum(dtype=np.int64))
     assert got[3]["byte_sum"] == int(dec.sum(dtype=np.int64))
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def test_progressive_equals_baseline_pixels():
+    """The 4-phase progressive scan script transmits EXACTLY the
+    baseline-quantized coefficients, so after full refinement the
+    decoder must produce pixel-IDENTICAL output to the baseline
+    encode at the same quality/subsampling — across odd dims, both
+    subsamplings, grayscale and RGB."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    cases = [
+        (_gradient(16, 16), "444", 90),
+        (_gradient(24, 40), "420", 75),
+        (_gradient(17, 23), "444", 90),   # non-multiple-of-8
+        (_gradient(21, 33), "420", 50),   # odd dims + subsampling
+    ]
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    cases.append((noisy, "420", 85))     # dense AC spectrum
+    gray = _gradient(19, 26)[..., 0]
+    cases.append((gray, "444", 90))
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog_payload = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        assert b"\xff\xc2" in prog_payload  # really SOF2
+        prog = decode_jpeg(prog_payload)
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), (img.shape, sub, q)
+
+
+def test_progressive_deterministic_and_sniffs():
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    p1 = encode_jpeg_progressive(_gradient(16, 16))
+    p2 = encode_jpeg_progressive(_gradient(16, 16))
+    assert p1 == p2
+    assert sniff_format(p1) == "jpeg"
+
+
+def test_progressive_partial_scans_are_an_approximation():
+    """Stopping after the first-approximation scans (drop both
+    refinement scans from the stream) must still decode — at lower
+    fidelity than the full stream, which is progressive rendering's
+    entire point. Construct the truncated stream by re-encoding with
+    the refinement scans stripped at the marker level."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _gradient(24, 24)
+    payload = encode_jpeg_progressive(img, quality=90)
+    # scans are delimited by FFDA; keep SOI..end-of-scan-4 of 8 total
+    # markers: headers + [DC1, AC1x3, DCr, ACr x3] → cut before the
+    # 5th SOS (the DC refinement) and close with EOI
+    sos_positions = []
+    i = 0
+    while True:
+        i = payload.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos_positions.append(i)
+        i += 2
+    assert len(sos_positions) == 8  # DC + 3 AC + DC refine + 3 AC refine
+    truncated = payload[: sos_positions[4]] + b"\xff\xd9"
+    full = decode_jpeg(payload)
+    approx = decode_jpeg(truncated)
+    assert approx.shape == full.shape
+    # approximation is close but NOT identical (refinement bits matter)
+    assert _psnr(img, approx) > 20.0
+    assert _psnr(img, full) > _psnr(img, approx)
+    assert not np.array_equal(approx, full)
+
+
+def test_progressive_eob_runs_decode():
+    """General EOB runs (length > 1) are decoder-supported even though
+    our encoder holds runs at 1: splice a custom AC Huffman table
+    (defining the EOBRUN symbol 0x10, absent from the Annex-K tables)
+    between scans and rewrite both luma AC scans of a 2-block
+    grayscale image as a single EOBRUN=2 — also exercising
+    DHT-redefinition between scans."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((8, 16), 131, np.uint8)  # DC-only: AC all zero
+    payload = bytes(encode_jpeg_progressive(img, quality=90))
+    sos_positions = []
+    i = 0
+    while True:
+        i = payload.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos_positions.append(i)
+        i += 2
+    # grayscale script: [DC first, AC first, DC refine, AC refine]
+    assert len(sos_positions) == 4
+    dc1, ac1, dcr, acr = sos_positions
+
+    def sos_hdr(p):  # SOS marker + header segment
+        ln = struct.unpack_from(">H", payload, p + 2)[0]
+        return payload[p : p + 2 + ln]
+
+    # custom AC table 0: single symbol 0x10 (EOBRUN, r=1) = code '0'
+    bits = [1] + [0] * 15
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + bytes(
+        [0x10] + bits + [0x10]
+    )
+    # scan bits: '0' (symbol) + '0' (1 extension bit → run 2), 1-padded
+    eob2 = bytes([0b00111111])
+    rebuilt = (
+        payload[:ac1]                    # headers + DC-first scan
+        + dht
+        + sos_hdr(ac1) + eob2            # AC first as EOBRUN=2
+        + payload[dcr:acr]               # DC refinement unchanged
+        + sos_hdr(acr) + eob2            # AC refine as EOBRUN=2
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(rebuilt)
+    # both blocks all-zero AC → flat image survives
+    assert np.array_equal(out, decode_jpeg(payload))
