@@ -44,10 +44,21 @@ price, paid once, partial-aggregated, and bounded per row by
 ``m·ksub`` distance terms of ``dsub`` dims each (= ksub full-vector
 distances — the same cost class as the coarse assignment).
 
-This module encodes RAW vectors (classic ADC). FAISS's IVFPQ default
-encodes residuals (x − coarse centroid) for tighter cells; that
-refinement changes only what ``pq_encode`` is fed and what the LUT
-dots against, and is documented out of scope here.
+Two encodings (both classic, Jégou et al. §IV / FAISS):
+
+* **Raw** (default): PQ codes quantize the vector itself; one global
+  codebook, ADC LUT per query, numerator = Σ_m lut[m][code_m].
+* **Residual** (``residual=True``, FAISS's IVFPQ default): codes
+  quantize ``x − c_j`` (the coarse cell's centroid). The codebook
+  only has to cover the residual ball, not the whole space — at
+  identical bytes the cells are tighter wherever the corpus actually
+  clusters (pinned in tests on a clustered corpus; on a uniform
+  corpus the gain collapses to ~nothing, which the test also
+  records). Serving adds one scalar per (query, probe):
+  numerator = grid_dot(q, c_j) + Σ_m lut[m][code_m], with the LUT
+  dotted against residual centroids; ``n2`` stores the exact grid
+  norm of the joint reconstruction ``c_j + r̂`` (per-(j,m,ci) sums,
+  orthogonal blocks) so cosine stays engine-deterministic.
 """
 
 from __future__ import annotations
@@ -290,22 +301,27 @@ def build_ivfpq_index(
     m: int = 8,
     ksub: int = 16,
     sample_per_mille: int | None = None,
+    residual: bool = False,
 ) -> str:
     """IVF partition layout (lists ARE ``partitionBy(j)`` directories,
     probing = partition pruning — same contract as
     ``operators/ann_index.build_ivf_index``) with PQ-coded rows:
     ``(j, vec_id, codes[m], n2)`` — m bytes of payload per vector.
-    Writes ``centroids/`` (coarse), ``codebook/`` (PQ) and
-    ``lists/``. Returns ``out_dir``."""
+    Writes ``centroids/`` (coarse), ``codebook/`` (PQ), ``meta/``
+    (the encoding flag) and ``lists/``. Returns ``out_dir``.
+
+    ``residual=True`` (FAISS's IVFPQ default) trains and encodes the
+    PQ over ``x − c_j`` instead of ``x`` — same bytes, tighter cells
+    on clustered corpora (module docstring). ``n2`` then stores the
+    exact grid norm of the JOINT reconstruction ``c_j + r̂`` via a
+    per-(j, m, ci) sum table (k·m·ksub rows, driver-computed,
+    broadcast), so serving cosine stays exact-replayable."""
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
         ivf_train,
     )
 
-    cent = spark.createDataFrame(
-        ivf_train(spark, emb, k, sample_per_mille=sample_per_mille),
-        "j int, c array<double>",
-    )
-    codebook = train_pq(spark, emb, m=m, ksub=ksub, sample_per_mille=sample_per_mille)
+    cent_rows = ivf_train(spark, emb, k, sample_per_mille=sample_per_mille)
+    cent = spark.createDataFrame(cent_rows, "j int, c array<double>")
     assigned = (
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
@@ -313,7 +329,63 @@ def build_ivfpq_index(
         .groupBy("vec_id")
         .agg(F.min_by("j", F.struct("dist", "j")).alias("j"))
     )
-    coded = pq_encode(spark, emb, codebook)
+    if residual:
+        base = (
+            emb.select("vec_id", "embedding")
+            .join(assigned, "vec_id")
+            .join(F.broadcast(cent), "j")
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "embedding", "c", lambda x, c: x.cast("double") - c
+                ).alias("embedding"),
+            )
+        )
+        codebook = train_pq(
+            spark, base, m=m, ksub=ksub, sample_per_mille=sample_per_mille
+        )
+        coded = pq_encode(spark, base, codebook).select("vec_id", "codes")
+        # joint-reconstruction grid norms per (coarse cell, subspace,
+        # code): ‖c_j,m + ĉ_m,ci‖² with the engine's exact floor-sum
+        dsub = len(codebook[0][2])
+        jsq_rows = []
+        for j, cvec in cent_rows:
+            for mi, ci, rc, _ in codebook:
+                joint = [
+                    cvec[mi * dsub + d] + rc[d] for d in range(dsub)
+                ]
+                sq = sum(int(_floor(x * x * _GRID)) for x in joint) / _GRID
+                jsq_rows.append((int(j), mi, ci, sq))
+        jsq = spark.createDataFrame(
+            jsq_rows, "j int, m int, ci int, jsq double"
+        )
+        n2 = (
+            coded.join(assigned, "vec_id")
+            .select(
+                "vec_id",
+                "j",
+                F.posexplode(
+                    F.transform("codes", lambda c: c.cast("int"))
+                ).alias("m", "ci"),
+            )
+            .join(F.broadcast(jsq), ["j", "m", "ci"])
+            .groupBy("vec_id")
+            .agg(F.array_sort(F.collect_list(F.struct("m", "jsq"))).alias("s"))
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.transform("s", lambda e: e["jsq"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("n2"),
+            )
+        )
+        coded = coded.join(n2, "vec_id")
+    else:
+        codebook = train_pq(
+            spark, emb, m=m, ksub=ksub, sample_per_mille=sample_per_mille
+        )
+        coded = pq_encode(spark, emb, codebook)
     lists = assigned.join(coded, "vec_id").select("j", "vec_id", "codes", "n2")
     lists.write.mode("overwrite").partitionBy("j").parquet(
         os.path.join(out_dir, "lists")
@@ -322,6 +394,9 @@ def build_ivfpq_index(
     codebook_df(spark, codebook).write.mode("overwrite").parquet(
         os.path.join(out_dir, "codebook")
     )
+    spark.createDataFrame([(bool(residual),)], "residual boolean").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "meta"))
     return out_dir
 
 
@@ -339,22 +414,34 @@ def query_ivfpq_index(
     m·ksub grid dots over the tiny broadcast query batch — then each
     candidate costs m array lookups + m−1 adds:
     ``aggregate(zip_with(codes, lut, (c, row) → row[c+1]))``.
+    For a residual index (``meta/``), the LUT is dotted against the
+    residual codebook and each candidate's numerator adds the scalar
+    ``grid_dot(q, c_j)`` carried on its probe row — one extra add per
+    candidate, no per-dimension work.
+
     Returns (query_id, nbr_id, cosine, rank)."""
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    residual = False
+    mpath = os.path.join(index_dir, "meta")
+    if os.path.exists(mpath):
+        residual = bool(spark.read.parquet(mpath).first()["residual"])
     qs = queries.select(
         "query_id",
         F.col("embedding").alias("q_emb"),
         grid_dot(F.col("embedding"), F.col("embedding")).alias("q_n2"),
     )
     qd = qs.crossJoin(F.broadcast(cent)).select(
-        "query_id", "j", _grid_l2(F.col("q_emb"), F.col("c")).alias("dist")
+        "query_id",
+        "j",
+        _grid_l2(F.col("q_emb"), F.col("c")).alias("dist"),
+        grid_dot(F.col("q_emb"), F.col("c")).alias("qc"),
     )
     w = Window.partitionBy("query_id").orderBy("dist", "j")
     probes = (
         qd.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "j")
+        .select("query_id", "j", "qc")
     )
     probe_js = sorted({r["j"] for r in probes.select("j").distinct().collect()})
     lists = spark.read.parquet(os.path.join(index_dir, "lists")).filter(
@@ -397,6 +484,16 @@ def query_ivfpq_index(
     bq = probes.join(qs.select("query_id", "q_n2"), "query_id").join(
         lut_rows, "query_id"
     )
+    lut_sum = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    numerator = (lut_sum + F.col("qc")) if residual else lut_sum
     scored = (
         F.broadcast(bq)
         .join(lists, "j")
@@ -405,16 +502,7 @@ def query_ivfpq_index(
             "query_id",
             F.col("vec_id").alias("nbr_id"),
             (
-                F.aggregate(
-                    F.zip_with(
-                        F.col("codes"),
-                        F.col("lut"),
-                        lambda c, row: F.element_at(row, c.cast("int") + F.lit(1)),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
+                numerator / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
             ).alias("cosine"),
         )
     )

@@ -232,3 +232,157 @@ def test_ivfpq_adc_cosine_matches_numpy_replay(spark, indexes):
         q_n2 = _grid_dot_np(qv, qv)
         want = adc / (math.sqrt(q_n2) * math.sqrt(n2))
         assert want == r["cosine"], (r["query_id"], r["nbr_id"], want, r["cosine"])
+
+
+# ------------------------------------------------- residual encoding
+
+
+def _clustered_emb(spark, n=800, kc=8, dim=32, noise=0.05):
+    """Clustered synthetic corpus: kc well-separated centers + noise —
+    the geometry residual encoding exists for (cells are tight around
+    c_j, so the residual ball is ~noise-sized while the raw codebook
+    must span the whole space)."""
+    rng = np.random.default_rng(42)
+    centers = rng.normal(0.0, 1.0, (kc, dim))
+    labels = rng.integers(0, kc, n)
+    vecs = centers[labels] + rng.normal(0.0, noise, (n, dim))
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ),
+        vecs,
+    )
+
+
+def _recon_mse(spark, idx, vecs) -> float:
+    """Mean ‖x − x̂‖² over the corpus, reconstructing from the stored
+    codes (+ coarse centroid for a residual index)."""
+    cb = {
+        (r["m"], r["ci"]): np.asarray(r["c"])
+        for r in spark.read.parquet(os.path.join(idx, "codebook")).collect()
+    }
+    cent = {
+        r["j"]: np.asarray(r["c"])
+        for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    }
+    res = spark.read.parquet(os.path.join(idx, "meta")).first()["residual"]
+    errs = []
+    for r in spark.read.parquet(os.path.join(idx, "lists")).collect():
+        rec = np.concatenate(
+            [cb[(mi, int(c))] for mi, c in enumerate(r["codes"])]
+        )
+        if res:
+            rec = rec + cent[r["j"]]
+        errs.append(float(((vecs[r["vec_id"]] - rec) ** 2).sum()))
+    return float(np.mean(errs))
+
+
+def _true_topk(vecs, qids, topk):
+    norms = np.linalg.norm(vecs, axis=1)
+    out = {}
+    for qi in qids:
+        cos = (vecs @ vecs[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        out[qi] = set(np.argsort(-cos)[:topk])
+    return out
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
+    """At IDENTICAL bytes (same k/m/ksub), residual encoding must
+    measurably beat raw encoding on a clustered corpus — the reason
+    it is FAISS's IVFPQ default — on both axes:
+
+    * reconstruction MSE (Jégou et al.'s own objective): tight-cluster
+      corpus (σ=0.05), residual ≤ 0.6× raw (measured 1.51 vs 5.33);
+    * recall@5 vs the exact top-5: looser clusters (σ=0.4, where
+      within-cell ranking is resolvable at all at these code sizes),
+      m=8/ksub=16 — measured raw 0.17 vs residual 0.32.
+    """
+    tight, tight_vecs = _clustered_emb(spark, noise=0.05)
+    kc = 8
+    raw_t = build_ivfpq_index(
+        spark, tight, str(tmp_path / "rawt"), k=kc, m=4, ksub=8
+    )
+    res_t = build_ivfpq_index(
+        spark, tight, str(tmp_path / "rest"), k=kc, m=4, ksub=8, residual=True
+    )
+    mse_raw = _recon_mse(spark, raw_t, tight_vecs)
+    mse_res = _recon_mse(spark, res_t, tight_vecs)
+    assert mse_res <= 0.6 * mse_raw, (mse_raw, mse_res)
+
+    loose, loose_vecs = _clustered_emb(spark, noise=0.4)
+    raw_l = build_ivfpq_index(
+        spark, loose, str(tmp_path / "rawl"), k=kc, m=8, ksub=16
+    )
+    res_l = build_ivfpq_index(
+        spark, loose, str(tmp_path / "resl"), k=kc, m=8, ksub=16, residual=True
+    )
+    q = loose.filter(F.expr("vec_id % 40 = 0")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qids = [r["query_id"] for r in q.select("query_id").collect()]
+    truth = _true_topk(loose_vecs, qids, 5)
+
+    def recall(idx):
+        got = {}
+        for r in query_ivfpq_index(spark, idx, q, k=5, nprobe=3).collect():
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        hits = sum(len(got.get(qi, set()) & truth[qi]) for qi in qids)
+        return hits / (5 * len(qids))
+
+    r_raw, r_res = recall(raw_l), recall(res_l)
+    assert r_res >= r_raw + 0.1, (r_raw, r_res)
+    assert r_res >= 0.25, r_res
+
+
+def test_ivfpq_residual_adc_cosine_matches_numpy_replay(spark, tmp_path):
+    """Residual ADC determinism: numerator = grid_dot(q, c_j) +
+    Σ_m grid_dot(q_sub, residual centroid), denominator the stored
+    joint grid norm — replayed EXACTLY (==) outside Spark."""
+    emb, _ = _clustered_emb(spark, n=300)
+    idx = build_ivfpq_index(
+        spark, emb, str(tmp_path / "r"), k=4, m=4, ksub=8, residual=True
+    )
+    q = emb.filter(F.expr("vec_id % 50 = 0")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_ivfpq_index(spark, idx, q, k=3, nprobe=2).collect()
+    assert got
+    cb = {
+        (r["m"], r["ci"]): np.asarray(r["c"])
+        for r in spark.read.parquet(os.path.join(idx, "codebook")).collect()
+    }
+    cent = {
+        r["j"]: np.asarray(r["c"])
+        for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    }
+    dsub = len(next(iter(cb.values())))
+    lists = {
+        r["vec_id"]: (int(r["j"]), list(r["codes"]), r["n2"])
+        for r in spark.read.parquet(os.path.join(idx, "lists")).collect()
+    }
+    qvecs = {
+        r["query_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in q.collect()
+    }
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"]))[:6]:
+        qv = qvecs[r["query_id"]]
+        j, codes, n2 = lists[r["nbr_id"]]
+        adc = 0.0
+        for mi, ci in enumerate(codes):
+            sub = qv[mi * dsub : (mi + 1) * dsub]
+            adc = adc + _grid_dot_np(sub, cb[(mi, ci)])
+        qc = _grid_dot_np(qv, cent[j])
+        q_n2 = _grid_dot_np(qv, qv)
+        want = (adc + qc) / (math.sqrt(q_n2) * math.sqrt(n2))
+        assert want == r["cosine"], (r["query_id"], r["nbr_id"], want, r["cosine"])
+
+
+def test_ivfpq_meta_flag_roundtrip(spark, indexes):
+    """A raw index (built before or after the meta file existed)
+    serves identically: meta says residual=false and the numerator is
+    the plain LUT sum (covered by the raw replay test); the residual
+    flag is stored and read back."""
+    meta = spark.read.parquet(os.path.join(indexes["p"], "meta")).collect()
+    assert len(meta) == 1 and meta[0]["residual"] is False
