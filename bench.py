@@ -29,7 +29,15 @@ inflation on frozen code re-measured at ×0.98-1.23 on a quiet box).
 Heads with a ``<name>_setup`` hook in their EXTRA_HEADS module run it
 BEFORE the timer (e.g. ``ivf_query_batch`` builds the index untimed —
 the build is its own timed head; amortized serving cost is exactly
-what the pair of numbers demonstrates).
+what the pair of numbers demonstrates). Setup hooks are additionally
+PRE-RUN once in a throwaway ``--setup-only`` child before the timed
+reps (r10 fix): when a setup does real work on the first rep only —
+the PQ head's ~90 s index build into the shared cache dir — that
+rep's JVM enters the timed region JIT/codegen-warm and reads ~2×
+FASTER than the honest cold-JVM serve (measured r10: 6.3 s
+build-rep vs 12.4/13.7 s cache-hit reps; the r9 5.8/13.5/11.8 s
+inversion on this head was exactly this). The prepare child absorbs
+the one-time work so every timed rep is a uniform cache-hit.
 
 Each query is materialized with ``collect()`` over the full result
 (r9 harness fix). Through round 8 the harness used ``count()``, which
@@ -229,6 +237,40 @@ EXTRA_HEADS = {
 }
 
 
+def _resolve_head(name: str):
+    """Return (query_fn, setup_fn_or_None) for a head name."""
+    if name in EXTRA_HEADS:
+        import importlib
+
+        mod, attr = EXTRA_HEADS[name]
+        module = importlib.import_module(mod)
+        return getattr(module, attr), getattr(module, f"{attr}_setup", None)
+    from sensorstream_scalable_sensor_data_pipeline_spark import plans
+
+    return plans.all_queries()[name], None
+
+
+def run_setup_only(name: str) -> None:
+    """Prepare-child mode: run the head's setup hook in a throwaway
+    JVM so one-time work (index builds into the shared cache dir,
+    stream input staging) never lands inside a timed rep's process.
+    Without this, the first rep's setup does the heavy build and its
+    JVM enters the timed region JIT-warm — measured 2× faster than
+    the honest cold-JVM serve on ``ivf_serve_large_pq`` (r10)."""
+    fn, setup = _resolve_head(name)
+    if setup is None:
+        return
+    from sensorstream_scalable_sensor_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-setup-{name}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    setup(spark, SF_DIR)
+    spark.stop()
+
+
 def run_one(name: str) -> None:
     """Child mode: build a session, warm up, run the head's untimed
     setup hook (if any), time one query."""
@@ -239,18 +281,7 @@ def run_one(name: str) -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 32),
     )
-    from sensorstream_scalable_sensor_data_pipeline_spark import plans
-
-    setup = None
-    if name in EXTRA_HEADS:
-        import importlib
-
-        mod, attr = EXTRA_HEADS[name]
-        module = importlib.import_module(mod)
-        fn = getattr(module, attr)
-        setup = getattr(module, f"{attr}_setup", None)
-    else:
-        fn = plans.all_queries()[name]
+    fn, setup = _resolve_head(name)
     # Warmup: absorb session/JVM/scan-machinery startup with a neutral
     # job — NOT the query under test (that would pre-populate its
     # persisted intermediates and under-report honest cost).
@@ -302,15 +333,50 @@ def _run_child(name: str) -> dict | None:
     return json.loads(line[-1])
 
 
+def _head_has_setup(name: str) -> bool:
+    """Parent-side check (module import only, no JVM) for whether a
+    head declares a ``<name>_setup`` hook — gates the prepare child."""
+    if name not in EXTRA_HEADS:
+        return False
+    import importlib
+
+    mod, attr = EXTRA_HEADS[name]
+    try:
+        module = importlib.import_module(mod)
+    except Exception:
+        return False
+    return getattr(module, f"{attr}_setup", None) is not None
+
+
+def _run_prepare_child(name: str) -> None:
+    """One throwaway ``--setup-only`` JVM per head with a setup hook,
+    BEFORE its timed reps, so cache builds/input staging never warm a
+    timed rep's JVM (see module docstring, r10 fix)."""
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--setup-only", name],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"  {name}: setup-only child timed out", file=sys.stderr)
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--one":
         run_one(sys.argv[2])
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--setup-only":
+        run_setup_only(sys.argv[2])
         return
 
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
+        if _head_has_setup(name):
+            _run_prepare_child(name)
         secs, rows = [], None
         for _ in range(REPS):
             rec = _run_child(name)

@@ -325,7 +325,18 @@ def ivf_serve_large_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-probe batch reads ≈ 1 MB. Scoring is the ADC LUT path: m array
     lookups + m−1 adds per candidate — no per-dimension work at all
     (warm-session reps measured 15.3/7.1/3.6 s vs float
-    8.2/6.3/5.5 s; BENCH_r09 carries the cold-JVM numbers). Recall
+    8.2/6.3/5.5 s; BENCH_r09 carries the cold-JVM numbers).
+
+    REP-INVERSION ATTRIBUTION (r9 watch, resolved r10): BENCH_r09's
+    samples were 5.8/13.5/11.8 s — first COLD rep fastest by 2×,
+    inverted vs every other head. Cause: only rep 1's setup hook ran
+    the ~90 s index build (the cache dir was empty), and that untimed
+    build JIT/codegen-warmed the JVM before the timed serve.
+    Controlled r10 replay: build-in-setup rep 6.3 s vs cache-hit
+    reps 12.4/13.7/10.9 s. The honest cold-JVM serving number is the
+    cache-hit one (~11-13 s); bench.py now pre-runs every setup hook
+    in a throwaway ``--setup-only`` child so all timed reps are
+    uniform cache-hits. Recall
     cost is the tier's price and is pinned in tests/test_pq.py at
     small scale (top5-in-top20 ≥ 0.9 vs the float index on
     near-random vectors — the hard case). The build (~150 s at 300k,
