@@ -271,6 +271,49 @@ def run_setup_only(name: str) -> None:
     spark.stop()
 
 
+def _stream_warmup(spark) -> None:
+    """Neutral STREAMING warmup for ``stream_*`` heads (r10, quiet-
+    stream-heads task): the FIRST streaming query in a JVM pays
+    ~3-4.5 s of one-time machinery — streaming class loading, state
+    store + offset/commit log init, micro-batch codegen — with high
+    variance; measured cold-JVM `stream_hourly_rollup` reps spanned
+    4.4-6.1 s (1.4×) while the same query warm ran 1.4 s with a
+    stable ~0.85 s addBatch. The batch warmup above can't absorb any
+    of it. This runs a 3-row windowed-count file stream through a
+    memory sink — every piece of shared streaming machinery, zero
+    overlap with any head's inputs or intermediates (throwaway
+    parquet, throwaway checkpoint)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        spark.range(3).select(
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+            F.col("id").alias("v"),
+        ).write.mode("overwrite").parquet(os.path.join(wdir, "in"))
+        warm = (
+            spark.readStream.schema("ts timestamp, v long")
+            .parquet(os.path.join(wdir, "in"))
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 second"))
+            .count()
+        )
+        wq = (
+            warm.writeStream.format("memory")
+            .queryName("bench_stream_warm")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+            .start()
+        )
+        wq.awaitTermination(120)
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
+
 def run_one(name: str) -> None:
     """Child mode: build a session, warm up, run the head's untimed
     setup hook (if any), time one query."""
@@ -288,6 +331,8 @@ def run_one(name: str) -> None:
     from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
     load_table(spark, SF_DIR, "region").count()
+    if name.startswith("stream_"):
+        _stream_warmup(spark)
     if setup is not None:
         setup(spark, SF_DIR)
     t0 = time.time()

@@ -129,13 +129,71 @@ def asof_join(
     )
 
 
+#: Auto-sizing target: rows in the densest key's densest bucket. Big
+#: enough that per-bucket task overhead is noise, small enough that no
+#: single in-task sort run dominates a stage or spills (the module
+#: docstring's funnel). ~500k 16-byte sort prefixes ≈ 8 MB per task.
+AUTO_BUCKET_TARGET_ROWS = 500_000
+
+
+def choose_bucket_seconds(
+    df: DataFrame,
+    on: str | list[str],
+    time_col: str,
+    target_rows: int = AUTO_BUCKET_TARGET_ROWS,
+) -> int:
+    """Pick ``bucket_seconds`` for :func:`asof_join_bucketed` from the
+    MEASURED hottest-key density instead of a guess — the skew
+    pre-flight idea of ``operators/skew.py::diagnose_skew`` applied to
+    the window-funnel problem.
+
+    One distributed aggregate (per-key count + time span), one scalar
+    to the driver: the maximum rows-per-second density over keys whose
+    row count exceeds ``target_rows`` (keys under the target fit one
+    bucket no matter what, so they impose no constraint). The returned
+    size makes the densest key's densest bucket hold ≈ ``target_rows``
+    rows *under a uniform-in-time assumption*; bursty keys exceed it
+    by their burst factor, which is exactly the residual the hatch
+    tolerates (a 10× burst still sorts 5 M rows, not the key's whole
+    history). If NO key exceeds the target the data's full span is
+    returned — one bucket, i.e. the decomposition degenerates to the
+    plain join plus one tiny summary pass, which is the correct
+    no-skew behavior (don't pay split overhead for skew that isn't
+    there).
+
+    At 100 TB this pre-flight is one map-side-combined aggregate over
+    the join's own input — cheap relative to the join, and the
+    alternative (a hand-tuned constant) is exactly what goes stale as
+    traffic grows."""
+    keys = [on] if isinstance(on, str) else list(on)
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
+            / F.lit(1_000_000.0)
+        ).alias("_span_s"),
+    )
+    stats = per_key.agg(
+        F.max(
+            F.when(
+                F.col("_n") > target_rows,
+                F.col("_n") / F.greatest(F.col("_span_s"), F.lit(1.0)),
+            )
+        ).alias("_hot_density"),
+        F.max("_span_s").alias("_max_span_s"),
+    ).first()
+    if stats["_hot_density"] is None:
+        return max(1, int(stats["_max_span_s"] or 0) + 1)
+    return max(1, int(target_rows / stats["_hot_density"]))
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,
     on: str,
     time_col: str,
     value_cols: list[str],
-    bucket_seconds: int = 86_400,
+    bucket_seconds: int | str = "auto",
 ) -> DataFrame:
     """:func:`asof_join` with the hot-key funnel removed: identical
     output, but the big window partitions by (key, time-bucket) so a
@@ -163,19 +221,32 @@ def asof_join_bucketed(
        Rows stage 1 left unmatched coalesce to their bucket's
        incoming state.
 
-    Choose ``bucket_seconds`` so a hot key's densest bucket holds
-    ~10⁵-10⁶ rows: big enough that per-bucket task overhead is noise,
-    small enough that no single sort dominates.
+    ``bucket_seconds`` sizes the split: a hot key's densest bucket
+    should hold ~10⁵-10⁶ rows — big enough that per-bucket task
+    overhead is noise, small enough that no single sort dominates.
+    The default ``"auto"`` (r10) measures it: one pre-flight aggregate
+    over ``left`` picks the size from the hottest key's observed
+    rows-per-second density (:func:`choose_bucket_seconds`), and
+    degenerates to a single bucket when no key is hot enough to need
+    splitting — the hand-tuned constant was exactly the knob that
+    goes stale as traffic grows. Pass an int to pin it.
 
     Measured (single 8 M-row hot key, 16 buckets, local[8], values
     consumed): plain 5.3-6.8 s → bucketed 2.8-3.1 s, identical
     checksums — ~2× end-to-end; the within-bucket sort parallelizes
     fully, while the extra keyed join + spine pass add a fixed cost
-    that shrinks relative to the win as the hot key grows. Equivalence
-    with :func:`asof_join` (including NULL-state carry across bucket
+    that shrinks relative to the win as the hot key grows. On the
+    bench's 25.6 M-row half-on-one-key workload (r10 decomposition,
+    warm session): plain 21.9 s vs bucketed 9.3 s — the JOIN itself
+    wins 2.3×; the cold-JVM bench pair reads ~1.55× end-to-end only
+    because ~6 s of shared cold floor (JVM/codegen + the scan-side
+    explode both heads pay) dilutes the ratio. Equivalence with
+    :func:`asof_join` (including NULL-state carry across bucket
     boundaries) is pinned in tests/test_asof.py.
     """
-    us = 1_000_000 * bucket_seconds
+    if bucket_seconds == "auto":
+        bucket_seconds = choose_bucket_seconds(left, on, time_col)
+    us = 1_000_000 * int(bucket_seconds)
     bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(us))
     r = _dedup_state_rows(right, [on], time_col, value_cols)
     l_cols = [c for c in left.columns]

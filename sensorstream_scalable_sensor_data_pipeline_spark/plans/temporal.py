@@ -174,11 +174,19 @@ def asof_join_skewed_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def asof_join_skewed_bucketed_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The escape hatch on the same workload: asof_join_bucketed
-    splits the hot key by day bucket (30-day span → ~30 independent
-    sorts). Identical output to the plain head (equivalence pinned at
-    sf0.001 in tests/test_asof.py); the head-to-head delta in
-    BENCH_r{N} is the hot-key win's standing perf evidence."""
+    """The escape hatch on the same workload, AUTO-sized (r10): the
+    pre-flight density aggregate picks bucket_seconds from the hot
+    key's measured rows/s (~12.8 M rows over the 30-day span →
+    ~1-day buckets at the 500 k target — the same size the head
+    hand-pinned through r9, now derived instead of guessed; the
+    pre-flight itself is timed as part of the head, honestly).
+    Identical output to the plain head (equivalence pinned in
+    tests/test_asof.py); the head-to-head delta in BENCH_r{N} is the
+    hot-key win's standing perf evidence. CEILING (r10 decomposition,
+    COVERAGE_HISTORY round-10 notes): the join itself wins 2.3× warm
+    (21.9 → 9.3 s); the cold-JVM pair reads ~1.55× because ~6 s of
+    shared cold floor (JVM/codegen + the amplification explode both
+    heads pay identically) dilutes the end-to-end ratio."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
         asof_join_bucketed,
     )
@@ -190,7 +198,7 @@ def asof_join_skewed_bucketed_head(spark: SparkSession, sf_dir: str) -> DataFram
     return _skewed_summary(
         asof_join_bucketed(
             ev, st, on="user_id", time_col="ts",
-            value_cols=["calib_value"], bucket_seconds=86_400,
+            value_cols=["calib_value"], bucket_seconds="auto",
         )
     )
 

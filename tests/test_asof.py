@@ -320,7 +320,7 @@ def test_asof_join_bucketed_equals_plain(spark, sf_dir):
         (r["event_id"], r["calib_value"])
         for r in asof_join(ev, _calib(ev), "user_id", "ts", ["calib_value"]).collect()
     )
-    for bs in (3600, 86_400, 10 * 365 * 86_400):
+    for bs in (3600, 86_400, 10 * 365 * 86_400, "auto"):
         got = sorted(
             (r["event_id"], r["calib_value"])
             for r in asof_join_bucketed(
@@ -328,6 +328,43 @@ def test_asof_join_bucketed_equals_plain(spark, sf_dir):
             ).collect()
         )
         assert got == want, f"bucket_seconds={bs} diverged"
+
+
+def test_choose_bucket_seconds_density(spark):
+    """Auto sizing derives bucket_seconds from the hottest key's
+    measured rows/s: a 10 k-row key spanning 10 000 s at target 1 000
+    rows/bucket → 1 000 s buckets; a cold companion key (under the
+    target) imposes no constraint."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        choose_bucket_seconds,
+    )
+
+    hot = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.timestamp_micros(F.col("id") * 1_000_000).alias("ts")
+    )
+    cold = spark.range(10).select(
+        F.lit(2).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000_000).alias("ts"),
+    )
+    bs = choose_bucket_seconds(hot.unionByName(cold), "k", "ts", target_rows=1_000)
+    # density ≈ 10_000 rows / 9_999 s ≈ 1.0001 rows/s → just under 1000
+    assert 900 <= bs <= 1_000, bs
+
+
+def test_choose_bucket_seconds_no_hot_key_single_bucket(spark):
+    """When no key exceeds the target, auto returns the full data span
+    — ONE bucket, so the decomposition degenerates to the plain join
+    (no split overhead paid for skew that isn't there)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        choose_bucket_seconds,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    bs = choose_bucket_seconds(df, "k", "ts", target_rows=1_000)
+    assert bs >= 99, bs  # ≥ the 99 s span: everything lands in one bucket
 
 
 def test_asof_join_bucketed_null_state_across_buckets(spark):
