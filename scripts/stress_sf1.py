@@ -64,6 +64,9 @@ HEADS = [
     "stream_asof_join",
     "ivf_serve_large",
     "ivf_serve_large_sq8",
+    # Round 10 (r9 verdict task #5): the PQ tier's 3M×96 rung — the
+    # ~15-25 min 3M build runs once, untimed, into the keyed cache.
+    "ivf_serve_large_pq",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.

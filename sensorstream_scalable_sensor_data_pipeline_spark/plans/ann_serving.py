@@ -341,9 +341,8 @@ def ivf_serve_large_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     small scale (top5-in-top20 ≥ 0.9 vs the float index on
     near-random vectors — the hard case). The build (~150 s at 300k,
     the ×ksub encode fan-out) runs once per bench run via the cached
-    index dir; `sf1 stress` for this head is intentionally not
-    recorded — the 3M build is ~25 min of harness wall for no new
-    signal beyond the 300k byte/CPU tier points."""
+    index dir; the 3M×96 rung is recorded in COVERAGE.md's sf1
+    stress table (r10, via scripts/stress_sf1.py)."""
     if _index_dir_large_pq is None:
         ivf_serve_large_pq_setup(spark, sf_dir)
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import (

@@ -633,40 +633,132 @@ def test_png_rejections():
     # not a PNG
     with pytest.raises(NotImplementedError, match="signature"):
         decode_png(b"\xff\xd8\xff\xe0jpegish")
-    # 16-bit depth
-    bad = bytearray(good)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    depth16 = _PNG_SIG + _chunk(b"IHDR", ihdr) + good[len(_PNG_SIG) + 25:]
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(depth16)
-    # Adam7 interlace
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    inter = _PNG_SIG + _chunk(b"IHDR", ihdr) + good[len(_PNG_SIG) + 25:]
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(inter)
-    # tRNS
-    pal = b"\x00\x00\x00\xff\xff\xff"
-    trns = _build_png(
-        np.zeros((1, 2, 1), np.uint8), [0], 3,
-        extra=[(b"PLTE", pal), (b"tRNS", b"\x80")],
+    # sub-byte depth (4-bit paletted, the GIF-era form) still scope
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
+    depth4 = _PNG_SIG + _chunk(b"IHDR", ihdr) + good[len(_PNG_SIG) + 25:]
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        decode_png(depth4)
+    # color-key tRNS on truecolor (type 2) still scope; PALETTE tRNS
+    # is supported since r10 (test_png_palette_trns_alpha)
+    ckey = _build_png(
+        img, [0, 0], color_type=2, extra=[(b"tRNS", b"\x00\x00\x00\x00\x00\x00")]
     )
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_png(trns)
+    with pytest.raises(NotImplementedError, match="color-key"):
+        decode_png(ckey)
     # CRC corruption -> ValueError (integrity, not scope)
     bad = bytearray(good)
     bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
     # palette index out of range
+    pal = b"\x00\x00\x00\xff\xff\xff"
     oob = _build_png(
         np.array([[5]], np.uint8)[..., None], [0], 3, extra=[(b"PLTE", pal)]
     )
     with pytest.raises(ValueError, match="palette"):
         decode_png(oob)
+    # 16-bit paletted is invalid per spec (not a scope gap)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    pal16 = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+        + good[len(_PNG_SIG) + 25:]
+    )
+    with pytest.raises(ValueError, match="invalid per spec"):
+        decode_png(pal16)
+    # tRNS longer than the palette
+    overlong = _build_png(
+        np.zeros((1, 2, 1), np.uint8), [0], 3,
+        extra=[(b"PLTE", pal), (b"tRNS", b"\x80" * 3)],
+    )
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(overlong)
     # truncated pixel stream
     short = _build_png(np.zeros((3, 3, 3), np.uint8), [0, 0], color_type=2)
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(short)
+
+
+def test_png_16bit_roundtrip_and_byte_order():
+    """16-bit PNGs round-trip exactly at every color type, and the
+    sample order on the wire is network (big-endian) per spec —
+    pinned by decoding a hand-assembled single-pixel payload."""
+    import zlib
+
+    rng = np.random.default_rng(21)
+    for shape in ((5, 4), (3, 5, 2), (4, 3, 3), (2, 2, 4)):
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        out = decode_png(encode_png(img))
+        assert out.dtype == np.uint16, shape
+        assert np.array_equal(out, img), shape
+    # hand-built 1x1 gray, depth 16, filter 0, bytes 0x01 0x02 -> 0x0102
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x01\x02")
+    payload = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(payload)[0, 0] == 0x0102
+
+
+def test_png_adam7_roundtrip_all_pass_edges():
+    """Adam7 decode == the source pixels for sizes that exercise the
+    pass-grid edges: images small enough that later passes are empty
+    (1x1 has ONE pass), non-multiples of 8, and both depths."""
+    rng = np.random.default_rng(22)
+    for shape in ((1, 1), (3, 3, 3), (8, 8, 3), (10, 7, 4), (5, 13)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = encode_png(img, interlace=True)
+        # header declares Adam7
+        assert payload[8 + 8 + 12] == 1
+        assert np.array_equal(decode_png(payload), img), shape
+        # interlaced and sequential encodes of the same pixels decode
+        # identically
+        assert np.array_equal(decode_png(encode_png(img)), img), shape
+    img16 = rng.integers(0, 65536, size=(9, 6, 3), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(img16, interlace=True)), img16)
+
+
+def test_png_adam7_filtered_passes_decode():
+    """Each Adam7 pass is independently filtered: a hand-assembled
+    interlaced payload whose passes use different filter types (with
+    prev reset per pass) must decode exactly."""
+    import zlib
+
+    rng = np.random.default_rng(23)
+    h, w, ch = 9, 10, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    grids = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    stream = bytearray()
+    fcycle = [0, 1, 2, 3, 4, 1, 2]
+    for (x0, y0, xs, ys), f in zip(grids, fcycle):
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        stream += _forward_filter(sub, [f] * sub.shape[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    payload = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_palette_trns_alpha():
+    """Paletted PNG with tRNS decodes to RGBA; alpha entries beyond
+    the tRNS table default to 255 (opaque) per spec."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    payload = _build_png(
+        idx[..., None], [0, 1], color_type=3,
+        extra=[(b"PLTE", pal.tobytes()), (b"tRNS", b"\x00\x80")],
+    )
+    out = decode_png(payload)
+    assert out.shape == (2, 3, 4)
+    assert np.array_equal(out[..., :3], pal[idx])
+    alpha = np.array([0, 128, 255], np.uint8)
+    assert np.array_equal(out[..., 3], alpha[idx])
 
 
 def test_decode_image_real_png_stats():
