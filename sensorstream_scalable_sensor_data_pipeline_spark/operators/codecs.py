@@ -5,18 +5,19 @@ several ubiquitous container formats are simple enough to parse
 exactly with ``struct`` + numpy — uncompressed BMP (BITMAPINFOHEADER,
 8- and 24-bit, BI_RGB), RIFF/WAVE PCM (8- and 16-bit), and — because
 PNG's only compression is DEFLATE, which the stdlib ``zlib`` provides
-— PNG at 8- and 16-bit depths, non-interlaced and Adam7-interlaced,
-all five color types, all five scanline filters, palette ``tRNS``
-transparency (r8 verdict task #4 closed the 8-bit core; r10 closed
-depth 16 / Adam7 / tRNS). This makes the multimodal plumbing's decode
-step REAL for those magics instead of a stub (r6 verdict task #3).
+— PNG at full core-spec coverage: every legal (color type, depth)
+combination including sub-byte 1/2/4-bit, both interlace methods
+(Adam7), all five scanline filters, and all three ``tRNS``
+transparency forms (r8 verdict task #4 closed the 8-bit core; r10
+closed the rest). This makes the multimodal plumbing's decode step
+REAL for those magics instead of a stub (r6 verdict task #3).
 Baseline JPEG joined in r9 via :mod:`operators.jpeg` (Huffman is
 bit-exact in Python, the DCT is numpy), progressive (SOF2) JPEG in
 r10, and with them MJPEG AVI (one baseline JPEG per ``##dc`` chunk,
 OpenDML default-Huffman convention) — the first compressed VIDEO
-codec. The remaining formats — arithmetic-coded JPEG, sub-byte-depth
-PNG, h264, VP9 — still raise ``NotImplementedError``: honest
-env-bound scope, not a silent fake.
+codec. The remaining formats — arithmetic-coded JPEG, h264, VP9 —
+still raise ``NotImplementedError``: honest env-bound scope, not a
+silent fake.
 
 Everything here is per-payload Python executed INSIDE the Arrow
 ``mapInPandas`` stages of :mod:`operators.multimodal` — the decode
@@ -245,18 +246,54 @@ _ADAM7 = (
 )
 
 
+#: Valid bit depths per color type (PNG spec §11.2.2). Any other
+#: combination is a malformed file, not a scope gap.
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, rowbytes) unfiltered scanline bytes → (h, w, ch) samples:
+    uint16 for depth 16 (network byte order), uint8 otherwise.
+    Sub-byte depths unpack MSB-first within each byte per spec; any
+    padding bits at row end are discarded."""
+    h = rows.shape[0]
+    if depth == 16:
+        fl = rows.reshape(h, w, ch, 2)
+        return (fl[..., 0].astype(np.uint16) << 8) | fl[..., 1]
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    groups = bits.reshape(h, w, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights[None, None, :]).sum(axis=2).astype(np.uint8)[
+        ..., None
+    ]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8- or 16-bit, non-interlaced or Adam7-interlaced PNG
-    (stdlib ``zlib`` DEFLATE — the first COMPRESSED format this module
-    closed, r8 verdict task #4) into an array: gray → (h, w),
-    gray+alpha → (h, w, 2), RGB / paletted → (h, w, 3), paletted with
-    ``tRNS`` transparency → (h, w, 4), RGBA → (h, w, 4). dtype is
-    uint8 for depth 8 and uint16 for depth 16 (network byte order per
-    spec). All five color types and all five scanline filters are
-    supported at both depths; Adam7 (r10) deinterlaces all seven
-    passes, each pass independently filtered per spec. Remaining
-    scope — sub-byte depths (1/2/4) and color-key ``tRNS`` on
-    truecolor/gray — raise ``NotImplementedError``."""
+    """Decode a PNG (stdlib ``zlib`` DEFLATE — the first COMPRESSED
+    format this module closed, r8 verdict task #4) into an array:
+    gray → (h, w), gray+alpha → (h, w, 2), RGB / paletted → (h, w, 3),
+    RGBA / transparent-via-``tRNS`` → (h, w, 4). dtype is uint8 for
+    depths ≤ 8 and uint16 for depth 16 (network byte order per spec).
+
+    Full core-spec coverage as of r10: every legal (color type, bit
+    depth) combination — including sub-byte 1/2/4-bit gray and
+    palette, whose samples unpack MSB-first and (for gray) scale to
+    the 8-bit range by the exact 255/(2^d−1) factor — both interlace
+    methods (Adam7 deinterlaces all seven passes, each independently
+    filtered), all five scanline filters, and all three ``tRNS``
+    transparency forms (palette alpha table, gray color key, RGB
+    color key — keys match in the original sample space, matching
+    pixels get alpha 0). Illegal combinations (16-bit palette,
+    sub-byte truecolor) raise ``ValueError`` — malformed file, not a
+    format gap."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -281,19 +318,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG compression/filter method {comp}/{filt} invalid")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"{depth}-bit PNG depth unsupported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color_type} invalid")
-    if color_type == 3 and depth == 16:
-        raise ValueError("16-bit paletted PNG is invalid per spec")
-    if trns is not None and color_type != 3:
-        raise NotImplementedError("PNG color-key tRNS on truecolor/gray")
+    if depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"{depth}-bit depth is invalid for PNG color type "
+            f"{color_type} per spec"
+        )
+    if trns is not None and color_type in (4, 6):
+        raise ValueError("PNG tRNS is invalid with an alpha channel per spec")
     if w == 0 or h == 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
-    sb = depth // 8  # bytes per sample
-    bpp = ch * sb  # the filter unit
+    bpp = max(1, ch * depth // 8)  # the filter unit, bytes
     try:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -301,34 +338,51 @@ def decode_png(payload: bytes) -> np.ndarray:
         # surfacing from an executor (same rule as the BMP palette check)
         raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
     raw = np.frombuffer(inflated, dtype=np.uint8)
+
+    def rowbytes(npix: int) -> int:
+        return (npix * ch * depth + 7) // 8
+
     if interlace == 0:
-        rowbytes = w * bpp
-        if raw.size != h * (1 + rowbytes):
+        rb = rowbytes(w)
+        if raw.size != h * (1 + rb):
             raise ValueError("PNG pixel stream length mismatch")
-        flat = _png_unfilter(raw, h, rowbytes, bpp).reshape(h, w, ch, sb)
+        img = _png_rows_to_samples(_png_unfilter(raw, h, rb, bpp), w, ch, depth)
     else:
-        flat = np.zeros((h, w, ch, sb), dtype=np.uint8)
+        img = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
         pos = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            prb = pw * bpp
+            prb = rowbytes(pw)
             need = ph * (1 + prb)
             part = raw[pos : pos + need]
             if part.size != need:
                 raise ValueError("PNG pixel stream length mismatch")
             pos += need
-            flat[y0::ys, x0::xs] = _png_unfilter(part, ph, prb, bpp).reshape(
-                ph, pw, ch, sb
+            img[y0::ys, x0::xs] = _png_rows_to_samples(
+                _png_unfilter(part, ph, prb, bpp), pw, ch, depth
             )
         if pos != raw.size:
             raise ValueError("PNG pixel stream length mismatch")
-    if depth == 16:
-        img = (flat[..., 0].astype(np.uint16) << 8) | flat[..., 1]
+    if color_type in (0, 2) and trns is not None:
+        # color key: one 2-byte sample per channel, in the ORIGINAL
+        # (pre-scaling) sample space; matching pixels get alpha 0
+        if len(trns) != 2 * ch:
+            raise ValueError(
+                f"PNG color-key tRNS must be {2 * ch} bytes for color "
+                f"type {color_type}, got {len(trns)}"
+            )
+        key = np.frombuffer(trns, dtype=">u2").astype(np.uint16)
+        transparent = (img.astype(np.uint16) == key[None, None, :]).all(axis=2)
     else:
-        img = flat[..., 0]  # (h, w, ch)
+        transparent = None
+    if color_type == 0 and depth < 8:
+        # gray sub-byte: scale to 8-bit by the exact replication factor
+        img = img * np.uint8(255 // ((1 << depth) - 1))
     if color_type == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
@@ -357,6 +411,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                 np.dstack([pal[idx], alpha[idx]])
             )
         return np.ascontiguousarray(pal[idx])
+    if transparent is not None:
+        full = np.uint16(65535) if depth == 16 else np.uint8(255)
+        alpha = np.where(transparent, img.dtype.type(0), full).astype(img.dtype)
+        return np.ascontiguousarray(np.dstack([img.reshape(h, w, ch), alpha]))
     if ch == 1:
         return np.ascontiguousarray(img.reshape(h, w))
     return np.ascontiguousarray(img.reshape(h, w, ch))

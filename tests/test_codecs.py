@@ -633,18 +633,25 @@ def test_png_rejections():
     # not a PNG
     with pytest.raises(NotImplementedError, match="signature"):
         decode_png(b"\xff\xd8\xff\xe0jpegish")
-    # sub-byte depth (4-bit paletted, the GIF-era form) still scope
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
-    depth4 = _PNG_SIG + _chunk(b"IHDR", ihdr) + good[len(_PNG_SIG) + 25:]
-    with pytest.raises(NotImplementedError, match="4-bit"):
-        decode_png(depth4)
-    # color-key tRNS on truecolor (type 2) still scope; PALETTE tRNS
-    # is supported since r10 (test_png_palette_trns_alpha)
-    ckey = _build_png(
-        img, [0, 0], color_type=2, extra=[(b"tRNS", b"\x00\x00\x00\x00\x00\x00")]
+    # sub-byte truecolor is illegal per spec (sub-byte gray/palette
+    # DECODE since r10 — see the sub-byte tests)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    depth4rgb = _PNG_SIG + _chunk(b"IHDR", ihdr) + good[len(_PNG_SIG) + 25:]
+    with pytest.raises(ValueError, match="invalid for PNG color type"):
+        decode_png(depth4rgb)
+    # tRNS combined with an alpha channel is illegal per spec
+    rgba = np.zeros((1, 1, 4), np.uint8)
+    bad_trns = _build_png(
+        rgba, [0], color_type=6, extra=[(b"tRNS", b"\x00\x00")]
     )
-    with pytest.raises(NotImplementedError, match="color-key"):
-        decode_png(ckey)
+    with pytest.raises(ValueError, match="alpha channel"):
+        decode_png(bad_trns)
+    # color-key tRNS of the wrong byte length
+    ckey_short = _build_png(
+        img, [0, 0], color_type=2, extra=[(b"tRNS", b"\x00\x00")]
+    )
+    with pytest.raises(ValueError, match="color-key tRNS must be 6 bytes"):
+        decode_png(ckey_short)
     # CRC corruption -> ValueError (integrity, not scope)
     bad = bytearray(good)
     bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
@@ -663,7 +670,7 @@ def test_png_rejections():
         _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
         + good[len(_PNG_SIG) + 25:]
     )
-    with pytest.raises(ValueError, match="invalid per spec"):
+    with pytest.raises(ValueError, match="invalid for PNG color type 3"):
         decode_png(pal16)
     # tRNS longer than the palette
     overlong = _build_png(
@@ -743,6 +750,133 @@ def test_png_adam7_filtered_passes_decode():
         + _chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), img)
+
+
+def _pack_subbyte(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) sample values → (h, rowbytes) spec bit packing
+    (MSB-first within each byte, rows padded to a byte boundary) —
+    spec-side forward packing implemented in the test, not by the
+    codec."""
+    h, w = vals.shape
+    bits = ((vals[..., None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(h, w * depth), axis=1)
+
+
+def _build_subbyte_png(
+    vals: np.ndarray, depth: int, color_type: int, extra=None
+) -> bytes:
+    import zlib
+
+    h, w = vals.shape
+    packed = _pack_subbyte(vals, depth)
+    scan = np.zeros((h, 1 + packed.shape[1]), dtype=np.uint8)
+    scan[:, 1:] = packed  # filter 0 per row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    parts = [_PNG_SIG, _chunk(b"IHDR", ihdr)]
+    for ctype, data in extra or []:
+        parts.append(_chunk(ctype, data))
+    parts.append(_chunk(b"IDAT", zlib.compress(scan.tobytes())))
+    parts.append(_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def test_png_subbyte_gray_decodes_and_scales():
+    """1/2/4-bit grayscale: samples unpack MSB-first and scale to the
+    8-bit range by the exact 255/(2^d−1) replication factor; odd
+    widths exercise the row-padding bits."""
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4):
+        hi = (1 << depth) - 1
+        vals = rng.integers(0, hi + 1, size=(5, 7), dtype=np.uint8)  # odd w
+        out = decode_png(_build_subbyte_png(vals, depth, color_type=0))
+        assert out.shape == (5, 7), depth
+        assert np.array_equal(out, vals * (255 // hi)), depth
+
+
+def test_png_subbyte_palette_decodes():
+    """4-bit paletted (the GIF-era form): indices unpack unscaled and
+    map through PLTE; 1-bit palette (mask form) too."""
+    pal = np.array(
+        [[9, 8, 7], [1, 2, 3], [4, 5, 6], [250, 251, 252]], np.uint8
+    )
+    idx4 = np.array([[0, 1, 2], [3, 0, 2]], dtype=np.uint8)
+    out = decode_png(
+        _build_subbyte_png(idx4, 4, color_type=3, extra=[(b"PLTE", pal.tobytes())])
+    )
+    assert np.array_equal(out, pal[idx4])
+    idx1 = np.array([[0, 1, 1, 0, 1]], dtype=np.uint8)
+    out1 = decode_png(
+        _build_subbyte_png(
+            idx1, 1, color_type=3, extra=[(b"PLTE", pal[:2].tobytes())]
+        )
+    )
+    assert np.array_equal(out1, pal[:2][idx1])
+
+
+def test_png_subbyte_adam7():
+    """Sub-byte depths compose with Adam7: each pass's scanlines pack
+    independently to their own byte boundary."""
+    import zlib
+
+    rng = np.random.default_rng(32)
+    h, w, depth = 9, 10, 2
+    vals = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    grids = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    stream = bytearray()
+    for x0, y0, xs, ys in grids:
+        sub = vals[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        packed = _pack_subbyte(np.ascontiguousarray(sub), depth)
+        scan = np.zeros((sub.shape[0], 1 + packed.shape[1]), dtype=np.uint8)
+        scan[:, 1:] = packed
+        stream += scan.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    payload = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), vals * 85)
+
+
+def test_png_color_key_trns():
+    """Gray and RGB color-key transparency: pixels equal to the key
+    sample(s) get alpha 0, everything else full alpha; the key
+    matches in the original sample space (16-bit too)."""
+    # gray 8-bit, key = 7
+    g = np.array([[7, 8], [9, 7]], dtype=np.uint8)
+    payload = _build_png(
+        g[..., None], [0, 0], color_type=0,
+        extra=[(b"tRNS", struct.pack(">H", 7))],
+    )
+    out = decode_png(payload)
+    assert out.shape == (2, 2, 2)
+    assert np.array_equal(out[..., 0], g)
+    assert np.array_equal(out[..., 1], np.array([[0, 255], [255, 0]], np.uint8))
+    # RGB 8-bit: ONLY the exact triple matches
+    img = np.array(
+        [[[1, 2, 3], [1, 2, 4]], [[9, 2, 3], [1, 2, 3]]], dtype=np.uint8
+    )
+    payload = _build_png(
+        img, [0, 0], color_type=2,
+        extra=[(b"tRNS", struct.pack(">HHH", 1, 2, 3))],
+    )
+    out = decode_png(payload)
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[..., :3], img)
+    assert np.array_equal(out[..., 3], np.array([[0, 255], [255, 0]], np.uint8))
+    # 16-bit gray: alpha is full-scale uint16
+    g16 = np.array([[300, 301]], dtype=np.uint16)
+    payload = encode_png(g16)
+    # splice a tRNS chunk in before IDAT
+    sig_ihdr = payload[: 8 + 25]
+    rest = payload[8 + 25 :]
+    keyed = sig_ihdr + _chunk(b"tRNS", struct.pack(">H", 300)) + rest
+    out = decode_png(keyed)
+    assert out.dtype == np.uint16 and out.shape == (1, 2, 2)
+    assert np.array_equal(out[..., 1], np.array([[0, 65535]], np.uint16))
 
 
 def test_png_palette_trns_alpha():
