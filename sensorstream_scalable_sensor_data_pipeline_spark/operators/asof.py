@@ -397,6 +397,31 @@ def rate_of_change(
     )
 
 
+def choose_range_bucket_seconds(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Pick ``bucket_seconds`` for :func:`range_join` from the
+    MEASURED median interval length (one approx-percentile aggregate,
+    one scalar to the driver): a bucket near the typical interval
+    keeps the explode fan-out at ≈ 2 rows per interval while leaving
+    point buckets as fine as the data allows. The median, not the
+    mean, so one multi-year outlier interval cannot coarsen every
+    point's bucket. Empty interval side → 3600 (any value joins an
+    empty side correctly)."""
+    row = intervals.agg(
+        F.percentile_approx(
+            (
+                F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col))
+            )
+            / F.lit(1_000_000.0),
+            F.lit(0.5),
+        ).alias("_med")
+    ).first()
+    if row["_med"] is None:
+        return 3600
+    return max(1, int(row["_med"]))
+
+
 def range_join(
     left: DataFrame,
     intervals: DataFrame,
@@ -404,7 +429,7 @@ def range_join(
     time_col: str,
     start_col: str,
     end_col: str,
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | str = "auto",
 ) -> DataFrame:
     """Inner containment join: every ``left`` row paired with every
     interval of the same key whose ``[start, end]`` (inclusive)
@@ -417,10 +442,18 @@ def range_join(
     bucket they cover, and the join becomes an ordinary equi-join on
     (key, bucket) followed by the exact containment filter. Each point
     lives in exactly one bucket, so no dedup is needed; interval
-    fan-out is ceil(len/bucket) + 1 rows — pick ``bucket_seconds``
-    near the typical interval length so fan-out stays ~2×.
+    fan-out is ceil(len/bucket) + 1 rows — ``bucket_seconds`` should
+    sit near the typical interval length so fan-out stays ~2×. The
+    default ``"auto"`` (r10) measures that instead of guessing:
+    :func:`choose_range_bucket_seconds` takes the intervals' median
+    length from one approx-percentile pre-flight aggregate. Pass an
+    int to pin it.
     """
-    us = 1_000_000 * bucket_seconds
+    if bucket_seconds == "auto":
+        bucket_seconds = choose_range_bucket_seconds(
+            intervals, start_col, end_col
+        )
+    us = 1_000_000 * int(bucket_seconds)
     lb = left.withColumn(
         "_b", F.floor(F.unix_micros(F.col(time_col)) / F.lit(us))
     )

@@ -330,6 +330,52 @@ def test_asof_join_bucketed_equals_plain(spark, sf_dir):
         assert got == want, f"bucket_seconds={bs} diverged"
 
 
+def test_choose_range_bucket_seconds_median(spark):
+    """Range-join auto sizing takes the MEDIAN interval length (one
+    outlier cannot coarsen it); empty interval side falls back."""
+    import datetime as dt
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        choose_range_bucket_seconds,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, t0 + dt.timedelta(seconds=100)),
+        (1, t0, t0 + dt.timedelta(seconds=120)),
+        (2, t0, t0 + dt.timedelta(seconds=110)),
+        (2, t0, t0 + dt.timedelta(days=365)),  # outlier
+    ]
+    iv = spark.createDataFrame(rows, "k long, s timestamp, e timestamp")
+    bs = choose_range_bucket_seconds(iv, "s", "e")
+    assert 100 <= bs <= 120, bs
+    empty = iv.filter(F.col("k") == 99)
+    assert choose_range_bucket_seconds(empty, "s", "e") == 3600
+
+
+def test_range_join_auto_equals_fixed(spark, sf_dir):
+    """bucket_seconds='auto' is a pure sizing change: the pair set
+    must equal a pinned-size run exactly."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    wins = ev.filter(F.col("event_id") % 23 == 0).select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    key = lambda df: sorted(
+        (r["event_id"], r["start_ts"]) for r in df.collect()
+    )
+    want = key(
+        range_join(ev, wins, "user_id", "ts", "start_ts", "end_ts", 3600)
+    )
+    got = key(range_join(ev, wins, "user_id", "ts", "start_ts", "end_ts"))
+    assert got == want
+
+
 def test_choose_bucket_seconds_density(spark):
     """Auto sizing derives bucket_seconds from the hottest key's
     measured rows/s: a 10 k-row key spanning 10 000 s at target 1 000
