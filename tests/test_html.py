@@ -1,0 +1,121 @@
+"""HTML → text extraction (operators/html.py): hand-pinned fixtures
+for the structural rules (drop-content elements, block newlines,
+entity ordering) and the corpus-pass contract (passthrough columns,
+empty-shell filter)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.html import (
+    extract_html_text,
+    html_title,
+    html_to_text,
+)
+
+
+def _one(spark, html: str) -> str:
+    return (
+        spark.range(1)
+        .select(html_to_text(F.lit(html)).alias("t"))
+        .first()["t"]
+    )
+
+
+def test_html_tags_strip_and_blocks_break(spark):
+    html = (
+        "<html><body><h1>Title Here</h1>"
+        "<p>First <b>bold</b> paragraph.</p>"
+        "<p>Second<br>line</p>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    out = _one(spark, html)
+    assert "<" not in out and ">" not in out
+    lines = out.split("\n")
+    assert lines[0] == "Title Here"
+    assert "First bold paragraph." in lines  # inline <b> leaves no break
+    assert "one" in lines and "two" in lines
+    # <br> breaks within the second paragraph
+    i = lines.index("Second")
+    assert lines[i + 1] == "line"
+
+
+def test_html_drop_content_elements_and_comments(spark):
+    html = (
+        "<head><title>T</title><style>p{color:red}</style></head>"
+        "<script>var x = '<p>fake</p>';</script>"
+        "<noscript>enable js</noscript>"
+        "<!-- secret comment -->"
+        "<p>real text</p>"
+    )
+    out = _one(spark, html)
+    assert out == "real text"
+    # script CONTENT is gone, including the tag-looking string inside
+    assert "fake" not in out and "color" not in out
+    assert "secret" not in out and "enable" not in out
+
+
+def test_html_entities_decode_with_amp_last(spark):
+    # &amp;lt; is an ESCAPED "&lt;" — must decode to the literal text
+    # "&lt;", never double-decode to "<"; same for the numeric form
+    out = _one(spark, "<p>a &lt; b &amp;lt; c &#38;lt; &quot;q&quot; &#39;s&#39;</p>")
+    assert out == "a < b &lt; c &lt; \"q\" 's'"
+    out2 = _one(spark, "<p>caf&#xe9; stays; x&#160;y &#x3c;tag&#x3e;</p>")
+    # un-enumerated numeric entity stays literal (honest degradation)
+    assert "caf&#xe9;" in out2
+    assert "x y" in out2 and "<tag>" in out2
+
+
+def test_html_whitespace_normalizes(spark):
+    html = "<div>a</div>\n\n\n<div>b</div><p>  c   d  </p>"
+    out = _one(spark, html)
+    assert out == "a\nb\nc d"
+
+
+def test_html_title(spark):
+    row = (
+        spark.range(1)
+        .select(
+            html_title(
+                F.lit("<head><title> A &amp;\n B </title></head><body/>")
+            ).alias("t"),
+            html_title(F.lit("<p>no title</p>")).alias("none"),
+        )
+        .first()
+    )
+    assert row["t"] == "A & B"
+    assert row["none"] == ""
+
+
+def test_extract_html_text_corpus_pass(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>keep me</p>", "en"),
+            (2, "<style>all chrome</style>", "en"),  # empty shell
+            (3, "<title>T3</title><p>body3</p>", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = extract_html_text(docs).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 3]  # shell dropped
+    assert out[0]["text"] == "keep me" and out[0]["lang"] == "en"
+    assert out[1]["title"] == "T3" and out[1]["text"] == "body3"
+    # title disabled: column absent
+    no_title = extract_html_text(docs, title_col=None)
+    assert "title" not in no_title.columns
+    with pytest.raises(ValueError, match="min_chars"):
+        extract_html_text(docs, min_chars=-1)
+
+
+def test_extract_html_text_stays_codegen(spark):
+    """The whole pass is Catalyst expressions — no BatchEvalPython /
+    ArrowEvalPython node may appear (zero-UDF discipline, §2.11)."""
+    docs = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+    plan = (
+        extract_html_text(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
