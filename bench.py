@@ -144,6 +144,11 @@ HEADLINE = [
     # at 300k×96) with ADC LUT scoring. The 37 heads above are
     # unchanged for comparability.
     "ivf_serve_large_pq",
+    # Round 10: HTML → text extraction (operators/html.py) over a
+    # deterministic markup wrap of the documents table — the web-
+    # corpus first stage's regex-chain throughput as a recorded
+    # number. The 38 heads above are unchanged for comparability.
+    "html_extract_corpus",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -233,6 +238,10 @@ EXTRA_HEADS = {
     "curate_with_span_dedup": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.text",
         "curate_with_span_dedup_head",
+    ),
+    "html_extract_corpus": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.text",
+        "html_extract_corpus_head",
     ),
 }
 

@@ -635,3 +635,48 @@ def curate_with_span_dedup_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def html_extract_corpus_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head (r10): HTML → text extraction throughput at corpus
+    scale. The documents table ships as plain text, so the head first
+    WRAPS each document in deterministic markup scan-side (title +
+    head chrome, sentence boundaries → ``<p>`` tags, entity-escaped
+    ampersands, a nav/footer div) and then runs the full
+    :func:`operators.html.extract_html_text` chain — so the timed
+    region pays both the synthetic wrap and the extraction, a fair
+    stand-in for the regex-chain cost on real markup of the same
+    volume (the wrap is two concats + one regexp_replace; the
+    extraction is ~35 regex/replace passes and dominates). Ends in an
+    aggregate consuming BOTH computed columns (text and title) per
+    the bench-head doctrine."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.html import (
+        extract_html_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit(
+                "<html><head><title>Doc &amp; title #"
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>p{margin:0}</style>"
+                "<script>var t='<p>not text</p>';</script></head><body><p>"
+            ),
+            F.regexp_replace(F.col("text"), "\\. ", ".</p>\n<p>"),
+            F.lit(
+                "</p><div>footer &copy; nav &#38; chrome</div></body></html>"
+            ),
+        ).alias("text"),
+    )
+    out = extract_html_text(wrapped)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.length("title")).alias("total_title_chars"),
+        F.avg(F.length("text")).alias("avg_chars"),
+    )

@@ -108,6 +108,36 @@ def test_extract_html_text_corpus_pass(spark):
         extract_html_text(docs, min_chars=-1)
 
 
+def test_html_extract_corpus_head_semantics(spark, sf_dir):
+    """The bench head's wrap→extract round trip must conserve the
+    corpus: every document survives (no shell ever — real text inside
+    the chrome), every title extracts, and total extracted chars sit
+    in a tight band around the original text volume (sentence breaks
+    are length-neutral '. '→'.\\n'; the footer adds a fixed ~21 chars
+    per doc; whitespace collapse can only shrink)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        html_extract_corpus_head,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    orig_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+    got = html_extract_corpus_head(spark, sf_dir)
+    tot = got.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum("total_chars").alias("c"),
+        F.sum("total_title_chars").alias("t"),
+    ).first()
+    assert tot["n"] == n_docs
+    footer = len("footer © nav & chrome") + 1  # + its block newline
+    assert orig_chars * 0.95 <= tot["c"] <= orig_chars + n_docs * footer
+    # every title is "Doc & title #<id>" — at least 14 chars each
+    assert tot["t"] >= n_docs * 14
+
+
 def test_extract_html_text_stays_codegen(spark):
     """The whole pass is Catalyst expressions — no BatchEvalPython /
     ArrowEvalPython node may appear (zero-UDF discipline, §2.11)."""
