@@ -138,6 +138,125 @@ def test_html_extract_corpus_head_semantics(spark, sf_dir):
     assert tot["t"] >= n_docs * 14
 
 
+def _duckdb_html_to_text(duck, s: str) -> str:
+    """DuckDB (RE2) replay of the EXACT html_to_text chain, step by
+    step, driven from the module's own constants so the oracle cannot
+    drift from the implementation order."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.html import (
+        _BLOCK_TAGS,
+        _DROP_CONTENT,
+        _ENTITIES,
+    )
+
+    def rre(v, pat, repl):
+        return duck.execute(
+            "SELECT regexp_replace(?, ?, ?, 'g')", [v, pat, repl]
+        ).fetchone()[0]
+
+    def lit(v, frm, to):
+        return duck.execute(
+            "SELECT replace(?, ?, ?)", [v, frm, to]
+        ).fetchone()[0]
+
+    for el in _DROP_CONTENT:
+        s = rre(s, f"(?is)<{el}\\b[^>]*>.*?</{el}>", " ")
+    s = rre(s, "(?s)<!--.*?-->", " ")
+    s = rre(s, f"(?i)</?(?:{_BLOCK_TAGS})\\b[^>]*>", "\n")
+    s = rre(s, "(?s)<[^>]*>", "")
+    for ent, repl in (
+        ("&#34;", '"'), ("&#x22;", '"'),
+        ("&#60;", "<"), ("&#x3c;", "<"),
+        ("&#62;", ">"), ("&#x3e;", ">"),
+        ("&#160;", " "), ("&#xa0;", " "),
+        ("&#39;", "'"), ("&#x27;", "'"),
+        ("&#38;", "\x00amp\x00"), ("&#x26;", "\x00amp\x00"),
+    ):
+        s = lit(s, ent, repl)
+    for ent, repl in _ENTITIES:
+        s = lit(s, ent, repl)
+    s = lit(s, "\x00amp\x00", "&")
+    s = rre(s, "[ \\t\\r\\f]+", " ")
+    s = rre(s, " ?\\n ?", "\n")
+    s = rre(s, "\\n{2,}", "\n")
+    s = rre(s, "^\\s+|\\s+$", "")
+    return s
+
+
+def test_html_to_text_matches_duckdb_replay(spark, sf_dir):
+    """Engine-replay oracle: Spark's html_to_text output equals a
+    step-by-step DuckDB (RE2) replay of the same chain — over the
+    bench head's wrapped real documents AND crafted edge strings."""
+    import duckdb
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc &amp; #"),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{}</style></head><body><p>"),
+            F.regexp_replace(F.col("text"), "\\. ", ".</p>\n<p>"),
+            F.lit("</p><div>footer &copy; nav &#38; chrome</div></body></html>"),
+        ).alias("html"),
+    )
+    edge = [
+        (9001, "<p>a &amp;lt; b</p><script>x<y</script>"),
+        (9002, "no markup at all"),
+        (9003, "<DIV CLASS='x'>upper</DIV><br/><p>mixed</p>"),
+        (9004, "<p>broken <unclosed attr='v' </p>trailing"),
+    ]
+    rows = wrapped.collect() + [
+        {"doc_id": i, "html": s} for i, s in edge  # type: ignore[misc]
+    ]
+    duck = duckdb.connect()
+    got = {
+        v["doc_id"]: v["t"]
+        for v in spark.createDataFrame(
+            [(r["doc_id"], r["html"]) for r in rows],
+            "doc_id long, html string",
+        )
+        .select("doc_id", html_to_text(F.col("html")).alias("t"))
+        .collect()
+    }
+    for r in rows:
+        want = _duckdb_html_to_text(duck, r["html"])
+        assert got[r["doc_id"]] == want, f"doc {r['doc_id']} diverged"
+
+
+def test_html_extract_composes_with_curation(spark, tmp_path):
+    """The claimed composition: extract_html_text output written as a
+    documents table feeds curate_training_corpus directly (doc_id +
+    text contract) — the web-pipeline shape HTML → extract → curate."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        curate_training_corpus,
+    )
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and then it "
+        "runs far away into the quiet green hills where the sun is "
+        "warm and the water is clear for token {i} of this corpus"
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, f"<html><body><p>{body.format(i=i)}</p></body></html>")
+            for i in range(30)
+        ]
+        + [(99, "<style>pure chrome</style>")],
+        "doc_id long, text string",
+    )
+    extracted = extract_html_text(docs, title_col=None)
+    sf = str(tmp_path)
+    extracted.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = curate_training_corpus(spark, sf)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 99 not in ids  # the shell never reached curation
+    assert len(ids) > 0
+
+
 def test_extract_html_text_stays_codegen(spark):
     """The whole pass is Catalyst expressions — no BatchEvalPython /
     ArrowEvalPython node may appear (zero-UDF discipline, §2.11)."""
