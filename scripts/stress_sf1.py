@@ -67,6 +67,9 @@ HEADS = [
     # Round 10 (r9 verdict task #5): the PQ tier's 3M×96 rung — the
     # ~15-25 min 3M build runs once, untimed, into the keyed cache.
     "ivf_serve_large_pq",
+    # Round 10: the web-corpus extraction stage (zero-shuffle regex
+    # chain — its scale trend is pure scan CPU).
+    "html_extract_corpus",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.
@@ -268,6 +271,26 @@ def main() -> None:
         return
     for sf_dir in (SRC, out_dir):
         for head in heads:
+            # prepare child (r10, same fix as bench.py): a head whose
+            # setup hook does one-time work — the serving heads' index
+            # BUILD into the keyed cache — must not do it inside the
+            # timed child, where the untimed build JIT-warms the JVM
+            # and the timed serve reads ~2× fast (measured on
+            # ivf_serve_large_pq). Run the setup in a throwaway JVM
+            # first so the timed child is a uniform cache-hit.
+            env = _head_env(head, sf_dir)
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
+            bench_py = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "bench.py",
+            )
+            subprocess.run(
+                [sys.executable, bench_py, "--setup-only", head],
+                capture_output=True,
+                text=True,
+                timeout=3000,
+                env=env,
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", head, sf_dir],
                 capture_output=True,
