@@ -342,7 +342,10 @@ def ivf_serve_large_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random vectors — the hard case). The build (~150 s at 300k,
     the ×ksub encode fan-out) runs once per bench run via the cached
     index dir; the 3M×96 rung is recorded in COVERAGE.md's sf1
-    stress table (r10, via scripts/stress_sf1.py)."""
+    stress table (r10, via scripts/stress_sf1.py): honest cold
+    prepare-child numbers are PQ 8.75 s @300k / 28.4 s @3M vs float
+    10.61 / 38.4 — ADC's m LUT lookups beat the 96-dim dot on CPU
+    too, so this tier wins BOTH the byte axis and the scoring axis."""
     if _index_dir_large_pq is None:
         ivf_serve_large_pq_setup(spark, sf_dir)
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import (
