@@ -1,0 +1,176 @@
+"""Streaming funnel matching — the event-time streaming face of
+:mod:`operators.funnel` (§2.10 custom stateful operators; Flink-CEP
+territory, which Structured Streaming has no native answer to).
+
+Same last-touch backward semantics as the batch operator: each
+final-step event emits at most one chain, built from the LATEST prior
+step at-or-before it, recursively. Event-time correct under disorder:
+an event finalizes only when the watermark passes its event time
+STRICTLY — only then can no earlier-timestamped step still arrive —
+so the composition is exact, not best-effort-per-micro-batch, the
+same guarantee discipline as ``stream_asof_join``.
+
+State per key is BOUNDED by construction, the property that decides
+whether a stateful operator survives 100 TB:
+
+* a pending buffer of (ts, step) pairs inside one watermark horizon —
+  the same bound as Spark's native stream-stream joins; entries are
+  two longs, never payloads;
+* one "best chain" per non-final depth — a FIXED (n−1)·n/2 longs —
+  because last-touch matching needs only the latest complete prefix
+  chain at each depth, nothing about older occurrences (processing in
+  event-time order makes the invariant hold: when a step-i event
+  finalizes, best[i−1] IS the latest valid prefix);
+* with ``within_seconds``, chains whose first step has aged past the
+  span bound are provably useless for any future final event
+  (ts ≥ watermark ⇒ ts − chain[0] > within) and are evicted; a key
+  with no pending and no live chain removes its state entirely.
+
+Emission latency = the watermark delay (the price of exactness);
+input later than the delay is dropped at ingestion, as with every
+watermarked stateful operator. Drained bounded input equals the batch
+:func:`operators.funnel.funnel_match` exactly — pinned in
+tests/test_funnel.py across forced multi-micro-batch delivery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.identifiers import (
+    quote_ident,
+)
+
+
+def stream_funnel(
+    events: DataFrame,
+    on: str,
+    time_col: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+    watermark: str = "30 days",
+    key_type: str = "long",
+) -> DataFrame:
+    """Streaming last-touch funnel: emits one row per completed chain
+    — ``(on, ts_us_0 … ts_us_{n-1})``, chain times as epoch-micros
+    longs (state-store rows stay narrow; convert downstream) — with
+    event-time exactness under cross-batch disorder."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    for a, b in zip(steps, steps[1:]):
+        if a == b:
+            raise ValueError(
+                "consecutive identical steps would self-match under the "
+                "inclusive as-of convention; use distinct adjacent steps"
+            )
+    if within_seconds is not None and within_seconds < 0:
+        raise ValueError("within_seconds must be non-negative")
+    n = len(steps)
+    within_us = None if within_seconds is None else within_seconds * 1_000_000
+
+    step_idx = F.lit(None).cast("int")
+    for i, s in enumerate(steps):
+        step_idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(step_idx)
+    tagged = (
+        events.select(
+            F.col(on),
+            F.col(time_col).alias("_ts"),
+            step_idx.alias("_step"),
+        )
+        .filter(F.col("_step").isNotNull())
+        .withWatermark("_ts", watermark)
+    )
+
+    out_schema = quote_ident(on) + f" {key_type}, " + ", ".join(
+        f"ts_us_{i} long" for i in range(n)
+    )
+    state_schema = "p_ts array<long>, p_step array<int>, b_flat array<long>"
+    #: chain for depth i (0-based, non-final only) lives at
+    #: b_flat[off(i) : off(i) + i + 1]; -1 marks "no chain"
+    offs = [i * (i + 1) // 2 for i in range(n - 1)]
+    flat_len = offs[-1] + (n - 1) if n > 1 else 0
+
+    def update(key, pdfs, gs: GroupState):
+        import pandas as pd
+
+        p_ts, p_step, b_flat = (
+            [list(x) for x in gs.get]
+            if gs.exists
+            else ([], [], [-1] * flat_len)
+        )
+        if not gs.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts = pd.to_datetime(pdf["_ts"])
+                try:
+                    ts = ts.dt.tz_localize(None)
+                except TypeError:
+                    pass
+                us = ts.astype("datetime64[us]").astype("int64").to_numpy()
+                p_ts.extend(int(t) for t in us)
+                p_step.extend(int(s) for s in pdf["_step"].to_numpy())
+        wm_us = gs.getCurrentWatermarkMs() * 1000
+
+        def get_chain(i):
+            c = b_flat[offs[i] : offs[i] + i + 1]
+            return None if c[0] == -1 else c
+
+        def set_chain(i, chain):
+            b_flat[offs[i] : offs[i] + i + 1] = chain
+
+        ready = sorted(
+            (t, s) for t, s in zip(p_ts, p_step) if t < wm_us
+        )
+        keep = [(t, s) for t, s in zip(p_ts, p_step) if t >= wm_us]
+        out_rows = []
+        for t, s in ready:
+            if s == 0:
+                set_chain(0, [t])
+                continue
+            prev = get_chain(s - 1)
+            if prev is None:
+                continue
+            chain = prev + [t]
+            if s == n - 1:
+                if within_us is None or t - chain[0] <= within_us:
+                    out_rows.append(chain)
+            else:
+                set_chain(s, chain)
+        if within_us is not None:
+            # a future final event has ts ≥ watermark, so any chain
+            # whose first step is older than watermark − within can
+            # never complete inside the span bound — evict
+            for i in range(n - 1):
+                c = get_chain(i)
+                if c is not None and c[0] < wm_us - within_us:
+                    set_chain(i, [-1] * (i + 1))
+        alive = any(get_chain(i) is not None for i in range(n - 1))
+        if keep or alive:
+            gs.update(
+                ([t for t, _ in keep], [s for _, s in keep], b_flat)
+            )
+            if keep or (within_us is not None and alive):
+                # pending events need finalizing when the watermark
+                # advances; with a span bound, live chains eventually
+                # die and the key's state should clear without
+                # waiting for new key data
+                gs.setTimeoutTimestamp(gs.getCurrentWatermarkMs() + 1)
+        else:
+            gs.remove()
+        data = {on: [key[0]] * len(out_rows)}
+        for i in range(n):
+            data[f"ts_us_{i}"] = [c[i] for c in out_rows]
+        yield pd.DataFrame(data)
+
+    return tagged.groupBy(on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -121,6 +121,141 @@ def test_funnel_rejections(spark):
         funnel_match(ev, "k", "ts", "et", ["A", "B"], within_seconds=-1)
 
 
+def _land(tmp_path, name, dfs):
+    """One file per frame → deterministic micro-batch order under
+    maxFilesPerTrigger=1 (same helper shape as test_asof.py)."""
+    import glob
+    import os
+    import shutil
+
+    landing = str(tmp_path / name)
+    os.makedirs(landing, exist_ok=True)
+    for i, df in enumerate(dfs):
+        stage = str(tmp_path / f"_{name}_{i}")
+        df.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, f"{i:03d}.parquet"))
+    return landing
+
+
+def _stream_dir(spark, landing):
+    phys = spark.read.parquet(landing).schema
+    return (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def test_stream_funnel_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming face drained over bounded multi-micro-batch input
+    equals the batch funnel_match exactly (chains as epoch-micros)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.funnel import (
+        stream_funnel,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "ts", "event_type")
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(999_999, mx + dt.timedelta(days=400), "view")], ev.schema
+    )
+    # split across micro-batches: odd rows, then even rows, then flush
+    a = ev.filter(F.col("ts").cast("long") % 2 == 1)
+    b = ev.filter(F.col("ts").cast("long") % 2 == 0)
+    stream = _stream_dir(spark, _land(tmp_path, "fev", [a, b, flush]))
+    out = stream_funnel(
+        stream, on="user_id", time_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"], watermark="1 minute",
+    )
+    got = sorted(
+        (r["user_id"], r["ts_us_0"], r["ts_us_1"], r["ts_us_2"])
+        for r in drain_to_memory(out, output_mode="append").collect()
+        if r["user_id"] != 999_999
+    )
+    want = sorted(
+        (
+            r["user_id"],
+            *[
+                int(r[f"ts_{i}"].replace(tzinfo=None).timestamp() * 1_000_000)
+                for i in range(3)
+            ],
+        )
+        for r in funnel_match(
+            ev, on="user_id", time_col="ts", type_col="event_type",
+            steps=["view", "click", "purchase"],
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_stream_funnel_late_prior_step_still_chains(spark, tmp_path):
+    """The event-time guarantee: a prior step DELIVERED after the
+    final step's micro-batch, with an earlier event time, still forms
+    the chain — finals finalize only when the watermark proves no
+    earlier step can arrive."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.funnel import (
+        stream_funnel,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "k long, ts timestamp, et string"
+    batch1 = spark.createDataFrame([(1, t0 + dt.timedelta(hours=5), "B")], schema)
+    late_a = spark.createDataFrame(  # earlier event time, later delivery
+        [(1, t0 + dt.timedelta(hours=3), "A")], schema
+    )
+    flush = spark.createDataFrame([(9, t0 + dt.timedelta(days=400), "A")], schema)
+    stream = _stream_dir(spark, _land(tmp_path, "lfev", [batch1, late_a, flush]))
+    out = stream_funnel(
+        stream, on="k", time_col="ts", type_col="et",
+        steps=["A", "B"], watermark="1 minute",
+    )
+    rows = [
+        r
+        for r in drain_to_memory(out, output_mode="append").collect()
+        if r["k"] == 1
+    ]
+    assert len(rows) == 1
+    assert rows[0]["ts_us_0"] < rows[0]["ts_us_1"]
+
+
+def test_stream_funnel_within_bound(spark, tmp_path):
+    """The span bound drops over-budget chains in the stream too."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.funnel import (
+        stream_funnel,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "k long, ts timestamp, et string"
+    data = spark.createDataFrame(
+        [
+            (1, t0, "A"), (1, t0 + dt.timedelta(seconds=2), "B"),  # span 2 s
+            (2, t0, "A"), (2, t0 + dt.timedelta(hours=2), "B"),  # span 2 h
+        ],
+        schema,
+    )
+    flush = spark.createDataFrame([(9, t0 + dt.timedelta(days=400), "A")], schema)
+    stream = _stream_dir(spark, _land(tmp_path, "wfev", [data, flush]))
+    out = stream_funnel(
+        stream, on="k", time_col="ts", type_col="et",
+        steps=["A", "B"], within_seconds=10, watermark="1 minute",
+    )
+    got = {r["k"] for r in drain_to_memory(out, output_mode="append").collect()}
+    assert got == {1}
+
+
 def test_funnel_plan_no_cartesian(spark, sf_dir):
     """n−1 keyed as-of windows, never a cross product (the naive
     inequality-join formulation would be one)."""
