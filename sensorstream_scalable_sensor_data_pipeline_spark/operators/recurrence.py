@@ -151,3 +151,133 @@ def ewma(
             + F.pow(F.lit(b), F.col("_e._items._pos") + 1) * F.col("_c")
         ).alias(out_col),
     )
+
+
+def ewma_irregular(
+    df: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+    halflife_seconds: float,
+    chunk_rows: int = 512,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """EWMA for IRREGULARLY-sampled series — the form sensor data
+    actually needs: the decay between consecutive readings is
+    ``d_i = exp(−ln2 · Δt_i / halflife)`` so a reading twice as far
+    back weighs exponentially less *in time*, not in row count:
+    ``y_i = (1−d_i)·x_i + d_i·y_{i−1}``, ``y_0 = x_0``. A constant
+    sampling interval Δt reduces this exactly to :func:`ewma` with
+    ``α = 1 − exp(−ln2·Δt/halflife)``.
+
+    Same decomposition as :func:`ewma` — per-row decay changes
+    nothing structural, because a first-order recurrence with ANY
+    per-step coefficients is still linear in the incoming state:
+    the chunk summary becomes ``(A_end, B = ∏ d_i)``, and the per-row
+    stitch multiplier is the RUNNING decay product (folded alongside
+    ``A_i``). Zero UDFs; the oracle is a sequential numpy replay
+    (tests), float-tolerance like :func:`ewma`."""
+    if halflife_seconds <= 0:
+        raise ValueError("halflife_seconds must be positive")
+    if chunk_rows < 2:
+        raise ValueError("chunk_rows must be at least 2")
+    L = int(chunk_rows)
+    # ln 2 / halflife, in 1/µs — decay exponent per event-time µs
+    import math
+
+    lam = math.log(2.0) / (float(halflife_seconds) * 1_000_000.0)
+
+    w = Window.partitionBy(on).orderBy(time_col)
+    rows = df.select(
+        F.col(on),
+        F.unix_micros(F.col(time_col)).alias("_tus"),
+        F.col(time_col),
+        F.col(value_col).cast("double").alias("_x"),
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.first(value_col).over(w).cast("double").alias("_x0"),
+        F.lag(F.unix_micros(F.col(time_col))).over(w).alias("_prev_tus"),
+    ).select(
+        "*",
+        # d_i = exp(-λ·Δt); the key's FIRST row keeps d from its
+        # virtual carry: any d works there since carry_0 = x_0 is a
+        # fixed point — use d=1-α-style exp(0)=1? No: y_0 must equal
+        # x_0 = (1-d)x_0 + d·x_0 for EVERY d, so d_0 is arbitrary;
+        # pick 1.0 (pure carry) for chunk algebra simplicity.
+        F.when(
+            F.col("_prev_tus").isNull(), F.lit(1.0)
+        )
+        .otherwise(
+            F.exp(-F.lit(lam) * (F.col("_tus") - F.col("_prev_tus")))
+        )
+        .alias("_d"),
+        (F.col("_rn") / L).cast("long").alias("_ck"),
+        (F.col("_rn") % L).alias("_pos"),
+    )
+
+    chunks = rows.groupBy(on, "_ck").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_pos", time_col, "_x", "_d"))
+        ).alias("_items"),
+        F.min("_x0").alias("_x0"),
+    )
+    # fold: A_i running constant term, P_i running decay product
+    fold = F.expr(
+        """aggregate(
+             _items,
+             struct(cast(array() as array<double>) as arr,
+                    cast(array() as array<double>) as prods,
+                    cast(0.0 as double) as last,
+                    cast(1.0 as double) as prod),
+             (acc, it) -> struct(
+                 concat(acc.arr,
+                        array((1.0d - it._d) * it._x + it._d * acc.last)),
+                 concat(acc.prods, array(acc.prod * it._d)),
+                 (1.0d - it._d) * it._x + it._d * acc.last,
+                 acc.prod * it._d)
+           )"""
+    )
+    chunks = chunks.select(
+        on, "_ck", "_items", "_x0",
+        fold.getField("arr").alias("_A"),
+        fold.getField("prods").alias("_P"),
+        fold.getField("last").alias("_A_end"),
+        fold.getField("prod").alias("_B"),
+    )
+
+    summaries = chunks.groupBy(on).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_ck", "_A_end", "_B"))
+        ).alias("_sum"),
+        F.min("_x0").alias("_x0"),
+    )
+    carry_fold = F.expr(
+        """aggregate(
+             _sum,
+             struct(cast(array() as array<double>) as arr,
+                    cast(_x0 as double) as last),
+             (acc, s) -> struct(
+                 concat(acc.arr, array(acc.last)),
+                 s._A_end + s._B * acc.last)
+           )"""
+    )
+    carries = summaries.select(
+        on, carry_fold.getField("arr").alias("_carries")
+    )
+
+    out = (
+        chunks.join(carries, on)
+        .select(
+            on,
+            F.element_at("_carries", F.col("_ck").cast("int") + 1).alias(
+                "_c"
+            ),
+            F.arrays_zip("_items", "_A", "_P").alias("_z"),
+        )
+        .select(on, "_c", F.explode("_z").alias("_e"))
+    )
+    return out.select(
+        F.col(on),
+        F.col(f"_e._items.{time_col}").alias(time_col),
+        F.col("_e._items._x").alias(value_col),
+        (F.col("_e._A") + F.col("_e._P") * F.col("_c")).alias(out_col),
+    )

@@ -94,6 +94,83 @@ def test_ewma_init_and_alpha_one(spark):
     assert ident == {0: 10.0, 1: 0.0}
 
 
+def _numpy_irregular_oracle(df, halflife):
+    """Sequential replay of the time-decay recurrence per key."""
+    import math
+
+    out = {}
+    lam = math.log(2.0) / halflife
+    for key, grp in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        y = None
+        prev = None
+        for ts, x in zip(grp["ts"], grp["value"]):
+            if y is None:
+                y = x
+            else:
+                d = math.exp(-lam * (ts - prev).total_seconds())
+                y = (1.0 - d) * x + d * y
+            prev = ts
+            out[(key, ts)] = y
+    return out
+
+
+def test_ewma_irregular_matches_numpy_replay(spark, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.recurrence import (
+        ewma_irregular,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hl = 6 * 3600.0
+    got = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in ewma_irregular(
+            ev, on="user_id", time_col="ts", value_col="value",
+            halflife_seconds=hl, chunk_rows=7,
+        ).collect()
+    }
+    want = _numpy_irregular_oracle(ev.toPandas(), hl)
+    assert set(got) == set(want)
+    ks = sorted(got)
+    assert np.allclose(
+        [got[k] for k in ks], [want[k] for k in ks], rtol=1e-9, atol=1e-12
+    )
+
+
+def test_ewma_irregular_reduces_to_constant_alpha(spark):
+    """On a REGULAR grid the time-decay form equals ewma with
+    α = 1 − exp(−ln2·Δt/halflife) — the documented reduction."""
+    import datetime as dt
+    import math
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.recurrence import (
+        ewma_irregular,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    step, hl = 60.0, 300.0
+    df = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(seconds=step * i), float((i * 37) % 11))
+            for i in range(25)
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    alpha = 1.0 - math.exp(-math.log(2.0) * step / hl)
+    kw = dict(on="user_id", time_col="ts", value_col="value", chunk_rows=4)
+    a_out = {
+        r["ts"]: r["ewma"]
+        for r in ewma(df, alpha=alpha, **kw).collect()
+    }
+    h_out = {
+        r["ts"]: r["ewma"]
+        for r in ewma_irregular(df, halflife_seconds=hl, **kw).collect()
+    }
+    ks = sorted(a_out)
+    assert np.allclose(
+        [a_out[k] for k in ks], [h_out[k] for k in ks], rtol=1e-9
+    )
+
+
 def test_ewma_rejections(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, ts long, value double")
     with pytest.raises(ValueError, match="alpha"):
