@@ -147,8 +147,11 @@ HEADLINE = [
     # Round 10: HTML → text extraction (operators/html.py) over a
     # deterministic markup wrap of the documents table — the web-
     # corpus first stage's regex-chain throughput as a recorded
-    # number. The 38 heads above are unchanged for comparability.
+    # number, and the time-decay EWMA recurrence smoother
+    # (operators/recurrence.py) over every event. The 38 heads above
+    # are unchanged for comparability.
     "html_extract_corpus",
+    "ewma_smooth",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -242,6 +245,10 @@ EXTRA_HEADS = {
     "html_extract_corpus": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.text",
         "html_extract_corpus_head",
+    ),
+    "ewma_smooth": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "ewma_smooth_head",
     ),
 }
 

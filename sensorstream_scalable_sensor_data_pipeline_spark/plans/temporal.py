@@ -337,3 +337,29 @@ def rolling_zscore_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
         F.avg(F.abs(F.col("zscore"))).alias("avg_abs_z"),
     )
+
+
+def ewma_smooth_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head (r10) for operators/recurrence.py::ewma_irregular —
+    the time-decay linear-recurrence smoother over every event, 6 h
+    halflife, summarized per key so the smoothed column is consumed
+    (bench-head doctrine). Cost shape: one keyed row_number window,
+    one (key, chunk) fold pass, one per-key carry pass, one stitch
+    join — the recurrence is the only operator here whose per-row
+    math cannot fuse into a single window, so the head records what
+    the decomposition overhead actually costs at corpus scale."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.recurrence import (
+        ewma_irregular,
+    )
+
+    ev = _events(spark, sf_dir)
+    sm = ewma_irregular(
+        ev.select("user_id", "ts", "value"),
+        on="user_id", time_col="ts", value_col="value",
+        halflife_seconds=6 * 3600.0,
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("ewma").alias("avg_smooth"),
+        F.max(F.abs(F.col("value") - F.col("ewma"))).alias("max_dev"),
+    )
