@@ -68,8 +68,10 @@ HEADS = [
     # ~15-25 min 3M build runs once, untimed, into the keyed cache.
     "ivf_serve_large_pq",
     # Round 10: the web-corpus extraction stage (zero-shuffle regex
-    # chain — its scale trend is pure scan CPU).
+    # chain — its scale trend is pure scan CPU) and the EWMA
+    # linear-recurrence smoother (chunk-fold + carry-chain shape).
     "html_extract_corpus",
+    "ewma_smooth",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.
