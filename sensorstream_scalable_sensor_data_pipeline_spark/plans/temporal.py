@@ -228,6 +228,53 @@ def rate_of_change_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_match",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type='view')
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           epoch_us(v.ts) AS ts_us_0,
+           epoch_us(c.ts) AS ts_us_1,
+           epoch_us(p.ts) AS ts_us_2
+    FROM p
+    ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def funnel_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / event-sequence matching (operators/funnel.py),
+    driver-checked: the view → click → purchase last-touch chains
+    over the events table — each purchase anchored to its latest
+    preceding click, that click to its latest preceding view,
+    inclusively. The oracle is DuckDB's NATIVE chained ``ASOF JOIN``,
+    so the value hash pins the full backward-matching semantics
+    (latest-wins, inclusive ties, incomplete chains absent).
+
+    Rotated INTO the 50-slot registry in round 10 (second rotation),
+    taking ``text_fingerprint``'s slot (that query stays locally
+    oracle-pinned in the rotated-slot suite)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.funnel import (
+        funnel_match,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    m = funnel_match(
+        ev, on="user_id", time_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+    return m.select(
+        "user_id",
+        *[
+            F.unix_micros(F.col(f"ts_{i}")).alias(f"ts_us_{i}")
+            for i in range(3)
+        ],
+    )
+
+
+@query(
     "asof_join",
     oracle="""
     WITH ev AS (SELECT event_id, user_id, ts, value FROM events),

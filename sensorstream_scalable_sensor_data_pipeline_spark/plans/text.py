@@ -117,9 +117,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
-@query(
-    "text_fingerprint",
-    oracle=r"""
+#: text_fingerprint's oracle, kept importable for the rotated-slot
+#: local suite (tests/test_queries_vs_oracle.py) after the round-10
+#: second rotation: its slot now carries funnel/event-sequence
+#: matching (plans/temporal.py::funnel_match_query), the CEP-lite
+#: operator family added this round.
+TEXT_FINGERPRINT_ORACLE = r"""
     WITH tk AS (
       SELECT doc_id, text,
              string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
@@ -134,8 +137,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                (acc, h) -> (acc * 1000003 + h) % 2147483647)
            END AS rolling_hash
     FROM tk
-    """,
-)
+    """
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting, all three primitives the dedup family
     composes: a normalization-invariant content hash (md5 of
@@ -143,7 +147,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 — a SET sketch), and a Rabin-Karp polynomial rolling hash over
     the token SEQUENCE (order-sensitive: reordered content changes it,
     which the set sketch cannot see). Tokens stage once and feed both
-    token-level hashes."""
+    token-level hashes.
+
+    Rotated OUT of the 50-slot driver registry in round 10 (second
+    rotation): the text family keeps four driver-green rows
+    (token stats, quality, language-ID, vocab top-k) and every
+    fingerprint primitive stays exercised by the dedup family's
+    driver rows; this query stays locally oracle-pinned in the
+    rotated-slot suite; the freed slot carries funnel matching."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.text import (
         rolling_hash,
         tokenize_lower,

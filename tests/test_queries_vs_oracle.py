@@ -222,6 +222,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "resample_locf",
         "dedup_substring",
         "stream_asof_join",
+        "funnel_match",
     } <= names
     assert not {
         "d1_dedup_deterministic",
@@ -229,7 +230,19 @@ def test_registry_is_exactly_50_with_temporal_family():
         "q6_forecast_revenue",
         "dedup_simhash",
         "dedup_ngram_blocked",
+        "text_fingerprint",
     } & names
+
+
+def test_rotated_text_fingerprint_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.text import (
+        TEXT_FINGERPRINT_ORACLE,
+        text_fingerprint,
+    )
+
+    sdf = text_fingerprint(spark, sf_dir).toPandas()
+    ddf = duck.sql(TEXT_FINGERPRINT_ORACLE).df()
+    assert_frames_match(sdf, ddf, "text_fingerprint")
 
 
 def test_rotated_dedup_simhash_matches_oracle(spark, duck, sf_dir):
