@@ -414,7 +414,7 @@ def _run_prepare_child(name: str) -> None:
     BEFORE its timed reps, so cache builds/input staging never warm a
     timed rep's JVM (see module docstring, r10 fix)."""
     try:
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--setup-only", name],
             capture_output=True,
             text=True,
@@ -422,6 +422,17 @@ def _run_prepare_child(name: str) -> None:
         )
     except subprocess.TimeoutExpired:
         print(f"  {name}: setup-only child timed out", file=sys.stderr)
+        return
+    if proc.returncode != 0:
+        # a failed prepare means the FIRST timed rep would do the build
+        # itself — the exact JIT-warm inversion this child exists to
+        # remove — so warn loudly rather than record distorted reps
+        print(
+            f"  {name}: setup-only child FAILED (rc={proc.returncode}); "
+            f"first timed rep may self-build and be distorted\n"
+            f"{proc.stderr[-500:]}",
+            file=sys.stderr,
+        )
 
 
 def main() -> None:

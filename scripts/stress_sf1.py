@@ -286,13 +286,20 @@ def main() -> None:
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "bench.py",
             )
-            subprocess.run(
+            prep = subprocess.run(
                 [sys.executable, bench_py, "--setup-only", head],
                 capture_output=True,
                 text=True,
                 timeout=3000,
                 env=env,
             )
+            if prep.returncode != 0:
+                print(
+                    f"{head} @ {sf_dir}: setup-only child FAILED "
+                    f"(rc={prep.returncode}); timed rep may self-build "
+                    f"and be distorted\n{prep.stderr[-500:]}",
+                    file=sys.stderr,
+                )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", head, sf_dir],
                 capture_output=True,

@@ -141,6 +141,7 @@ def choose_bucket_seconds(
     on: str | list[str],
     time_col: str,
     target_rows: int = AUTO_BUCKET_TARGET_ROWS,
+    right: DataFrame | None = None,
 ) -> int:
     """Pick ``bucket_seconds`` for :func:`asof_join_bucketed` from the
     MEASURED hottest-key density instead of a guess — the skew
@@ -164,9 +165,22 @@ def choose_bucket_seconds(
     At 100 TB this pre-flight is one map-side-combined aggregate over
     the join's own input — cheap relative to the join, and the
     alternative (a hand-tuned constant) is exactly what goes stale as
-    traffic grows."""
+    traffic grows.
+
+    When ``right`` is given, density is measured over the UNION of
+    both sides' (key, time) projections — exactly the row set the
+    within-bucket window sorts, so a hot key whose rows live on the
+    state side (e.g. a chatty sensor joined to sparse events) is seen
+    too; profiling only ``left`` would size the bucket from the quiet
+    side and hand the hot key straight back to the single-task funnel.
+    Callers with expensive, uncached upstream plans should note the
+    pre-flight re-evaluates them once — ``.cache()`` the inputs or
+    pin an int ``bucket_seconds`` to skip it."""
     keys = [on] if isinstance(on, str) else list(on)
-    per_key = df.groupBy(*keys).agg(
+    proj = df.select(*keys, time_col)
+    if right is not None:
+        proj = proj.unionByName(right.select(*keys, time_col))
+    per_key = proj.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"),
         (
             (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
@@ -245,7 +259,7 @@ def asof_join_bucketed(
     boundaries) is pinned in tests/test_asof.py.
     """
     if bucket_seconds == "auto":
-        bucket_seconds = choose_bucket_seconds(left, on, time_col)
+        bucket_seconds = choose_bucket_seconds(left, on, time_col, right=right)
     us = 1_000_000 * int(bucket_seconds)
     bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(us))
     r = _dedup_state_rows(right, [on], time_col, value_cols)

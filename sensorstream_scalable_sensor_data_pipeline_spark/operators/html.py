@@ -25,8 +25,11 @@ Pipeline order (each step one codegen'd expression):
    LAST (decoding it earlier would mint new entities — the classic
    double-decode bug), plus decimal/hex numeric entities for the
    ASCII range;
-4. whitespace normalizes: runs of spaces/tabs collapse, ≥3 newlines
-   collapse to a paragraph break, edges trim.
+4. whitespace normalizes: runs of spaces/tabs collapse, runs of ≥2
+   newlines collapse to ONE (line-oriented output — adjacent block
+   tags each mint a newline so newline runs carry no paragraph
+   structure; the line-level boilerplate stage keys on lines), edges
+   trim.
 
 Reference tie: the reference pipeline ingests already-structured
 sensor rows (main_pipeline.py:1-369) and has no text stage at all;

@@ -67,6 +67,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
     GRID,
@@ -422,10 +423,18 @@ def query_ivfpq_index(
     Returns (query_id, nbr_id, cosine, rank)."""
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    # Detect residual encoding through the same IO layer as the rest of
+    # the index (HDFS/S3 URIs work everywhere spark.read.parquet does;
+    # os.path.exists would silently return False there and score a
+    # residual index as raw). Fall back to raw ONLY when the path truly
+    # lacks a meta/ dataset (pre-residual indexes).
     residual = False
-    mpath = os.path.join(index_dir, "meta")
-    if os.path.exists(mpath):
-        residual = bool(spark.read.parquet(mpath).first()["residual"])
+    try:
+        residual = bool(
+            spark.read.parquet(os.path.join(index_dir, "meta")).first()["residual"]
+        )
+    except AnalysisException:
+        residual = False
     qs = queries.select(
         "query_id",
         F.col("embedding").alias("q_emb"),

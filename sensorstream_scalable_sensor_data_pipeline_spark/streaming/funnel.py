@@ -42,6 +42,12 @@ from sensorstream_scalable_sensor_data_pipeline_spark.functions.identifiers impo
     quote_ident,
 )
 
+#: "no chain" sentinel for b_flat slots: Long.MIN_VALUE, unreachable by
+#: any Spark timestamp's epoch-micros (min representable instant is
+#: ~-9.2e18 µs only at the long boundary itself), so legitimate
+#: pre-epoch events (ts_us == -1, -1000, …) never collide with it.
+NO_CHAIN = -(2**63)
+
 
 def stream_funnel(
     events: DataFrame,
@@ -90,7 +96,10 @@ def stream_funnel(
     )
     state_schema = "p_ts array<long>, p_step array<int>, b_flat array<long>"
     #: chain for depth i (0-based, non-final only) lives at
-    #: b_flat[off(i) : off(i) + i + 1]; -1 marks "no chain"
+    #: b_flat[off(i) : off(i) + i + 1]; NO_CHAIN (Long.MIN_VALUE, far
+    #: outside the epoch-micros domain Spark timestamps can reach, so
+    #: a legitimate pre-epoch event such as 1969-12-31T23:59:59.999999
+    #: — whose ts_us is -1 — can never collide) marks "no chain"
     offs = [i * (i + 1) // 2 for i in range(n - 1)]
     flat_len = offs[-1] + (n - 1) if n > 1 else 0
 
@@ -100,7 +109,7 @@ def stream_funnel(
         p_ts, p_step, b_flat = (
             [list(x) for x in gs.get]
             if gs.exists
-            else ([], [], [-1] * flat_len)
+            else ([], [], [NO_CHAIN] * flat_len)
         )
         if not gs.hasTimedOut:
             for pdf in pdfs:
@@ -118,7 +127,7 @@ def stream_funnel(
 
         def get_chain(i):
             c = b_flat[offs[i] : offs[i] + i + 1]
-            return None if c[0] == -1 else c
+            return None if c[0] == NO_CHAIN else c
 
         def set_chain(i, chain):
             b_flat[offs[i] : offs[i] + i + 1] = chain
@@ -148,7 +157,7 @@ def stream_funnel(
             for i in range(n - 1):
                 c = get_chain(i)
                 if c is not None and c[0] < wm_us - within_us:
-                    set_chain(i, [-1] * (i + 1))
+                    set_chain(i, [NO_CHAIN] * (i + 1))
         alive = any(get_chain(i) is not None for i in range(n - 1))
         if keep or alive:
             gs.update(

@@ -413,6 +413,32 @@ def test_choose_bucket_seconds_no_hot_key_single_bucket(spark):
     assert bs >= 99, bs  # ≥ the 99 s span: everything lands in one bucket
 
 
+def test_choose_bucket_seconds_right_side_hot_key(spark):
+    """A hot key whose density lives on the RIGHT/state side must
+    still shrink the bucket: the within-bucket pass sorts the UNION of
+    both sides' rows per key, so profiling only the quiet left frame
+    would size the bucket from the wrong side and hand the hot key
+    straight back to the single-task funnel (r10 ADVICE finding)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        choose_bucket_seconds,
+    )
+
+    quiet_left = spark.range(10).select(
+        F.lit(1).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000_000).alias("ts"),
+    )
+    hot_right = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.timestamp_micros(F.col("id") * 1_000_000).alias("ts")
+    )
+    # left alone: no key over target → full span (one bucket)
+    assert choose_bucket_seconds(quiet_left, "k", "ts", target_rows=1_000) >= 9_000
+    # union with the hot right side: density ≈ 1 row/s → ~1000 s buckets
+    bs = choose_bucket_seconds(
+        quiet_left, "k", "ts", target_rows=1_000, right=hot_right
+    )
+    assert 900 <= bs <= 1_100, bs
+
+
 def test_asof_join_bucketed_null_state_across_buckets(spark):
     """NULL-state semantics must survive the split: a state row with a
     NULL field in an EARLIER bucket still masks older non-null state
