@@ -152,6 +152,12 @@ HEADLINE = [
     # are unchanged for comparability.
     "html_extract_corpus",
     "ewma_smooth",
+    # Round 11: perceptual-hash image dedup (operators/phash.py) —
+    # executor-side decode+hash over a 4×|documents| synthetic image
+    # corpus with planted re-encode/rescale variants, rotating-block
+    # Hamming candidates, closure, anti-join. The 40 heads above are
+    # unchanged for comparability.
+    "dedup_phash",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -249,6 +255,10 @@ EXTRA_HEADS = {
     "ewma_smooth": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
         "ewma_smooth_head",
+    ),
+    "dedup_phash": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "dedup_phash_head",
     ),
 }
 

@@ -74,3 +74,90 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(
         _with_payload(spark, sf_dir), "doc_id", "payload", fake_decoder=True
     )
+
+
+# --------------------------------------------- perceptual image dedup
+
+#: Images synthesized per documents row for the dedup_phash bench head
+#: (documents is 5 k rows at sf0.1; ×4 = 20 k images ≈ the smallest
+#: corpus where the hash+join cost dominates fixture noise).
+_PHASH_IMAGES_PER_DOC = 4
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image corpus with PLANTED near-duplicates, built
+    executor-side (the container ships no media testdata): one
+    structured synthetic image per (doc_id, rep) seed, where every
+    5th image is instead a REAL format-level variant — a JPEG-q85
+    re-encode or a 0.75× rescale — of its predecessor's picture.
+    Payload mix is PNG/BMP/JPEG, so the dedup head exercises all
+    three repo codecs. Synthesis is seeded by (doc_id, rep) only —
+    re-evaluation under Spark retries is idempotent."""
+    from collections.abc import Iterator
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_PHASH_IMAGES_PER_DOC - 1))))
+        .select((F.col("doc_id") * _PHASH_IMAGES_PER_DOC + F.col("rep")).alias("img_id"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            encode_bmp,
+            encode_png,
+            resize_nearest,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+            synth_image,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for img_id in pdf["img_id"].astype("int64"):
+                img_id = int(img_id)
+                if img_id % 5 == 0 and img_id > 0:
+                    base = synth_image(img_id - 1, h=64, w=64)
+                    payloads.append(
+                        encode_jpeg(base, quality=85, subsampling="420")
+                        if img_id % 2 == 0
+                        else encode_png(resize_nearest(base, 48, 48))
+                    )
+                else:
+                    img = synth_image(img_id, h=64, w=64)
+                    payloads.append(
+                        encode_png(img) if img_id % 2 else encode_bmp(img)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["img_id"].astype("int64").to_numpy(),
+                 "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def dedup_phash_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head: perceptual-hash near-duplicate image dedup
+    (operators/phash.py) over a 4×|documents| synthetic image corpus
+    with ~20 % planted re-encode/rescale variants. Measures the full
+    chain — executor-side decode+hash (Arrow mapInPandas), the
+    rotating-block Hamming candidate join, exact verify, transitive
+    closure, anti-join — and ends in an aggregate that consumes the
+    survivor set (bench doctrine: collect() forces it)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        dedup_phash,
+    )
+
+    surv = dedup_phash(_image_corpus(spark, sf_dir), "doc_id", "payload",
+                       max_hamming=8)
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("bytes_kept"),
+    )

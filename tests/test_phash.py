@@ -1,0 +1,178 @@
+"""Perceptual-hash image dedup (operators/phash.py).
+
+Oracle strategy: the hash itself is pinned on PLANTED near-duplicates
+— the same picture re-encoded (JPEG q85/q50, BMP) and rescaled (via
+the repo codecs, so the variants are real format round-trips, not
+byte tweaks) must land within a few bits while independently-generated
+images land far away; the blocked candidate generator's recall-1.0
+guarantee is property-tested directly in Hamming space (pigeonhole —
+same construction as SimHash, tests/test_property_pure.py); the
+end-to-end dedup is checked against the planted cluster structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    encode_bmp,
+    encode_png,
+    resize_nearest,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import encode_jpeg
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+    dedup_phash,
+    synth_image,
+    dhash64_bytes,
+    phash64_bytes,
+    phash64_pixels,
+    phash_candidates,
+    with_phash,
+)
+
+
+make_img = synth_image  # shared fixture generator (operators/phash.py)
+
+
+def ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def variants(img: np.ndarray) -> dict[str, bytes]:
+    h, w = img.shape[:2]
+    return {
+        "jpeg85": encode_jpeg(img, quality=85, subsampling="420"),
+        "jpeg50": encode_jpeg(img, quality=50, subsampling="420"),
+        "bmp": encode_bmp(img),
+        "resized75": encode_png(resize_nearest(img, h * 3 // 4, w * 3 // 4)),
+        "resized50": encode_png(resize_nearest(img, h // 2, w // 2)),
+    }
+
+
+def test_phash_variants_close_distinct_far():
+    """The perceptual contract: every re-encode/rescale of one picture
+    stays within a handful of bits of the original; independently
+    generated pictures are far (≥ the dedup threshold)."""
+    base = make_img(1)
+    p0 = phash64_pixels(base)
+    for name, payload in variants(base).items():
+        d = ham(p0, phash64_bytes(payload))
+        assert d <= 6, f"{name}: pHash drifted {d} bits"
+    for seed in range(2, 10):
+        d = ham(p0, phash64_pixels(make_img(seed)))
+        assert d > 10, f"seed {seed}: distinct image only {d} bits away"
+
+
+def test_dhash_variants_close():
+    """dHash (gradient signs, no DCT) also survives re-encoding —
+    slightly weaker separation than pHash on smooth synthetics, so
+    only variant-closeness is pinned here."""
+    base = make_img(1)
+    d0 = dhash64_bytes(encode_png(base))
+    for name, payload in variants(base).items():
+        d = ham(d0, dhash64_bytes(payload))
+        assert d <= 6, f"{name}: dHash drifted {d} bits"
+
+
+def test_blocked_candidates_recall_property(spark):
+    """Pigeonhole recall 1.0: every pair within hamming ≤ b survives
+    the (b+1)-block equi-join — exercised through phash_candidates'
+    own entry point on hashes with planted ≤ b-bit flips."""
+    r = np.random.default_rng(42)
+    b = 10
+    rows, want_pairs = [], set()
+    next_id = 0
+    for _ in range(40):
+        base = int(r.integers(-(2**63), 2**63 - 1))
+        rows.append((next_id, base))
+        # flip in the unsigned domain (xor on a negative python int
+        # sign-extends indefinitely), then fold back to signed 64
+        flip = base & ((1 << 64) - 1)
+        for bit in r.choice(64, size=int(r.integers(1, b + 1)), replace=False):
+            flip ^= 1 << int(bit)
+        flip = flip - (1 << 64) if flip >= (1 << 63) else flip
+        rows.append((next_id + 1, int(flip)))
+        want_pairs.add((next_id, next_id + 1))
+        next_id += 2
+    hashes = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in phash_candidates(hashes, max_hamming=b)
+        .filter(F.col("hamming") <= b)
+        .collect()
+    }
+    assert want_pairs <= got
+
+
+def test_candidates_plan_no_cartesian(spark):
+    """The candidate join must stay a keyed equi-join at ANY size —
+    no cartesian / broadcast-nested-loop node in the plan."""
+    hashes = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2654435761).alias("phash")
+    )
+    plan = (
+        phash_candidates(hashes, max_hamming=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_with_phash_spark_matches_local(spark):
+    """The Arrow mapInPandas path computes byte-identical hashes to
+    the local functions, for both algos."""
+    payloads = [
+        (i, encode_png(make_img(i))) for i in range(8)
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    for algo, fn in (("phash", phash64_bytes), ("dhash", dhash64_bytes)):
+        got = {
+            r["doc_id"]: r["phash"]
+            for r in with_phash(df, "doc_id", "payload", algo=algo).collect()
+        }
+        want = {i: fn(p) for i, p in payloads}
+        assert got == want, algo
+
+
+def test_dedup_phash_end_to_end(spark):
+    """Planted clusters: 3 base images × 3 encodings each + 4 singles
+    → survivors are exactly each cluster's min id + the singles
+    (transitive closure through the shared base)."""
+    rows = []
+    did = 0
+    clusters = []
+    for seed in (1, 11, 21):
+        img = make_img(seed)
+        members = []
+        for payload in (
+            encode_png(img),
+            encode_jpeg(img, quality=85, subsampling="420"),
+            encode_png(resize_nearest(img, 72, 96)),
+        ):
+            rows.append((did, payload))
+            members.append(did)
+            did += 1
+        clusters.append(members)
+    singles = []
+    for seed in (31, 41, 51, 61):
+        rows.append((did, encode_bmp(make_img(seed))))
+        singles.append(did)
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        r["doc_id"] for r in dedup_phash(df, "doc_id", "payload").collect()
+    )
+    want = sorted([min(c) for c in clusters] + singles)
+    assert kept == want
+
+
+def test_with_phash_bad_algo():
+    with pytest.raises(ValueError, match="algo"):
+        with_phash(None, "doc_id", "payload", algo="ahash")
+
+
+def test_non_image_magic_raises():
+    with pytest.raises(NotImplementedError):
+        phash64_bytes(b"\x00\x01\x02\x03 not an image")
