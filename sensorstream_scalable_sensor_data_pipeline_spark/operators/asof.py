@@ -180,7 +180,33 @@ def choose_bucket_seconds(
     proj = df.select(*keys, time_col)
     if right is not None:
         proj = proj.unionByName(right.select(*keys, time_col))
-    per_key = proj.groupBy(*keys).agg(
+    bs = hot_key_bucket_seconds(proj, keys, time_col, target_rows)
+    if bs is not None:
+        return bs
+    span = proj.agg(
+        (
+            (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
+            / F.lit(1_000_000.0)
+        ).alias("_span_s")
+    ).first()["_span_s"]
+    return max(1, int(span or 0) + 1)
+
+
+def hot_key_bucket_seconds(
+    df: DataFrame,
+    on: str | list[str],
+    time_col: str,
+    target_rows: int = AUTO_BUCKET_TARGET_ROWS,
+) -> int | None:
+    """The hot-key pre-flight alone: the measured bucket size when
+    some key's row count exceeds ``target_rows``, else ``None`` (no
+    skew — callers should take the plain single-window path and skip
+    the decomposition's fixed overhead). :func:`choose_bucket_seconds`
+    wraps this with the degenerate-to-one-bucket fallback; composite
+    operators (:func:`~...funnel.funnel_match`) use it directly as a
+    plain-vs-bucketed ROUTE decision."""
+    keys = [on] if isinstance(on, str) else list(on)
+    per_key = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"),
         (
             (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
@@ -193,11 +219,10 @@ def choose_bucket_seconds(
                 F.col("_n") > target_rows,
                 F.col("_n") / F.greatest(F.col("_span_s"), F.lit(1.0)),
             )
-        ).alias("_hot_density"),
-        F.max("_span_s").alias("_max_span_s"),
+        ).alias("_hot_density")
     ).first()
     if stats["_hot_density"] is None:
-        return max(1, int(stats["_max_span_s"] or 0) + 1)
+        return None
     return max(1, int(target_rows / stats["_hot_density"]))
 
 

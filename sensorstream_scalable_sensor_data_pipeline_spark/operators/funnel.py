@@ -23,8 +23,10 @@ Scale shape: n−1 as-of joins, each ONE hash-partitioned keyed window
 (operators/asof.py's union+window trick) over only the two steps'
 rows — never the full stream, never a cross product, no collected
 per-key arrays. A 3-step funnel over 100 TB of events is three keyed
-window passes over filtered slices; the hot-key escape hatch
-(asof_join_bucketed) applies unchanged if one key dominates.
+window passes over filtered slices; the hot-key escape hatch engages
+AUTOMATICALLY (r11): a density pre-flight over the steps-filtered
+slice routes every pass through asof_join_bucketed when one key
+dominates (``bucket_seconds="auto"``, the default).
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
     asof_join,
+    asof_join_bucketed,
+    hot_key_bucket_seconds,
 )
 
 
@@ -44,11 +48,25 @@ def funnel_match(
     type_col: str,
     steps: list[str],
     within_seconds: int | None = None,
+    bucket_seconds: int | str | None = "auto",
 ) -> DataFrame:
     """Completed last-touch chains: one row per final-step event whose
     full backward chain exists (and fits ``within_seconds`` when
     given), with columns ``on, ts_0 … ts_{n-1}`` — ``ts_i`` the
-    matched time of ``steps[i]``, non-decreasing in ``i``."""
+    matched time of ``steps[i]``, non-decreasing in ``i``.
+
+    ``bucket_seconds`` routes the hot-key escape hatch (the module
+    docstring's 100 TB claim, made real in r11): the default
+    ``"auto"`` runs ONE density pre-flight over the steps-filtered
+    slice (:func:`~...asof.hot_key_bucket_seconds` — a superset of
+    every pass's union, so a key hot in any pass is profiled) and,
+    when some key exceeds the target, runs every as-of pass through
+    :func:`~...asof.asof_join_bucketed` with the measured size — a
+    100× clickstream's one-hot-user/bot key splits into independent
+    per-bucket sorts instead of one task's funnel. ``None`` pins the
+    plain single-window path (skip the pre-flight); an int pins the
+    bucketed path with that size. All three routes are
+    output-equivalent (skew-equivalence pinned in tests)."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     for a, b in zip(steps, steps[1:]):
@@ -60,6 +78,12 @@ def funnel_match(
     if within_seconds is not None and within_seconds < 0:
         raise ValueError("within_seconds must be non-negative")
     n = len(steps)
+    if bucket_seconds == "auto":
+        bucket_seconds = hot_key_bucket_seconds(
+            events.filter(F.col(type_col).isin(steps)).select(on, time_col),
+            on,
+            time_col,
+        )
     cur = events.filter(F.col(type_col) == steps[-1]).select(
         on, F.col(time_col).alias(f"ts_{n - 1}")
     )
@@ -70,13 +94,24 @@ def funnel_match(
             F.col(time_col).alias(f"ts_{i}"),
         )
         # anchor the as-of on the NEXT step's matched time
-        cur = asof_join(
-            cur.withColumnRenamed(f"ts_{i + 1}", "_t"),
-            prior,
-            on=on,
-            time_col="_t",
-            value_cols=[f"ts_{i}"],
-        ).withColumnRenamed("_t", f"ts_{i + 1}")
+        if bucket_seconds is None:
+            joined = asof_join(
+                cur.withColumnRenamed(f"ts_{i + 1}", "_t"),
+                prior,
+                on=on,
+                time_col="_t",
+                value_cols=[f"ts_{i}"],
+            )
+        else:
+            joined = asof_join_bucketed(
+                cur.withColumnRenamed(f"ts_{i + 1}", "_t"),
+                prior,
+                on=on,
+                time_col="_t",
+                value_cols=[f"ts_{i}"],
+                bucket_seconds=bucket_seconds,
+            )
+        cur = joined.withColumnRenamed("_t", f"ts_{i + 1}")
     out = cur.filter(F.col("ts_0").isNotNull())
     if within_seconds is not None:
         out = out.filter(

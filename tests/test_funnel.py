@@ -271,3 +271,44 @@ def test_funnel_plan_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_skew_routes_equivalent(spark):
+    """Hot-key escalation (r11): under 50 %-of-rows-on-one-key skew,
+    the three routes — plain (bucket_seconds=None), pinned bucketed
+    (int), and the auto pre-flight — produce the identical chain set;
+    and on this workload the pre-flight (tiny target for the test)
+    actually ENGAGES the bucketed path."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        hot_key_bucket_seconds,
+    )
+
+    # 6000 events, half on key 0: view/click/purchase round-robin with
+    # deterministic interleaving so chains exist on every key
+    rows = []
+    types = ["view", "click", "purchase"]
+    for i in range(6000):
+        k = 0 if i % 2 == 0 else 1 + (i % 7)
+        rows.append((k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                     types[(i // 2) % 3]))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    def chains(bs):
+        return sorted(
+            tuple(r) for r in funnel_match(
+                ev, on="user_id", time_col="ts", type_col="event_type",
+                steps=types, bucket_seconds=bs,
+            ).collect()
+        )
+
+    plain = chains(None)
+    assert len(plain) > 0
+    assert chains(600) == plain           # pinned bucketed
+    assert chains("auto") == plain        # default pre-flight route
+    # the pre-flight sees the hot key at a test-scaled target
+    assert (
+        hot_key_bucket_seconds(
+            ev.select("user_id", "ts"), "user_id", "ts", target_rows=1000
+        )
+        is not None
+    )
