@@ -30,21 +30,30 @@ def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_binary_metadata",
-    oracle=r"""
+#: mm_binary_metadata's oracle, kept importable for the rotated-slot
+#: local suite (tests/test_queries_vs_oracle.py) after the round-11
+#: third rotation: its slot now carries html_extract_corpus
+#: (plans/text.py) — the most user-hit r10 family without a driver
+#: row. The multimodal family keeps ``mm_feature_extract``
+#: driver-green, which subsumes these metadata stats (it computes
+#: n_bytes plus the byte statistics over the same payloads).
+MM_BINARY_METADATA_ORACLE = r"""
     SELECT doc_id,
            octet_length(text::BLOB) AS n_bytes,
            md5(text) AS content_md5,
            lower(substr(hex(text::BLOB), 1, 8)) AS magic_hex
     FROM documents
-    """,
-)
+    """
+
+
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque binary column: length, content
     md5, magic-number prefix. Scan-speed column math; storing these
     beside the payload is what lets format/size filters prune 100 TB
-    of blobs without reading payload bytes."""
+    of blobs without reading payload bytes. Rotated OUT of the
+    50-slot driver registry in round 11 (stays locally oracle-pinned
+    in the rotated-slot suite; the freed slot carries
+    ``html_extract_corpus``)."""
     return binary_with_metadata(_with_payload(spark, sf_dir), "payload").select(
         "doc_id", "n_bytes", "content_md5", "magic_hex"
     )

@@ -691,3 +691,112 @@ def html_extract_corpus_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("title")).alias("total_title_chars"),
         F.avg(F.length("text")).alias("avg_chars"),
     )
+
+
+# ----------------------- html_extract_corpus driver oracle (r11 rotation)
+
+
+def _duckdb_html_chain_sql(expr: str) -> str:
+    """DuckDB (RE2) SQL expression replaying the EXACT
+    ``operators.html.html_to_text`` chain over ``expr``, generated
+    from the module's own constants so the oracle cannot drift from
+    the implementation order (same discipline as the step-by-step
+    replay in tests/test_html.py, folded into one nested expression
+    the driver can run as plain SQL). Newline replacements go through
+    ``chr(10)`` and the &amp;-sentinel through ``chr(0)`` — both
+    verified DuckDB-representable."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.html import (
+        _BLOCK_TAGS,
+        _DROP_CONTENT,
+        _ENTITIES,
+    )
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    c = expr
+    for el in _DROP_CONTENT:
+        c = f"regexp_replace({c}, '(?is)<{el}\\b[^>]*>.*?</{el}>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?i)</?(?:{_BLOCK_TAGS})\\b[^>]*>', chr(10), 'g')"
+    c = f"regexp_replace({c}, '(?s)<[^>]*>', '', 'g')"
+    sentinel = "chr(0) || 'amp' || chr(0)"
+    for ent, repl in (
+        ("&#34;", "'\"'"), ("&#x22;", "'\"'"),
+        ("&#60;", "'<'"), ("&#x3c;", "'<'"),
+        ("&#62;", "'>'"), ("&#x3e;", "'>'"),
+        ("&#160;", "' '"), ("&#xa0;", "' '"),
+        ("&#39;", "''''"), ("&#x27;", "''''"),
+        ("&#38;", sentinel), ("&#x26;", sentinel),
+    ):
+        c = f"replace({c}, '{ent}', {repl})"
+    for ent, repl in _ENTITIES:
+        c = f"replace({c}, '{sq(ent)}', '{sq(repl)}')"
+    c = f"replace({c}, {sentinel}, '&')"
+    c = f"regexp_replace({c}, '[ \\t\\r\\f]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{2,}}', chr(10), 'g')"
+    return f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
+
+
+def _duckdb_html_title_sql(expr: str) -> str:
+    """DuckDB replay of ``operators.html.html_title`` (same
+    constant-driven generation)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.html import (
+        _ENTITIES,
+    )
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    t = f"regexp_extract({expr}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    for ent, repl in _ENTITIES:
+        t = f"replace({t}, '{sq(ent)}', '{sq(repl)}')"
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+#: The exact markup wrap the bench head applies, as DuckDB SQL (the
+#: apostrophes in the script chrome double-escaped).
+_HTML_WRAP_SQL = (
+    "'<html><head><title>Doc &amp; title #' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>p{margin:0}</style>"
+    "<script>var t=''<p>not text</p>'';</script></head><body><p>' || "
+    "regexp_replace(text, '\\. ', '.</p>' || chr(10) || '<p>', 'g') || "
+    "'</p><div>footer &copy; nav &#38; chrome</div></body></html>'"
+)
+
+HTML_EXTRACT_CORPUS_ORACLE = f"""
+    WITH wrapped AS (
+      SELECT doc_id, lang, {_HTML_WRAP_SQL} AS html
+      FROM documents
+    ), ex AS (
+      SELECT lang,
+             {_duckdb_html_chain_sql("html")} AS text,
+             {_duckdb_html_title_sql("html")} AS title
+      FROM wrapped
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(length(text))::BIGINT AS total_chars,
+           SUM(length(title))::BIGINT AS total_title_chars,
+           AVG(length(text)) AS avg_chars
+    FROM ex
+    WHERE length(text) >= 1
+    GROUP BY lang
+    """
+
+
+@query("html_extract_corpus", oracle=HTML_EXTRACT_CORPUS_ORACLE)
+def html_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction at corpus scale (operators/html.py): a
+    deterministic markup wrap of every document (title + head chrome,
+    sentence-boundary ``<p>`` tags, escaped entities, footer chrome)
+    followed by the full zero-UDF Catalyst regex extraction chain,
+    aggregated per language. Rotated INTO the 50-slot driver registry
+    in round 11 (third rotation — the freed slot is
+    ``mm_binary_metadata``, whose metadata stats are subsumed by the
+    still-driver-green ``mm_feature_extract``); the oracle replays the
+    exact extraction chain in DuckDB RE2, generated from the html
+    module's own constants. Zero shuffles before the final 5-group
+    aggregate — at 100 TB this is pure scan CPU."""
+    return html_extract_corpus_head(spark, sf_dir)

@@ -210,10 +210,10 @@ def test_rotated_q6_forecast_revenue_matches_oracle(spark, duck, sf_dir):
 
 
 def test_registry_is_exactly_50_with_temporal_family():
-    """The driver records at most 50 registry rows; the round-8/9/10
+    """The driver records at most 50 registry rows; the round-8/9/10/11
     rotations must land exactly at the cap with the temporal family,
-    span-level dedup and the stream-stream as-of inside and every
-    carried §2 slot present."""
+    span-level dedup, the stream-stream as-of and HTML extraction
+    inside and every carried §2 slot present."""
     names = set(QUERIES)
     assert len(QUERIES) == 50
     assert {
@@ -223,6 +223,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "dedup_substring",
         "stream_asof_join",
         "funnel_match",
+        "html_extract_corpus",
     } <= names
     assert not {
         "d1_dedup_deterministic",
@@ -231,6 +232,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "dedup_simhash",
         "dedup_ngram_blocked",
         "text_fingerprint",
+        "mm_binary_metadata",
     } & names
 
 
@@ -265,6 +267,17 @@ def test_rotated_dedup_ngram_blocked_matches_oracle(spark, duck, sf_dir):
     sdf = dedup_ngram_blocked(spark, sf_dir).toPandas()
     ddf = duck.sql(DEDUP_NGRAM_BLOCKED_ORACLE).df()
     assert_frames_match(sdf, ddf, "dedup_ngram_blocked")
+
+
+def test_rotated_mm_binary_metadata_matches_oracle(spark, duck, sf_dir):
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        MM_BINARY_METADATA_ORACLE,
+        mm_binary_metadata,
+    )
+
+    sdf = mm_binary_metadata(spark, sf_dir).toPandas()
+    ddf = duck.sql(MM_BINARY_METADATA_ORACLE).df()
+    assert_frames_match(sdf, ddf, "mm_binary_metadata")
 
 
 def test_entry_smoke(spark):
