@@ -155,9 +155,14 @@ HEADLINE = [
     # Round 11: perceptual-hash image dedup (operators/phash.py) —
     # executor-side decode+hash over a 4×|documents| synthetic image
     # corpus with planted re-encode/rescale variants, rotating-block
-    # Hamming candidates, closure, anti-join. The 40 heads above are
-    # unchanged for comparability.
+    # Hamming candidates, closure, anti-join — and the streaming
+    # funnel (r10 verdict task #6: the face's standing perf evidence,
+    # like the other stream_* heads): the full event stream delivered
+    # as 4 interleaved micro-batches + a watermark flush through the
+    # 3-step funnel. The 40 heads above are unchanged for
+    # comparability.
     "dedup_phash",
+    "stream_funnel",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -259,6 +264,17 @@ EXTRA_HEADS = {
     "dedup_phash": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
         "dedup_phash_head",
+    ),
+    "stream_funnel": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.streaming.funnel",
+        "stream_funnel_head",
+    ),
+    # EXTRA_HEADS-only (not HEADLINE): the constant-alpha EWMA form's
+    # scale rung for scripts/stress_sf1.py (ewma_smooth covers the
+    # irregular form in the headline list).
+    "ewma_constant": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
+        "ewma_constant_head",
     ),
 }
 

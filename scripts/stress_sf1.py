@@ -72,6 +72,15 @@ HEADS = [
     # linear-recurrence smoother (chunk-fold + carry-chain shape).
     "html_extract_corpus",
     "ewma_smooth",
+    # Round 11 (r10 verdict task #4 + new-family coverage): the batch
+    # funnel (three keyed as-of passes — wall and shuffle should scale
+    # linearly), the CONSTANT-alpha EWMA form (the irregular form is
+    # ewma_smooth's rung), the streaming funnel, and perceptual-hash
+    # image dedup.
+    "funnel_match",
+    "ewma_constant",
+    "stream_funnel",
+    "dedup_phash",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.

@@ -410,3 +410,26 @@ def ewma_smooth_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("ewma").alias("avg_smooth"),
         F.max(F.abs(F.col("value") - F.col("ewma"))).alias("max_dev"),
     )
+
+
+def ewma_constant_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-rung head (r11, EXTRA_HEADS-only — not in the HEADLINE
+    list): the CONSTANT-α EWMA form (operators/recurrence.py::ewma,
+    pandas ``ewm(adjust=False)`` semantics) over every event, so the
+    sf1 stress table carries measured rungs for BOTH recurrence
+    forms (``ewma_smooth`` covers the time-decay irregular form).
+    Same consumption shape as ewma_smooth_head."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.recurrence import (
+        ewma,
+    )
+
+    ev = _events(spark, sf_dir)
+    sm = ewma(
+        ev.select("user_id", "ts", "value"),
+        on="user_id", time_col="ts", value_col="value", alpha=0.1,
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("ewma").alias("avg_smooth"),
+        F.max(F.abs(F.col("value") - F.col("ewma"))).alias("max_dev"),
+    )

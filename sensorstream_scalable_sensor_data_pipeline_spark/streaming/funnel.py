@@ -35,6 +35,8 @@ tests/test_funnel.py across forced multi-micro-batch delivery.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -182,4 +184,129 @@ def stream_funnel(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------- bench head
+
+#: Micro-batches the bench head splits the event stream into (plus a
+#: far-future flush batch that advances the final watermark so every
+#: completed chain finalizes before the drain ends).
+_HEAD_BATCHES = 4
+
+#: Bump when the landing layout changes — the cache key embeds it.
+_HEAD_LAYOUT_V = "v1"
+
+#: Flush-sentinel key, filtered back out of the head's aggregate.
+_FLUSH_KEY = -1
+
+
+def _head_landing_dir(sf_dir: str) -> str:
+    """Deterministic per-(sf_dir, layout, user) landing directory so
+    the UNTIMED split of events into micro-batch files runs once per
+    bench run, not once per cold-JVM rep (same keyed-cache discipline
+    as plans/ann_serving.py::_large_cache_dir)."""
+    import getpass
+    import hashlib
+    import tempfile
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|b{_HEAD_BATCHES}|{_HEAD_LAYOUT_V}".encode()
+    ).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_{user}_sfunnel_{key}"
+    )
+
+
+def stream_funnel_head_setup(spark, sf_dir: str) -> None:
+    """Untimed fixture: land the events table as ``_HEAD_BATCHES``
+    interleaved parquet files (split by a row hash, so every
+    micro-batch spans the full time range — the cross-batch-disorder
+    worst case the operator exists for) plus one far-future flush
+    file. Staged + atomic-renamed so concurrent runs race safely."""
+    import glob
+    import shutil
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    landing = _head_landing_dir(sf_dir)
+    if os.path.exists(os.path.join(landing, "_COMPLETE")):
+        return
+    stage = f"{landing}.tmp.{os.getpid()}"
+    os.makedirs(stage, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    flush = ev.sparkSession.createDataFrame(
+        [(_FLUSH_KEY, mx + _dt.timedelta(days=400), "view")], ev.schema
+    )
+    # pmod, not abs(hash) % n: hash() can return Int.MIN_VALUE, whose
+    # abs overflows under ANSI mode
+    parts = [
+        ev.filter(F.pmod(F.hash("user_id", "ts"), F.lit(_HEAD_BATCHES)) == i)
+        for i in range(_HEAD_BATCHES)
+    ] + [flush]
+    for i, df in enumerate(parts):
+        d = os.path.join(stage, f"_w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(stage, f"{i:03d}.parquet"))
+        shutil.rmtree(d)
+    open(os.path.join(stage, "_COMPLETE"), "w").close()
+    try:
+        os.rename(stage, landing)
+    except OSError:
+        if not os.path.exists(os.path.join(landing, "_COMPLETE")):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _head_stream(spark, sf_dir: str):
+    landing = _head_landing_dir(sf_dir)
+    phys = spark.read.option("pathGlobFilter", "*.parquet").parquet(landing).schema
+    return (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(landing)
+    )
+
+
+def stream_funnel_head(spark, sf_dir: str):
+    """Bench head (r11): the streaming funnel's standing perf
+    evidence, like the other ``stream_*`` heads. Drains the full
+    event stream — delivered as ``_HEAD_BATCHES`` interleaved
+    micro-batches + a watermark flush — through the 3-step
+    view → click → purchase funnel and summarizes the completed
+    chains (count + span stats, so every chain column is consumed)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.pipeline import (
+        drain_to_memory,
+        prepare_session,
+    )
+
+    prepare_session(spark)
+    out = stream_funnel(
+        _head_stream(spark, sf_dir),
+        on="user_id",
+        time_col="ts",
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+        watermark="1 minute",
+    )
+    drained = drain_to_memory(out, output_mode="append")
+    return drained.filter(F.col("user_id") != _FLUSH_KEY).agg(
+        F.count(F.lit(1)).alias("n_chains"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.avg(F.col("ts_us_2") - F.col("ts_us_0")).alias("avg_span_us"),
+        # avg, not sum: ~10^4 chains × ~1.7×10^15 µs overflows a long
+        F.avg(F.col("ts_us_1")).alias("ts1_avg"),
     )
