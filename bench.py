@@ -276,6 +276,13 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal",
         "ewma_constant_head",
     ),
+    # EXTRA_HEADS-only: the banded (sampled-bit LSH) image-dedup
+    # candidate path's scale rung — the subquadratic alternative to
+    # dedup_phash's recall-guaranteed pigeonhole join.
+    "dedup_phash_banded": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "dedup_phash_banded_head",
+    ),
 }
 
 

@@ -535,17 +535,26 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     max_iters: int = 10,
     strict: bool = False,
+    broadcast_losers: bool = False,
 ) -> DataFrame:
     """The end of the dedup pipeline: keep one canonical document per
     near-dup cluster (the min-id representative) and every document
     that appears in no pair. One components resolution + one left
     anti-join — docs never all-pairs anything. ``max_iters``/``strict``
     plumb through to :func:`dup_components` so pathological chains are
-    observable at this level too."""
+    observable at this level too.
+
+    ``broadcast_losers=True`` broadcasts the loser-ID set into the
+    anti-join so ``docs`` never shuffles — the right plan when rows
+    are WIDE (image payloads: measured 113 MB of payload shuffle →
+    ~0 on the pHash bench corpus) and the loser set is verified-pairs-
+    bounded, i.e. orders smaller than the payload bytes. Default
+    False: at true corpus scale a loser set can exceed broadcast
+    budget, and the shuffle anti-join is the unbounded-safe path."""
     comp = dup_components(pairs, max_iters=max_iters, strict=strict)
     losers = comp.filter(F.col("rep") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import anti_filter
 
-    return anti_filter(docs, losers, id_col, broadcast_keys=False)
+    return anti_filter(docs, losers, id_col, broadcast_keys=broadcast_losers)

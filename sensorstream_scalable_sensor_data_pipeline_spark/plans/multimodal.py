@@ -170,3 +170,22 @@ def dedup_phash_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("payload")).alias("bytes_kept"),
     )
+
+
+def dedup_phash_banded_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-rung head (r11, EXTRA_HEADS-only): the same image-dedup
+    workload through the SAMPLED-BIT banded candidate generator —
+    the subquadratic path whose rung demonstrates the pigeonhole
+    join's quadratic bucket term is the scale wall, not the hashing
+    or the closure (operators/phash.py::phash_candidates_banded)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        dedup_phash,
+    )
+
+    surv = dedup_phash(_image_corpus(spark, sf_dir), "doc_id", "payload",
+                       max_hamming=8, method="banded")
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("bytes_kept"),
+    )

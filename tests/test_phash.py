@@ -176,3 +176,62 @@ def test_with_phash_bad_algo():
 def test_non_image_magic_raises():
     with pytest.raises(NotImplementedError):
         phash64_bytes(b"\x00\x01\x02\x03 not an image")
+
+
+def test_banded_candidates_find_planted_variants(spark):
+    """The sampled-bit banded generator finds every planted variant
+    pair at the MEASURED drift profile (d ≤ 4 for the fixture
+    corpus's re-encodes — analytic recall ≈0.995+ there, and the
+    seeds are fixed, so this is deterministic), while staying a keyed
+    equi-join (no cartesian)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        phash_candidates_banded,
+    )
+
+    rows, want = [], set()
+    did = 0
+    for seed in range(12):
+        img = make_img(seed)
+        rows.append((did, phash64_pixels(img)))
+        rows.append(
+            (did + 1, phash64_bytes(encode_jpeg(img, quality=85, subsampling="420")))
+        )
+        want.add((did, did + 1))
+        did += 2
+    hashes = spark.createDataFrame(rows, "doc_id long, phash long")
+    cand = phash_candidates_banded(hashes)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cand.filter(F.col("hamming") <= 8).collect()
+    }
+    assert want <= got
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_phash_banded_matches_pigeonhole_on_fixture(spark):
+    """On the fixture corpus (variant drift well inside the band
+    recall sweet spot) the banded method keeps the same survivor set
+    as the exact pigeonhole method."""
+    rows = []
+    did = 0
+    for seed in (1, 11, 21, 31):
+        img = make_img(seed)
+        rows.append((did, encode_png(img)))
+        rows.append((did + 1, encode_jpeg(img, quality=85, subsampling="420")))
+        did += 2
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    exact = sorted(
+        r["doc_id"] for r in dedup_phash(df, "doc_id", "payload").collect()
+    )
+    banded = sorted(
+        r["doc_id"]
+        for r in dedup_phash(df, "doc_id", "payload", method="banded").collect()
+    )
+    assert exact == banded == [0, 2, 4, 6]
+
+
+def test_dedup_phash_bad_method():
+    with pytest.raises(ValueError, match="method"):
+        dedup_phash(None, "doc_id", "payload", method="lsh")
