@@ -38,9 +38,15 @@ def main() -> None:
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.temporal import (
-        asof_join_skewed_bucketed_head,
-        asof_join_skewed_head,
+        _skewed_events,
+        _skewed_summary,
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.session import get_spark
 
@@ -50,19 +56,39 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
     )
-    heads = {
-        "asof_join_skewed": asof_join_skewed_head,
-        "asof_join_skewed_bucketed": asof_join_skewed_bucketed_head,
-    }
-    # warm pass: full run of each head, untimed (JIT, codegen caches,
-    # page cache for the scan side)
+    # Materialize the amplified inputs ONCE: the bench heads' scan-side
+    # explode is a shared fixed cost both heads pay identically — the
+    # r10 decomposition's point is the JOIN REGION, so the timed part
+    # here starts from cached inputs.
+    ev = _skewed_events(spark, sf_dir).persist()
+    st = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select("user_id", "ts", F.col("value").alias("calib_value"))
+        .persist()
+    )
+    ev.count(), st.count()
+
+    def plain():
+        return _skewed_summary(
+            asof_join(ev, st, on="user_id", time_col="ts", value_cols=["calib_value"])
+        )
+
+    def bucketed():
+        return _skewed_summary(
+            asof_join_bucketed(
+                ev, st, on="user_id", time_col="ts", value_cols=["calib_value"]
+            )
+        )
+
+    heads = {"asof_join_skewed": plain, "asof_join_skewed_bucketed": bucketed}
+    # warm pass: full run of each join, untimed (JIT + codegen caches)
     for fn in heads.values():
-        fn(spark, sf_dir).collect()
+        fn().collect()
     samples: dict[str, list[float]] = {n: [] for n in heads}
     for _ in range(reps):
         for name, fn in heads.items():
             t0 = time.time()
-            rows = len(fn(spark, sf_dir).collect())
+            rows = len(fn().collect())
             dt = round(time.time() - t0, 3)
             samples[name].append(dt)
             print(json.dumps({"head": name, "sec": dt, "rows": rows}))
