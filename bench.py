@@ -163,6 +163,7 @@ HEADLINE = [
     # comparability.
     "dedup_phash",
     "stream_funnel",
+    "dedup_audio",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -268,6 +269,10 @@ EXTRA_HEADS = {
     "stream_funnel": (
         "sensorstream_scalable_sensor_data_pipeline_spark.streaming.funnel",
         "stream_funnel_head",
+    ),
+    "dedup_audio": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "dedup_audio_head",
     ),
     # EXTRA_HEADS-only (not HEADLINE): the constant-alpha EWMA form's
     # scale rung for scripts/stress_sf1.py (ewma_smooth covers the

@@ -1,0 +1,306 @@
+"""Audio fingerprinting + near-duplicate audio dedup.
+
+Completes the modality coverage of the dedup family (text:
+MinHash/SimHash/substring; images: pHash r11; audio: this module) —
+the Shazam-era capability a multimodal training corpus needs: detect
+clips that are the SAME recording re-encoded, gain-adjusted, padded,
+or lightly degraded, even though they share no bytes.
+
+Algorithm — the classic **Haitsma–Kalker (2002) sub-fingerprint**:
+
+1. mono mix → overlapping frames (``FRAME`` samples, ``HOP`` step),
+   Hann window, FFT power spectrum;
+2. ``N_BANDS+1`` log-spaced LOG band energies over 300–2000 Hz (the
+   perceptually robust range; log compression keeps near-empty bands
+   from handing their sign bits to the noise floor — measured: raw
+   energies gave 8 bit errors/frame at 36 dB SNR, log gives ~2);
+3. per frame, one 32-bit **sub-fingerprint**: bit b is the sign of
+   the band-energy difference's TIME derivative,
+   ``(E[f,b]−E[f,b+1]) − (E[f−1,b]−E[f−1,b+1])`` — a clip's
+   fingerprint is its int32 sub-fingerprint SEQUENCE.
+
+The double difference makes bits invariant to gain (log energies
+shift by a constant — differences unchanged, signs exact; measured
+BER 0.000 at 0.5×/1.5× gain) and to hop-aligned padding (the grid
+shifts, the words don't); mild noise costs a few bits per frame
+(BER 0.07 at 36 dB, 0.14 at 30 dB) while DISTINCT audio sits at
+BER ≈ 0.5 — the exact separation the paper's 0.35 threshold exploits.
+
+Matching follows the paper's two-level design re-expressed as engine
+joins: (probe) EXPLODE clips into (sub-fingerprint, frame_idx) rows
+and equi-join on the exact 32-bit value — identical recordings keep
+a fraction of frames bit-exact even under noise (measured 12 % at
+36 dB) while distinct recordings essentially never collide — then
+vote the most-common frame OFFSET per pair; (verify) align the two
+sequences at that offset and compute the aligned **bit error rate**
+in one Catalyst ``zip_with + bit_count`` fold — near-dup iff
+BER ≤ ``ber_max`` over a sufficient overlap. Nothing is pairwise:
+probe buckets are tiny, the vote is one groupBy, the BER join runs
+only on voted candidates, and the closure/anti-join are the shared
+dedup machinery.
+
+Reference tie: the reference pipeline (main_pipeline.py:1-369) has no
+audio stage; this extends SURVEY §2.12's multimodal scope alongside
+operators/phash.py, over the PCM WAV codec in operators/codecs.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+    drop_near_duplicates,
+)
+
+#: Frame / hop sizes in samples. At the 8 kHz test rate a 1024-sample
+#: frame is 128 ms with 8× overlap — coarser than the paper's 37 ms /
+#: 31/32-overlap at 44.1 kHz, but the construction is rate-agnostic.
+FRAME = 1024
+HOP = 128
+
+#: Sub-fingerprint width: N_BANDS energy differences → N_BANDS bits.
+N_BANDS = 32
+
+#: Band range (Hz) — the perceptually robust region of the paper.
+F_MIN = 300.0
+F_MAX = 2000.0
+
+
+def subfingerprints(samples: np.ndarray, rate: int) -> np.ndarray:
+    """(n, ch) int16 PCM → int32 sub-fingerprint per frame (length
+    ``(n - FRAME) // HOP``; empty for clips shorter than 2 frames)."""
+    if samples.ndim == 2:
+        mono = samples.astype(np.float64).mean(axis=1)
+    else:
+        mono = samples.astype(np.float64)
+    n = mono.shape[0]
+    n_frames = (n - FRAME) // HOP + 1 if n >= FRAME else 0
+    if n_frames < 2:
+        return np.empty(0, dtype=np.int32)
+    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(FRAME)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(FRAME, d=1.0 / rate)
+    # log-spaced band edges; clamp to Nyquist so low rates still work
+    fmax = min(F_MAX, rate / 2.0 * 0.98)
+    edges = np.geomspace(F_MIN, fmax, N_BANDS + 2)
+    bins = np.searchsorted(freqs, edges)
+    bins = np.maximum.accumulate(np.maximum(bins, 1))  # monotone, non-empty-ish
+    energies = np.empty((n_frames, N_BANDS + 1))
+    for b in range(N_BANDS + 1):
+        lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
+        energies[:, b] = spec[:, lo:hi].sum(axis=1)
+    # log compression: raw energies let near-empty bands trade sign
+    # bits with the noise floor (measured 8 err-bits/frame at 36 dB
+    # SNR vs ~2 with log); gain becomes an additive constant, so
+    # difference signs stay EXACT under volume changes
+    energies = np.log(energies + 1e-12)
+    d = energies[:, :-1] - energies[:, 1:]          # band difference
+    dd = d[1:] - d[:-1]                              # time derivative
+    bits = (dd > 0).astype(np.uint32)
+    weights = (1 << np.arange(N_BANDS, dtype=np.uint32))[None, :]
+    return (bits * weights).sum(axis=1, dtype=np.uint32).astype(np.int32)
+
+
+def fingerprint_wav(payload: bytes) -> np.ndarray:
+    """Sub-fingerprint sequence of a PCM WAV payload (repo codec)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_wav,
+    )
+
+    samples, rate = decode_wav(payload)
+    return subfingerprints(samples, rate)
+
+
+# ------------------------------------------------------- Spark surface
+
+FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fp", ArrayType(IntegerType())),
+    ]
+)
+
+
+def with_audio_fingerprint(
+    df: DataFrame, id_col: str, binary_col: str
+) -> DataFrame:
+    """(id, wav payload) → (doc_id, fp: array<int>) via Arrow-batched
+    ``mapInPandas`` — same scale shape as the image/audio feature
+    extractors (whole record batches per worker; the FFT is the only
+    per-payload Python work, and it is numpy-vectorized across the
+    clip's frames)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "fp": [
+                        fingerprint_wav(p).tolist() for p in pdf[binary_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=FP_SCHEMA
+    )
+
+
+def audio_candidates(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_probe_frames: int = 2,
+    ber_max: float = 0.25,
+    min_overlap_frames: int = 10,
+) -> DataFrame:
+    """Near-dup audio pairs from (id, fp) fingerprint sequences —
+    probe-then-verify, the paper's two levels as two joins.
+
+    PROBE: explode to (sub-fingerprint value, frame idx), equi-join
+    on the exact 32-bit value, vote the most common ``idx_a − idx_b``
+    offset per pair; pairs with ≥ ``min_probe_frames`` bit-exact
+    frames at one offset advance (measured: 12 % of frames stay
+    bit-exact under 36 dB noise, 3 % at 30 dB — over a ~100-frame
+    clip that is 3-14 probe hits; distinct clips essentially never
+    produce two hits at a CONSISTENT offset).
+
+    VERIFY: align both sequences at the voted offset and compute the
+    aligned bit error rate in one Catalyst fold —
+    ``aggregate(zip_with(slice_a, slice_b, bit_count(xor)))`` over
+    the overlap — and keep pairs with BER ≤ ``ber_max`` over at
+    least ``min_overlap_frames`` frames. Same-recording variants
+    measure BER 0.00-0.14 (gain/pad/quantize/noise); distinct audio
+    sits at ≈0.5, so the 0.25 default splits cleanly (the paper uses
+    0.35 on 3-second blocks).
+
+    Returns (id_a, id_b, ber, offset, overlap_frames).
+
+    Scale shape: probe buckets are tiny for real audio — and
+    degenerate values (digital silence → constant words 0/-1) are
+    DROPPED before the join, the same hub-removal reasoning as
+    stopwords in text LSH; the vote is one groupBy; the BER join
+    touches only voted candidates."""
+    if min_probe_frames < 1:
+        raise ValueError("min_probe_frames must be positive")
+    if not (0.0 < ber_max < 0.5):
+        raise ValueError("ber_max must be in (0, 0.5)")
+    ex = fps.select(
+        F.col(id_col), F.posexplode("fp").alias("idx", "v")
+    )
+    # drop degenerate values: sub-fingerprints of digital silence /
+    # constant tones (0 or -1 = all-bits patterns) hub the join
+    ex = ex.filter(~F.col("v").isin(0, -1))
+    a = ex.select(
+        F.col("v"),
+        F.col(id_col).alias("id_a"),
+        F.col("idx").alias("idx_a"),
+    )
+    b = ex.select(
+        F.col("v"),
+        F.col(id_col).alias("id_b"),
+        F.col("idx").alias("idx_b"),
+    )
+    matched = (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
+        )
+    )
+    votes = matched.groupBy("id_a", "id_b", "off").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    # best offset per pair: max probe hits, ties to the smallest
+    # offset (max of (n_match, -off) → deterministic)
+    w_best = F.max_by(
+        F.struct("n_match", "off"), F.struct("n_match", F.col("off") * -1)
+    )
+    best = (
+        votes.groupBy("id_a", "id_b")
+        .agg(w_best.alias("b"))
+        .select(
+            "id_a", "id_b",
+            F.col("b.n_match").alias("n_match"),
+            F.col("b.off").alias("offset"),
+        )
+        .filter(F.col("n_match") >= min_probe_frames)
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    j = best.join(fa, "id_a").join(fb, "id_b")
+    # overlap under alignment idx_a = idx_b + offset (1-indexed slices)
+    start_a = F.greatest(F.col("offset"), F.lit(0)) + 1
+    start_b = F.greatest(-F.col("offset"), F.lit(0)) + 1
+    length = F.least(
+        F.size("fp_a") - start_a + 1, F.size("fp_b") - start_b + 1
+    )
+    # bit_count sign-extends INT to 64 bits (bit_count(-1::int) = 64,
+    # measured), so mask the xor to its low 32 bits first
+    errs = F.aggregate(
+        F.zip_with(
+            F.slice("fp_a", start_a, F.greatest(length, F.lit(0))),
+            F.slice("fp_b", start_b, F.greatest(length, F.lit(0))),
+            lambda x, y: F.bit_count(
+                x.bitwiseXOR(y).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(
+        "id_a",
+        "id_b",
+        (errs / (F.greatest(length, F.lit(1)) * N_BANDS).cast("double")).alias(
+            "ber"
+        ),
+        "offset",
+        length.alias("overlap_frames"),
+    )
+    return scored.filter(
+        (F.col("ber") <= ber_max)
+        & (F.col("overlap_frames") >= min_overlap_frames)
+    )
+
+
+def dedup_audio(
+    clips: DataFrame,
+    id_col: str,
+    binary_col: str,
+    ber_max: float = 0.25,
+    min_probe_frames: int = 2,
+) -> DataFrame:
+    """End-to-end near-duplicate AUDIO dedup: fingerprint every WAV
+    payload, probe-vote candidates, aligned-BER verify, transitive
+    closure, keep the min-id canonical per cluster. The fingerprint
+    table persists across the probe self-join and the BER join (same
+    rationale as :func:`~...phash.dedup_phash` — the FFT is the
+    expensive stage and the joins reference it repeatedly) and the
+    loser-ID anti-join broadcasts so the wide audio payloads never
+    shuffle."""
+    fps = with_audio_fingerprint(clips, id_col, binary_col).persist()
+    try:
+        pairs = audio_candidates(
+            fps,
+            "doc_id",
+            min_probe_frames=min_probe_frames,
+            ber_max=ber_max,
+        )
+        return drop_near_duplicates(
+            clips, pairs, id_col=id_col, broadcast_losers=True
+        )
+    finally:
+        fps.unpersist()

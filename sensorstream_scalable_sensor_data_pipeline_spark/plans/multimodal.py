@@ -189,3 +189,105 @@ def dedup_phash_banded_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("payload")).alias("bytes_kept"),
     )
+
+
+# --------------------------------------------- audio fingerprint dedup
+
+#: Clips synthesized per documents row for the dedup_audio bench head
+#: (5 k docs at sf0.1 × 2 = 10 k clips of 2 s — enough that the
+#: FFT+probe+verify chain dominates fixture noise).
+_AUDIO_CLIPS_PER_DOC = 2
+_AUDIO_RATE = 8000
+
+
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WAV corpus with PLANTED near-duplicates: one
+    broadband synthetic clip per (doc_id, rep) seed; every 5th clip
+    is instead a signal-level variant — a 0.5× gain copy or a
+    10-hop-padded copy — of its predecessor's recording. Seeded by
+    clip id only, so Spark retries are idempotent."""
+    from collections.abc import Iterator
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(_AUDIO_CLIPS_PER_DOC - 1)))
+        )
+        .select(
+            (F.col("doc_id") * _AUDIO_CLIPS_PER_DOC + F.col("rep")).alias("clip_id")
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+            HOP,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            encode_wav,
+        )
+
+        def make_clip(seed: int, secs: float = 2.0) -> np.ndarray:
+            r = np.random.default_rng(seed)
+            n = int(_AUDIO_RATE * secs)
+            t = np.arange(n) / _AUDIO_RATE
+            spec = r.standard_normal(n // 2 + 1) + 1j * r.standard_normal(
+                n // 2 + 1
+            )
+            shape = 1.0 / (1.0 + np.arange(n // 2 + 1)) ** r.uniform(0.3, 0.7)
+            bed = np.fft.irfft(spec * shape, n)
+            bed /= np.abs(bed).max()
+            x = 0.7 * bed
+            for _ in range(4):
+                f = r.uniform(300, 1900)
+                x += r.uniform(0.05, 0.25) * np.sin(
+                    2 * np.pi * f * t + r.uniform(0, 6.28)
+                )
+            x *= 0.7 + 0.3 * np.sin(2 * np.pi * r.uniform(0.5, 2.0) * t)
+            return (x / np.abs(x).max() * 20000).astype(np.int16)
+
+        for pdf in batches:
+            payloads = []
+            for cid in pdf["clip_id"].astype("int64"):
+                cid = int(cid)
+                if cid % 5 == 0 and cid > 0:
+                    base = make_clip(cid - 1)
+                    clip = (
+                        (base * 0.5).astype(np.int16)
+                        if cid % 2 == 0
+                        else np.concatenate(
+                            [np.zeros(HOP * 10, np.int16), base]
+                        )
+                    )
+                else:
+                    clip = make_clip(cid)
+                payloads.append(encode_wav(clip, _AUDIO_RATE))
+            yield pd.DataFrame(
+                {"doc_id": pdf["clip_id"].astype("int64").to_numpy(),
+                 "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def dedup_audio_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head (r11): near-duplicate AUDIO dedup
+    (operators/audio_fp.py — Haitsma–Kalker sub-fingerprints,
+    exact-probe offset vote, aligned-BER verify) over a
+    2×|documents| synthetic WAV corpus (2 s broadband clips, ~20 %
+    planted gain/pad variants). Ends in an aggregate consuming the
+    survivor set."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        dedup_audio,
+    )
+
+    surv = dedup_audio(_audio_corpus(spark, sf_dir), "doc_id", "payload")
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("bytes_kept"),
+    )

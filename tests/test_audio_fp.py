@@ -1,0 +1,184 @@
+"""Audio fingerprinting + dedup (operators/audio_fp.py).
+
+Oracle strategy mirrors tests/test_phash.py: planted SAME-RECORDING
+variants (gain, hop-aligned padding, 8-bit re-quantization, additive
+noise — real signal-level transformations over the repo WAV codec)
+must verify at low BER while independently generated clips sit at
+BER ≈ 0.5; the probe/vote/verify chain is checked end-to-end against
+the planted cluster structure, and a local numpy replay pins the
+Spark BER fold bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+    HOP,
+    N_BANDS,
+    audio_candidates,
+    dedup_audio,
+    fingerprint_wav,
+    subfingerprints,
+    with_audio_fingerprint,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    encode_wav,
+)
+
+RATE = 8000
+
+
+def make_clip(seed: int, secs: float = 2.0) -> np.ndarray:
+    """Deterministic broadband clip: pink-ish filtered noise bed +
+    tones + slow AM. Broadband matters — the fingerprint's band-sign
+    bits need energy in every band (real audio has it; pure sine
+    mixtures leave bands empty and hand their signs to the noise
+    floor)."""
+    r = np.random.default_rng(seed)
+    n = int(RATE * secs)
+    t = np.arange(n) / RATE
+    spec = r.standard_normal(n // 2 + 1) + 1j * r.standard_normal(n // 2 + 1)
+    shape = 1.0 / (1.0 + np.arange(n // 2 + 1)) ** r.uniform(0.3, 0.7)
+    bed = np.fft.irfft(spec * shape, n)
+    bed /= np.abs(bed).max()
+    x = 0.7 * bed
+    for _ in range(4):
+        f = r.uniform(300, 1900)
+        x += r.uniform(0.05, 0.25) * np.sin(2 * np.pi * f * t + r.uniform(0, 6.28))
+    x *= 0.7 + 0.3 * np.sin(2 * np.pi * r.uniform(0.5, 2.0) * t)
+    return (x / np.abs(x).max() * 20000).astype(np.int16)
+
+
+def variants(base: np.ndarray) -> dict[str, np.ndarray]:
+    r = np.random.default_rng(99)
+    return {
+        "gain05": (base * 0.5).astype(np.int16),
+        "gain15clip": np.clip(
+            base.astype(np.int32) * 3 // 2, -32768, 32767
+        ).astype(np.int16),
+        "pad10hop": np.concatenate([np.zeros(HOP * 10, np.int16), base]),
+        "requant8": ((base // 256).astype(np.int16) * 256),
+        "noise36db": np.clip(
+            base + r.normal(0, 300, base.size), -32768, 32767
+        ).astype(np.int16),
+    }
+
+
+def local_ber(fa: np.ndarray, fb: np.ndarray, off: int) -> float:
+    a = fa[max(off, 0) :]
+    b = fb[max(-off, 0) :]
+    m = min(len(a), len(b))
+    x = (a[:m].astype(np.int64) ^ b[:m].astype(np.int64)) & 0xFFFFFFFF
+    return sum(bin(int(v)).count("1") for v in x) / (m * N_BANDS)
+
+
+def test_fingerprint_gain_invariant_and_distinct_far():
+    base = make_clip(1)
+    f0 = subfingerprints(base, RATE)
+    assert len(f0) > 80
+    for name, v in variants(make_clip(1)).items():
+        fv = subfingerprints(v, RATE)
+        off = 10 if name == "pad10hop" else 0
+        # pad10hop shifts by exactly 10 hops → alignment offset -10
+        ber = local_ber(f0, fv, -off)
+        assert ber <= 0.2, f"{name}: BER {ber}"
+        if name == "pad10hop":
+            assert ber == 0.0, f"{name}: expected exact bits, BER {ber}"
+        if name in ("gain05", "gain15clip"):
+            # int16 rounding at the new gain is itself a (tiny)
+            # quantization; the SIGNS are what's invariant — allow
+            # ≲1 flipped bit per few frames, nothing like noise BER
+            assert ber <= 0.005, f"{name}: BER {ber}"
+    for seed in range(2, 8):
+        fo = subfingerprints(make_clip(seed), RATE)
+        m = min(len(f0), len(fo))
+        assert local_ber(f0[:m], fo[:m], 0) > 0.35, f"seed {seed} too close"
+
+
+def test_spark_fingerprint_matches_local(spark):
+    payloads = [(i, encode_wav(make_clip(i), RATE)) for i in range(4)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in with_audio_fingerprint(df, "doc_id", "payload").collect()
+    }
+    for i, p in payloads:
+        assert got[i] == fingerprint_wav(p).tolist()
+
+
+def test_candidates_probe_vote_and_ber(spark):
+    """Planted variants pass probe+verify with the right offset and a
+    BER matching the local numpy replay; distinct pairs are absent."""
+    base = make_clip(1)
+    rows = [(0, fingerprint_wav(encode_wav(base, RATE)).tolist())]
+    vs = variants(base)
+    rows.append((1, fingerprint_wav(encode_wav(vs["noise36db"], RATE)).tolist()))
+    rows.append((2, fingerprint_wav(encode_wav(vs["pad10hop"], RATE)).tolist()))
+    rows.append((3, fingerprint_wav(encode_wav(make_clip(5), RATE)).tolist()))
+    fps = spark.createDataFrame(rows, "doc_id long, fp array<int>")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in audio_candidates(fps, "doc_id").collect()
+    }
+    assert (0, 1) in got and got[(0, 1)]["ber"] <= 0.2
+    assert (0, 2) in got and got[(0, 2)]["offset"] == -10
+    assert got[(0, 2)]["ber"] == 0.0
+    assert not any(3 in k for k in got)
+    # Spark BER fold == numpy replay, bit-exact
+    fa = np.array(rows[0][1], dtype=np.int64)
+    fb = np.array(rows[1][1], dtype=np.int64)
+    assert got[(0, 1)]["ber"] == pytest.approx(
+        local_ber(fa, fb, got[(0, 1)]["offset"]), abs=1e-12
+    )
+
+
+def test_candidates_plan_no_cartesian(spark):
+    fps = spark.createDataFrame(
+        [(i, [int(i * 7 + j) for j in range(20)]) for i in range(10)],
+        "doc_id long, fp array<int>",
+    )
+    plan = (
+        audio_candidates(fps, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_audio_end_to_end(spark):
+    """Two planted clusters (base + 2 variants each) + 3 singles →
+    survivors are the cluster min-ids + singles."""
+    rows, did, clusters = [], 0, []
+    for seed in (1, 21):
+        base = make_clip(seed)
+        vs = variants(base)
+        members = []
+        for clip in (base, vs["gain05"], vs["pad10hop"]):
+            rows.append((did, encode_wav(clip, RATE)))
+            members.append(did)
+            did += 1
+        clusters.append(members)
+    singles = []
+    for seed in (31, 41, 51):
+        rows.append((did, encode_wav(make_clip(seed), RATE)))
+        singles.append(did)
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        r["doc_id"] for r in dedup_audio(df, "doc_id", "payload").collect()
+    )
+    assert kept == sorted([min(c) for c in clusters] + singles)
+
+
+def test_audio_candidates_rejections():
+    with pytest.raises(ValueError, match="min_probe_frames"):
+        audio_candidates(None, min_probe_frames=0)
+    with pytest.raises(ValueError, match="ber_max"):
+        audio_candidates(None, ber_max=0.6)
+
+
+def test_short_clip_empty_fingerprint():
+    assert len(subfingerprints(np.zeros(100, np.int16), RATE)) == 0
