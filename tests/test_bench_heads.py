@@ -53,8 +53,10 @@ def test_r2_heads_still_benched():
     # streaming-session trio + r8's large-corpus serving pair and
     # span-level substring dedup + r9's stream-stream as-of head and
     # span-enabled curation capstone + r9 session 2's IVFPQ serving
-    # tier + r10's HTML-extraction and EWMA-recurrence heads.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 40
+    # tier + r10's HTML-extraction and EWMA-recurrence heads + r11's
+    # perceptual-hash image dedup, streaming funnel, and audio
+    # fingerprint dedup.
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 43
     assert {
         "curate_training_corpus",
         "asof_join",
