@@ -81,6 +81,7 @@ HEADS = [
     "ewma_constant",
     "stream_funnel",
     "dedup_phash",
+    "dedup_audio",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.
