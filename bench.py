@@ -288,6 +288,11 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
         "dedup_phash_banded_head",
     ),
+    # EXTRA_HEADS-only: frame-sampled video dedup's scale rung.
+    "dedup_video": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "dedup_video_head",
+    ),
 }
 
 

@@ -82,6 +82,7 @@ HEADS = [
     "stream_funnel",
     "dedup_phash",
     "dedup_audio",
+    "dedup_video",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.

@@ -1,0 +1,231 @@
+"""Near-duplicate VIDEO dedup — frame-sampled perceptual hashing.
+
+The last modality of the dedup family (text / images / audio / now
+video): detect clips that are the SAME footage re-encoded (DIB ↔
+MJPEG, quality changes) or trimmed, even though they share no bytes.
+This is a COMPOSITION, not new machinery — exactly the layering the
+module split was designed for:
+
+1. frame sampling: decode every ``every_n``-th frame executor-side
+   (the repo AVI codec — operators/codecs.py::decode_avi_frames,
+   DIB + MJPEG);
+2. per-frame :func:`~...phash.phash64_pixels` (operators/phash.py);
+3. matching on the audio-fingerprint template
+   (operators/audio_fp.py): candidate pairs from a blocked equi-join
+   on frame hashes + a most-common-FRAME-OFFSET vote, then the
+   verdict is the fraction of the shorter clip's sampled frames
+   matching at that single offset (offset consistency is what
+   separates true re-encodes from one coincidentally similar frame —
+   e.g. two clips sharing a black frame).
+
+Frame matching is EXACT on the 64-bit pHash by default: a re-encode
+perturbs a frame's hash by ≤ a few bits, and across tens of sampled
+frames enough land bit-exact to dominate the vote (same argument as
+the audio probe); ``max_hamming > 0`` switches the frame join to the
+pigeonhole blocks for noisier transforms, with the same quadratic-
+bucket caveat documented in operators/phash.py.
+
+Scale shape: decode+hash is an Arrow ``mapInPandas`` scan (frames
+never leave the executor as pixels — only 8-byte hashes shuffle);
+the join is keyed on the hash value; the vote is one groupBy; the
+closure/anti-join are the shared dedup machinery. At 100 TB of video
+the payload bytes cross the wire exactly once (the scan).
+
+Reference tie: SURVEY §2.12 multimodal scope; the reference pipeline
+has no video stage (main_pipeline.py:1-369).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+    drop_near_duplicates,
+)
+
+FRAME_HASH_SCHEMA = "doc_id long, frame_idx long, phash long"
+
+
+def with_frame_phashes(
+    df: DataFrame, id_col: str, binary_col: str, every_n: int = 4
+) -> DataFrame:
+    """(id, avi payload) → (doc_id, frame_idx, phash): decode every
+    ``every_n``-th frame and pHash it, all inside one Arrow
+    ``mapInPandas`` pass — pixels never leave the executor."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            decode_avi_frames,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+            phash64_pixels,
+        )
+
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[binary_col]
+            ):
+                frames, _fps = decode_avi_frames(payload)
+                for fi in range(0, frames.shape[0], every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    hs.append(phash64_pixels(frames[fi]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "phash": hs}
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_candidates(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    min_match_frac: float = 0.5,
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Near-dup video pairs from (id, frame_idx, phash) rows: blocked
+    equi-join on the frame hash (exact by default; pigeonhole blocks
+    when ``max_hamming > 0``), most-common frame-offset vote, keep
+    pairs whose vote covers ≥ ``min_match_frac`` of the shorter
+    clip's sampled frames. Returns (id_a, id_b, match_frac, offset).
+    """
+    if not (0.0 < min_match_frac <= 1.0):
+        raise ValueError("min_match_frac must be in (0, 1]")
+    lens = frame_hashes.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    if max_hamming == 0:
+        a = frame_hashes.select(
+            F.col("phash").alias("v"),
+            F.col(id_col).alias("id_a"),
+            F.col("frame_idx").alias("idx_a"),
+        )
+        b = frame_hashes.select(
+            F.col("phash").alias("v"),
+            F.col(id_col).alias("id_b"),
+            F.col("frame_idx").alias("idx_b"),
+        )
+        matched = (
+            a.join(b, "v")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                (F.col("idx_a") - F.col("idx_b")).alias("off"),
+            )
+        )
+    else:
+        n_blocks = max_hamming + 1
+        width = 64 // n_blocks
+        specs, offb = [], 0
+        for i in range(n_blocks):
+            w = width + (64 % n_blocks if i == n_blocks - 1 else 0)
+            specs.append(
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("phash"), offb)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("val"),
+                )
+            )
+            offb += w
+        blocked = frame_hashes.select(
+            F.col(id_col),
+            F.col("frame_idx"),
+            F.col("phash"),
+            F.explode(F.array(*specs)).alias("b"),
+        ).select(
+            id_col, "frame_idx", "phash",
+            F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
+        )
+        a = blocked.select(
+            "blk", "val",
+            F.col(id_col).alias("id_a"),
+            F.col("frame_idx").alias("idx_a"),
+            F.col("phash").alias("h_a"),
+        )
+        b = blocked.select(
+            "blk", "val",
+            F.col(id_col).alias("id_b"),
+            F.col("frame_idx").alias("idx_b"),
+            F.col("phash").alias("h_b"),
+        )
+        matched = (
+            a.join(b, ["blk", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                <= max_hamming
+            )
+            # dedup per FRAME PAIR (a frame pair can match in several
+            # blocks) — keeping the frame ids so distinct frames at
+            # the same offset still each count one vote
+            .select("id_a", "id_b", "idx_a", "idx_b")
+            .distinct()
+            .select(
+                "id_a", "id_b",
+                (F.col("idx_a") - F.col("idx_b")).alias("off"),
+            )
+        )
+    votes = matched.groupBy("id_a", "id_b", "off").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    w_best = F.max_by(
+        F.struct("n_match", "off"), F.struct("n_match", F.col("off") * -1)
+    )
+    best = votes.groupBy("id_a", "id_b").agg(w_best.alias("b")).select(
+        "id_a", "id_b",
+        F.col("b.n_match").alias("n_match"),
+        F.col("b.off").alias("offset"),
+    )
+    la = lens.select(F.col(id_col).alias("id_a"), F.col("n_frames").alias("n_a"))
+    lb = lens.select(F.col(id_col).alias("id_b"), F.col("n_frames").alias("n_b"))
+    return (
+        best.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_match")
+                / F.greatest(F.least("n_a", "n_b"), F.lit(1)).cast("double")
+            ).alias("match_frac"),
+            "offset",
+        )
+        .filter(F.col("match_frac") >= min_match_frac)
+    )
+
+
+def dedup_videos(
+    videos: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 4,
+    min_match_frac: float = 0.5,
+    max_hamming: int = 0,
+) -> DataFrame:
+    """End-to-end near-duplicate VIDEO dedup: sample+hash frames,
+    offset-consistent vote, transitive closure, keep the min-id
+    canonical per cluster. Frame-hash table persists across the
+    self-join (the decode is the expensive stage); the loser-ID
+    anti-join broadcasts so video payloads never shuffle."""
+    fh = with_frame_phashes(videos, id_col, binary_col, every_n).persist()
+    try:
+        pairs = video_candidates(
+            fh, "doc_id",
+            min_match_frac=min_match_frac, max_hamming=max_hamming,
+        )
+        return drop_near_duplicates(
+            videos, pairs, id_col=id_col, broadcast_losers=True
+        )
+    finally:
+        fh.unpersist()

@@ -291,3 +291,81 @@ def dedup_audio_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("payload")).alias("bytes_kept"),
     )
+
+
+# --------------------------------------------------------- video dedup
+
+#: Videos per documents row (5 k docs at sf0.1 → 5 k clips of 12
+#: frames — decode+hash dominates; the frame-hash join is tiny).
+_VIDEO_FRAMES = 12
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic AVI corpus with planted near-duplicates: one
+    12-frame DIB clip per doc; every 5th clip is instead a variant of
+    its predecessor — an MJPEG-q85 re-encode or a 4-frame head trim."""
+    from collections.abc import Iterator
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vid_id"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            encode_avi,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+            synth_image,
+        )
+
+        def make_video(seed: int) -> np.ndarray:
+            return np.stack(
+                [
+                    synth_image(seed * 1000 + i, h=48, w=64)
+                    for i in range(_VIDEO_FRAMES)
+                ]
+            )
+
+        for pdf in batches:
+            payloads = []
+            for vid in pdf["vid_id"].astype("int64"):
+                vid = int(vid)
+                if vid % 5 == 0 and vid > 0:
+                    base = make_video(vid - 1)
+                    payloads.append(
+                        encode_avi(base, codec="mjpg", quality=85)
+                        if vid % 2 == 0
+                        else encode_avi(base[4:], codec="dib")
+                    )
+                else:
+                    payloads.append(encode_avi(make_video(vid), codec="dib"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["vid_id"].astype("int64").to_numpy(),
+                 "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def dedup_video_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-rung head (r11, EXTRA_HEADS-only): near-duplicate VIDEO
+    dedup (operators/video_dedup.py) over a |documents|-sized AVI
+    corpus with ~20 % planted re-encode/trim variants — sampled-frame
+    pHash, offset-consistency vote, closure, broadcast anti-join."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        dedup_videos,
+    )
+
+    surv = dedup_videos(
+        _video_corpus(spark, sf_dir), "doc_id", "payload", every_n=2
+    )
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("bytes_kept"),
+    )

@@ -1,0 +1,137 @@
+"""Frame-sampled video dedup (operators/video_dedup.py).
+
+Planted variants are real container/codec transformations over the
+repo AVI codec — a DIB → MJPEG-q85 re-encode (measured: ~83 % of
+frames keep a bit-exact pHash, the rest drift ≤ 2 bits) and a head
+trim (sampled hashes align at the exact negative frame offset) —
+against independently generated footage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    decode_avi_frames,
+    encode_avi,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+    phash64_pixels,
+    synth_image,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+    dedup_videos,
+    video_candidates,
+    with_frame_phashes,
+)
+
+
+def make_video(seed: int, n: int = 12, h: int = 48, w: int = 64) -> np.ndarray:
+    return np.stack([synth_image(seed * 1000 + i, h=h, w=w) for i in range(n)])
+
+
+def test_frame_phashes_spark_matches_local(spark):
+    vid = make_video(1)
+    payload = encode_avi(vid, codec="dib")
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["phash"]
+        for r in with_frame_phashes(df, "doc_id", "payload", every_n=4).collect()
+    }
+    frames, _ = decode_avi_frames(payload)
+    want = {
+        (7, fi): phash64_pixels(frames[fi]) for fi in range(0, 12, 4)
+    }
+    assert got == want
+
+
+def test_video_candidates_reencode_and_trim(spark):
+    """A MJPEG re-encode matches at offset 0 with a high frame
+    fraction; a 4-frame head trim matches at offset −4 (sampled
+    every_n=2 keeps the trim a sample-grid multiple); distinct
+    footage is absent."""
+    vid = make_video(1, n=16)
+    rows = [
+        (0, encode_avi(vid, codec="dib")),
+        (1, encode_avi(vid, codec="mjpg", quality=85)),
+        (2, encode_avi(vid[4:], codec="dib")),
+        (3, encode_avi(make_video(9, n=16), codec="dib")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = with_frame_phashes(df, "doc_id", "payload", every_n=2)
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_candidates(fh, "doc_id", min_match_frac=0.5).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)]["offset"] == 0
+    assert got[(0, 1)]["match_frac"] >= 0.5
+    assert (0, 2) in got and got[(0, 2)]["offset"] == 4
+    assert got[(0, 2)]["match_frac"] == 1.0
+    assert not any(3 in k for k in got)
+    # plan: keyed equi-join, never a nested loop
+    plan = (
+        video_candidates(fh, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_candidates_hamming_mode_equivalent_here(spark):
+    """max_hamming=2 (pigeonhole frame join) finds at least the exact
+    mode's pairs on the fixture — the fuzzier probe is a superset."""
+    vid = make_video(1, n=16)
+    rows = [
+        (0, encode_avi(vid, codec="dib")),
+        (1, encode_avi(vid, codec="mjpg", quality=85)),
+        (2, encode_avi(make_video(9, n=16), codec="dib")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = with_frame_phashes(df, "doc_id", "payload", every_n=2)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in video_candidates(fh, "doc_id").collect()
+    }
+    fuzzy = {
+        (r["id_a"], r["id_b"])
+        for r in video_candidates(fh, "doc_id", max_hamming=2).collect()
+    }
+    assert exact <= fuzzy
+    assert (0, 1) in fuzzy and not any(2 in k for k in fuzzy)
+
+
+def test_dedup_videos_end_to_end(spark):
+    """Two planted clusters (footage + re-encode + trim) + 2 singles
+    → survivors are the min-ids + singles."""
+    rows, did, clusters = [], 0, []
+    for seed in (1, 21):
+        vid = make_video(seed, n=16)
+        members = []
+        for payload in (
+            encode_avi(vid, codec="dib"),
+            encode_avi(vid, codec="mjpg", quality=85),
+            encode_avi(vid[4:], codec="dib"),
+        ):
+            rows.append((did, payload))
+            members.append(did)
+            did += 1
+        clusters.append(members)
+    singles = []
+    for seed in (31, 41):
+        rows.append((did, encode_avi(make_video(seed, n=16), codec="dib")))
+        singles.append(did)
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_videos(df, "doc_id", "payload", every_n=2).collect()
+    )
+    assert kept == sorted([min(c) for c in clusters] + singles)
+
+
+def test_video_rejections():
+    with pytest.raises(ValueError, match="every_n"):
+        with_frame_phashes(None, "doc_id", "payload", every_n=0)
+    with pytest.raises(ValueError, match="min_match_frac"):
+        video_candidates(None, min_match_frac=0.0)
