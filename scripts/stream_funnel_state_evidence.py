@@ -55,7 +55,12 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "state-evidence drain did not finish within 600s; "
+            "partial peak-state numbers discarded"
+        )
     peak_rows = peak_bytes = 0
     for p in q.recentProgress:
         for so in p.get("stateOperators", []):

@@ -92,9 +92,12 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             samples[name].append(dt)
             print(json.dumps({"head": name, "sec": dt, "rows": rows}))
-    med = {
-        n: sorted(v)[len(v) // 2] for n, v in samples.items()
-    }
+    def median(v: list) -> float:
+        v = sorted(v)
+        m = len(v) // 2
+        return v[m] if len(v) % 2 else (v[m - 1] + v[m]) / 2.0
+
+    med = {n: median(v) for n, v in samples.items()}
     print(
         json.dumps(
             {

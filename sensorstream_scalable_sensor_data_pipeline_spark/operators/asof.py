@@ -180,16 +180,39 @@ def choose_bucket_seconds(
     proj = df.select(*keys, time_col)
     if right is not None:
         proj = proj.unionByName(right.select(*keys, time_col))
-    bs = hot_key_bucket_seconds(proj, keys, time_col, target_rows)
-    if bs is not None:
-        return bs
-    span = proj.agg(
+    density, span = _hot_density_and_span(proj, keys, time_col, target_rows)
+    if density is not None:
+        return max(1, int(target_rows / density))
+    return max(1, int(span or 0) + 1)
+
+
+def _hot_density_and_span(
+    proj: DataFrame, keys: list[str], time_col: str, target_rows: int
+) -> tuple:
+    """ONE fused aggregate over the (key, time) projection returning
+    (hottest-qualifying-key rows/s or None, global span seconds) — so
+    neither sizing entry point scans its input twice (review-found:
+    an unfused span fallback made the common no-skew 'auto' path pay
+    a second full pass)."""
+    per_key = proj.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
         (
             (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
             / F.lit(1_000_000.0)
-        ).alias("_span_s")
-    ).first()["_span_s"]
-    return max(1, int(span or 0) + 1)
+        ).alias("_span_s"),
+        F.unix_micros(F.min(time_col)).alias("_lo"),
+        F.unix_micros(F.max(time_col)).alias("_hi"),
+    )
+    stats = per_key.agg(
+        F.max(
+            F.when(
+                F.col("_n") > target_rows,
+                F.col("_n") / F.greatest(F.col("_span_s"), F.lit(1.0)),
+            )
+        ).alias("_hot_density"),
+        ((F.max("_hi") - F.min("_lo")) / F.lit(1_000_000.0)).alias("_span_s"),
+    ).first()
+    return stats["_hot_density"], stats["_span_s"]
 
 
 def hot_key_bucket_seconds(
@@ -206,24 +229,12 @@ def hot_key_bucket_seconds(
     operators (:func:`~...funnel.funnel_match`) use it directly as a
     plain-vs-bucketed ROUTE decision."""
     keys = [on] if isinstance(on, str) else list(on)
-    per_key = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("_n"),
-        (
-            (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
-            / F.lit(1_000_000.0)
-        ).alias("_span_s"),
+    density, _span = _hot_density_and_span(
+        df.select(*keys, time_col), keys, time_col, target_rows
     )
-    stats = per_key.agg(
-        F.max(
-            F.when(
-                F.col("_n") > target_rows,
-                F.col("_n") / F.greatest(F.col("_span_s"), F.lit(1.0)),
-            )
-        ).alias("_hot_density")
-    ).first()
-    if stats["_hot_density"] is None:
+    if density is None:
         return None
-    return max(1, int(target_rows / stats["_hot_density"]))
+    return max(1, int(target_rows / density))
 
 
 def asof_join_bucketed(

@@ -61,6 +61,7 @@ from pyspark.sql.types import (
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
     drop_near_duplicates,
+    vote_best_offset,
 )
 
 #: Frame / hop sizes in samples. At the 8 kHz test rate a 1024-sample
@@ -75,6 +76,29 @@ N_BANDS = 32
 #: Band range (Hz) — the perceptually robust region of the paper.
 F_MIN = 300.0
 F_MAX = 2000.0
+
+
+def synth_clip(seed: int, rate: int = 8000, secs: float = 2.0) -> np.ndarray:
+    """Deterministic broadband synthetic clip (pink-ish filtered
+    noise bed + tones + slow AM) — the shared fixture generator for
+    the audio tests and the ``dedup_audio`` bench corpus (same role
+    as ``operators/phash.py::synth_image``). Broadband matters: the
+    fingerprint's band-sign bits need energy in every band; pure sine
+    mixtures leave bands empty and hand their signs to the noise
+    floor (measured)."""
+    r = np.random.default_rng(seed)
+    n = int(rate * secs)
+    t = np.arange(n) / rate
+    spec = r.standard_normal(n // 2 + 1) + 1j * r.standard_normal(n // 2 + 1)
+    shape = 1.0 / (1.0 + np.arange(n // 2 + 1)) ** r.uniform(0.3, 0.7)
+    bed = np.fft.irfft(spec * shape, n)
+    bed /= np.abs(bed).max()
+    x = 0.7 * bed
+    for _ in range(4):
+        f = r.uniform(300, 1900)
+        x += r.uniform(0.05, 0.25) * np.sin(2 * np.pi * f * t + r.uniform(0, 6.28))
+    x *= 0.7 + 0.3 * np.sin(2 * np.pi * r.uniform(0.5, 2.0) * t)
+    return (x / np.abs(x).max() * 20000).astype(np.int16)
 
 
 def subfingerprints(samples: np.ndarray, rate: int) -> np.ndarray:
@@ -221,23 +245,10 @@ def audio_candidates(
             "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
         )
     )
-    votes = matched.groupBy("id_a", "id_b", "off").agg(
-        F.count(F.lit(1)).alias("n_match")
-    )
     # best offset per pair: max probe hits, ties to the smallest
-    # offset (max of (n_match, -off) → deterministic)
-    w_best = F.max_by(
-        F.struct("n_match", "off"), F.struct("n_match", F.col("off") * -1)
-    )
-    best = (
-        votes.groupBy("id_a", "id_b")
-        .agg(w_best.alias("b"))
-        .select(
-            "id_a", "id_b",
-            F.col("b.n_match").alias("n_match"),
-            F.col("b.off").alias("offset"),
-        )
-        .filter(F.col("n_match") >= min_probe_frames)
+    # offset (shared vote, operators/dedup_fuzzy.py)
+    best = vote_best_offset(matched).filter(
+        F.col("n_match") >= min_probe_frames
     )
     fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
     fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))

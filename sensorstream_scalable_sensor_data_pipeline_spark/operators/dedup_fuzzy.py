@@ -334,22 +334,7 @@ def simhash_candidates(
         pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
         ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         return pairs.select("id_a", "id_b", ham.alias("hamming"))
-    n_blocks = max_hamming + 1
-    width = bits // n_blocks
-    specs, off = [], 0
-    for i in range(n_blocks):
-        w = width + (bits % n_blocks if i == n_blocks - 1 else 0)
-        # mask after the (sign-extending) shift so the top block of a
-        # negative 64-bit hash keys identically on both join sides
-        specs.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
-        )
-        off += w
+    specs = hamming_block_specs("simhash", bits, max_hamming)
     blocked = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*specs)).alias("b")
     ).select(
@@ -558,3 +543,62 @@ def drop_near_duplicates(
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.enrich import anti_filter
 
     return anti_filter(docs, losers, id_col, broadcast_keys=broadcast_losers)
+
+
+# ------------------------------------- shared Hamming/sequence helpers
+
+
+def hamming_block_specs(col: str, bits: int, max_hamming: int) -> list:
+    """The pigeonhole block exprs shared by every Hamming-blocked
+    candidate generator (SimHash, pHash, frame-hash): cut a ``bits``-
+    wide hash column into ``max_hamming+1`` disjoint blocks — two
+    codes within the bound agree on ≥ 1 block — returning
+    ``struct(blk, val)`` columns to explode. Masks after the
+    (sign-extending) shift so negative hashes key identically on both
+    join sides. Validates the same range as ``simhash_candidates``
+    (review-found: a copied block loop in video_dedup dropped the
+    guard — max_hamming=-1 silently generated zero blocks and kept
+    every duplicate)."""
+    if not (1 <= max_hamming < bits):
+        raise ValueError(
+            f"max_hamming must be in [1, {bits - 1}] (got {max_hamming}); "
+            "use exact matching for 0 and a smaller bound for recall"
+        )
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    specs, off = [], 0
+    for i in range(n_blocks):
+        w = width + (bits % n_blocks if i == n_blocks - 1 else 0)
+        specs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col(col), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+        off += w
+    return specs
+
+
+def vote_best_offset(matched: DataFrame) -> DataFrame:
+    """The offset-consistency vote shared by the audio and video
+    matchers: from (id_a, id_b, off) match rows, count matches per
+    offset and keep each pair's best — max count, ties to the
+    smallest offset (deterministic). Returns
+    (id_a, id_b, n_match, offset)."""
+    votes = matched.groupBy("id_a", "id_b", "off").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    w_best = F.max_by(
+        F.struct("n_match", "off"), F.struct("n_match", F.col("off") * -1)
+    )
+    return (
+        votes.groupBy("id_a", "id_b")
+        .agg(w_best.alias("b"))
+        .select(
+            "id_a", "id_b",
+            F.col("b.n_match").alias("n_match"),
+            F.col("b.off").alias("offset"),
+        )
+    )

@@ -66,7 +66,15 @@ def funnel_match(
     per-bucket sorts instead of one task's funnel. ``None`` pins the
     plain single-window path (skip the pre-flight); an int pins the
     bucketed path with that size. All three routes are
-    output-equivalent (skew-equivalence pinned in tests)."""
+    output-equivalent (skew-equivalence pinned in tests).
+
+    NOTE the default makes plan construction EAGER: the pre-flight is
+    one Spark job (a map-side-combined aggregate over the
+    steps-filtered slice) that runs when ``funnel_match`` is CALLED,
+    not when its result is executed — callers that only build or
+    explain plans, or whose upstream is expensive and uncached, pay
+    that one pass up front. Pass ``bucket_seconds=None`` to stay
+    fully lazy, or cache the events first."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     for a, b in zip(steps, steps[1:]):

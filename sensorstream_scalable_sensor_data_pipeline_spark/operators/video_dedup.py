@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
     drop_near_duplicates,
+    hamming_block_specs,
+    vote_best_offset,
 )
 
 FRAME_HASH_SCHEMA = "doc_id long, frame_idx long, phash long"
@@ -101,6 +103,8 @@ def video_candidates(
     """
     if not (0.0 < min_match_frac <= 1.0):
         raise ValueError("min_match_frac must be in (0, 1]")
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be non-negative")
     lens = frame_hashes.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_frames")
     )
@@ -124,20 +128,9 @@ def video_candidates(
             )
         )
     else:
-        n_blocks = max_hamming + 1
-        width = 64 // n_blocks
-        specs, offb = [], 0
-        for i in range(n_blocks):
-            w = width + (64 % n_blocks if i == n_blocks - 1 else 0)
-            specs.append(
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftright(F.col("phash"), offb)
-                    .bitwiseAND(F.lit((1 << w) - 1))
-                    .alias("val"),
-                )
-            )
-            offb += w
+        # range-validated shared pigeonhole blocks (review-found: the
+        # copied loop had dropped simhash_candidates' guard)
+        specs = hamming_block_specs("phash", 64, max_hamming)
         blocked = frame_hashes.select(
             F.col(id_col),
             F.col("frame_idx"),
@@ -176,17 +169,7 @@ def video_candidates(
                 (F.col("idx_a") - F.col("idx_b")).alias("off"),
             )
         )
-    votes = matched.groupBy("id_a", "id_b", "off").agg(
-        F.count(F.lit(1)).alias("n_match")
-    )
-    w_best = F.max_by(
-        F.struct("n_match", "off"), F.struct("n_match", F.col("off") * -1)
-    )
-    best = votes.groupBy("id_a", "id_b").agg(w_best.alias("b")).select(
-        "id_a", "id_b",
-        F.col("b.n_match").alias("n_match"),
-        F.col("b.off").alias("offset"),
-    )
+    best = vote_best_offset(matched)
     la = lens.select(F.col(id_col).alias("id_a"), F.col("n_frames").alias("n_a"))
     lb = lens.select(F.col(id_col).alias("id_b"), F.col("n_frames").alias("n_b"))
     return (

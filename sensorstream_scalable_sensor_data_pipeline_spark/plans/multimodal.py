@@ -226,29 +226,14 @@ def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
             HOP,
+            synth_clip,
         )
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
             encode_wav,
         )
 
-        def make_clip(seed: int, secs: float = 2.0) -> np.ndarray:
-            r = np.random.default_rng(seed)
-            n = int(_AUDIO_RATE * secs)
-            t = np.arange(n) / _AUDIO_RATE
-            spec = r.standard_normal(n // 2 + 1) + 1j * r.standard_normal(
-                n // 2 + 1
-            )
-            shape = 1.0 / (1.0 + np.arange(n // 2 + 1)) ** r.uniform(0.3, 0.7)
-            bed = np.fft.irfft(spec * shape, n)
-            bed /= np.abs(bed).max()
-            x = 0.7 * bed
-            for _ in range(4):
-                f = r.uniform(300, 1900)
-                x += r.uniform(0.05, 0.25) * np.sin(
-                    2 * np.pi * f * t + r.uniform(0, 6.28)
-                )
-            x *= 0.7 + 0.3 * np.sin(2 * np.pi * r.uniform(0.5, 2.0) * t)
-            return (x / np.abs(x).max() * 20000).astype(np.int16)
+        def make_clip(seed: int) -> np.ndarray:
+            return synth_clip(seed, rate=_AUDIO_RATE)
 
         for pdf in batches:
             payloads = []

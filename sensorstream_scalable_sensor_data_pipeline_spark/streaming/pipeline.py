@@ -103,7 +103,16 @@ def drain_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    # a timed-out drain must FAIL, not silently return a partially
+    # drained table (review-found: a head aggregating the memory sink
+    # while micro-batches still run would record undercounted numbers
+    # as standing evidence with no error)
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise RuntimeError(
+            f"stream drain {name!r} did not finish within "
+            f"{await_seconds}s; partial results discarded"
+        )
     return sdf.sparkSession.table(name)
 
 

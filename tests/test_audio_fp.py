@@ -22,6 +22,7 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import 
     dedup_audio,
     fingerprint_wav,
     subfingerprints,
+    synth_clip,
     with_audio_fingerprint,
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
@@ -31,25 +32,7 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
 RATE = 8000
 
 
-def make_clip(seed: int, secs: float = 2.0) -> np.ndarray:
-    """Deterministic broadband clip: pink-ish filtered noise bed +
-    tones + slow AM. Broadband matters — the fingerprint's band-sign
-    bits need energy in every band (real audio has it; pure sine
-    mixtures leave bands empty and hand their signs to the noise
-    floor)."""
-    r = np.random.default_rng(seed)
-    n = int(RATE * secs)
-    t = np.arange(n) / RATE
-    spec = r.standard_normal(n // 2 + 1) + 1j * r.standard_normal(n // 2 + 1)
-    shape = 1.0 / (1.0 + np.arange(n // 2 + 1)) ** r.uniform(0.3, 0.7)
-    bed = np.fft.irfft(spec * shape, n)
-    bed /= np.abs(bed).max()
-    x = 0.7 * bed
-    for _ in range(4):
-        f = r.uniform(300, 1900)
-        x += r.uniform(0.05, 0.25) * np.sin(2 * np.pi * f * t + r.uniform(0, 6.28))
-    x *= 0.7 + 0.3 * np.sin(2 * np.pi * r.uniform(0.5, 2.0) * t)
-    return (x / np.abs(x).max() * 20000).astype(np.int16)
+make_clip = synth_clip  # shared fixture generator (operators/audio_fp.py)
 
 
 def variants(base: np.ndarray) -> dict[str, np.ndarray]:
