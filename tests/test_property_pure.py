@@ -160,3 +160,91 @@ def test_temperature_budgets_shapes():
 
     with _pytest.raises(ValueError):
         temperature_budgets(totals, -0.1, 100)
+
+
+# ----------------------------- r11: perceptual-hash / audio primitives
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=200, deadline=None)
+def test_bits_to_long_roundtrip(u):
+    """_bits_to_long is the exact inverse of unsigned bit expansion,
+    landing in Spark's signed-long domain."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        _bits_to_long,
+    )
+
+    bits = [(u >> (63 - i)) & 1 for i in range(64)]
+    v = _bits_to_long(__import__("numpy").array(bits, dtype=bool))
+    assert v & ((1 << 64) - 1) == u
+    assert -(1 << 63) <= v < (1 << 63)
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_hamming_block_specs_partition_bits(u, b):
+    """The shared pigeonhole blocks PARTITION the 64 bits: shifting
+    each block's value back to its offset reassembles the original
+    unsigned word exactly (no bit lost, none double-counted). Pure
+    python replay of hamming_block_specs' width/shift/mask scheme
+    (the Column exprs themselves need a SparkContext and are
+    exercised by the phash/simhash/video suites)."""
+    n_blocks = b + 1
+    width = 64 // n_blocks
+    # replicate the widths the helper derives
+    widths = [
+        width + (64 % n_blocks if i == n_blocks - 1 else 0)
+        for i in range(n_blocks)
+    ]
+    assert sum(widths) == 64
+    signed = u - (1 << 64) if u >= (1 << 63) else u
+    off, rebuilt = 0, 0
+    for w in widths:
+        # python replay of the column expr: arithmetic shift + mask
+        rebuilt |= ((signed >> off) & ((1 << w) - 1)) << off
+        off += w
+    assert rebuilt == u
+
+
+@given(st.integers(min_value=0, max_value=(1 << 63) - 1))
+@settings(max_examples=100, deadline=None)
+def test_area_resize_constant_image_is_constant(seed):
+    """Area-mean resize of a constant image is that constant at every
+    output cell, for arbitrary input/output shapes (the DC-only
+    invariant behind pHash's brightness insensitivity)."""
+    import numpy as np
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        _area_resize,
+    )
+
+    r = np.random.default_rng(seed)
+    h, w = int(r.integers(1, 90)), int(r.integers(1, 90))
+    c = float(r.uniform(0, 255))
+    out = _area_resize(np.full((h, w), c), 32, 32)
+    assert out.shape == (32, 32)
+    assert np.allclose(out, c)
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=50, deadline=None)
+def test_subfingerprint_gain_sign_exact(seed):
+    """Gain invariance is EXACT in float (log energies shift by a
+    constant; double differences are unchanged): scaling the float
+    samples by any positive gain before int16 quantization aside,
+    the float pipeline yields identical words."""
+    import numpy as np
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        subfingerprints,
+        synth_clip,
+    )
+
+    clip = synth_clip(seed, rate=8000, secs=0.6)
+    # float-domain gain (no int16 re-rounding): exact word equality
+    f0 = subfingerprints(clip, 8000)
+    f1 = subfingerprints((clip.astype(np.float64) * 0.37), 8000)
+    assert np.array_equal(f0, f1)
