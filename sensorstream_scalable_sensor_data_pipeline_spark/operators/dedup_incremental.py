@@ -170,3 +170,127 @@ def ingest_batch(
         "fp", "fp_prefix", F.col(id_col)
     ).write.mode("overwrite").partitionBy("fp_prefix").parquet(fp_dir)
     return accepted
+
+
+# ------------------------------------------ incremental IMAGE ingest
+
+
+def read_image_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The accepted-pHash table (committed batches only), or None
+    before the first successful image ingest."""
+    root = posixpath.join(state_dir, "phashes")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def ingest_image_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    max_hamming: int = 8,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate IMAGE ingest — the pHash
+    generalization of :func:`ingest_batch`, under the SAME
+    two-dir crash-consistency protocol (stage survivors first, commit
+    hashes second, ``_SUCCESS``-gated state reads):
+
+    * within the batch: perceptual near-dup clusters collapse to the
+      min-id survivor (operators/phash.py candidates + the shared
+      closure);
+    * against history: a new image within ``max_hamming`` of ANY
+      accepted hash is rejected (blocked pigeonhole join against the
+      state table — never all-pairs; history always wins, exactly the
+      ``ingest_batch`` semantics).
+
+    State stores one (phash, id) row per accepted image, partitioned
+    by the top hex digit — 16 bytes/row, orders smaller than the
+    payloads, so at corpus scale the anti-join's state side stays the
+    small one. Near-dup rejection is transitive-free by design:
+    acceptance is judged against ACCEPTED hashes only (the same
+    asymmetry every incremental dedup has — a chain a~b~c arriving in
+    one batch collapses via the closure; split across batches, b is
+    rejected against a and c is judged against a alone).
+
+    Same resumability contract as :func:`ingest_batch`: pass a stable
+    ``batch_id`` to make a crashed run resumable; omit it for pure
+    content semantics."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        dup_components,
+        hamming_block_specs,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        phash_candidates,
+        with_phash,
+    )
+
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex
+    staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
+    ph_dir = posixpath.join(state_dir, "phashes", f"batch={bid}")
+
+    def _staged(schema: StructType) -> DataFrame:
+        return spark.read.schema(schema).parquet(staged_dir)
+
+    fs, _ = _fs(spark, state_dir)
+    ph_success = _fs(spark, posixpath.join(ph_dir, "_SUCCESS"))[1]
+    if batch_id is not None and fs.exists(ph_success):
+        return _staged(batch.schema)  # fully committed — resume
+
+    # hash once, persist: the within-batch self-join reads both sides
+    # and the cross-state join reads it again (same rationale as
+    # dedup_phash)
+    hashes = with_phash(batch, id_col, binary_col).persist()
+    try:
+        pairs = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
+        comp = dup_components(pairs.filter(F.col("hamming") <= max_hamming))
+        losers = comp.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
+        within = hashes.join(losers, "doc_id", "left_anti")
+
+        state = read_image_state(spark, state_dir)
+        if state is not None:
+            specs = hamming_block_specs("phash", 64, max_hamming)
+
+            def blocked(df, side):
+                return df.select(
+                    F.col("doc_id").alias(f"id_{side}"),
+                    F.col("phash").alias(f"h_{side}"),
+                    F.explode(F.array(*specs)).alias("b"),
+                ).select(
+                    f"id_{side}", f"h_{side}",
+                    F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
+                )
+
+            hits = (
+                blocked(within, "n")
+                .join(blocked(state, "s"), ["blk", "val"])
+                .filter(
+                    F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_s")))
+                    <= max_hamming
+                )
+                .select(F.col("id_n").alias("doc_id"))
+                .distinct()
+            )
+            fresh = within.join(hits, "doc_id", "left_anti")
+        else:
+            fresh = within
+
+        # 1) stage survivors BEFORE any state mutation
+        batch.join(
+            fresh.select(F.col("doc_id").alias(id_col)), id_col
+        ).write.mode("overwrite").parquet(staged_dir)
+        accepted = _staged(batch.schema)
+
+        # 2) commit hashes DERIVED FROM THE STAGED FILES
+        with_phash(accepted, id_col, binary_col).select(
+            "phash",
+            F.lower(F.hex(F.shiftrightunsigned(F.col("phash"), 60)))
+            .alias("fp_prefix"),
+            F.col("doc_id"),
+        ).write.mode("overwrite").partitionBy("fp_prefix").parquet(ph_dir)
+        return accepted
+    finally:
+        hashes.unpersist()

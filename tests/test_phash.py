@@ -235,3 +235,54 @@ def test_dedup_phash_banded_matches_pigeonhole_on_fixture(spark):
 def test_dedup_phash_bad_method():
     with pytest.raises(ValueError, match="method"):
         dedup_phash(None, "doc_id", "payload", method="lsh")
+
+
+def test_ingest_image_batch_incremental(spark, tmp_path):
+    """Incremental image ingest: within-batch near-dup clusters
+    collapse to min-id; a later batch re-delivering a variant of
+    ACCEPTED footage accepts nothing for it (history wins); genuinely
+    new images accept; resuming a committed batch_id returns the
+    staged survivors without recompute."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+        read_image_state,
+    )
+
+    sdir = str(tmp_path / "imgstate")
+    img_a, img_b, img_c = make_img(1), make_img(11), make_img(21)
+    b1 = spark.createDataFrame(
+        [
+            (0, encode_png(img_a)),
+            (1, encode_jpeg(img_a, quality=85, subsampling="420")),  # in-batch dup of 0
+            (2, encode_bmp(img_b)),
+        ],
+        "doc_id long, payload binary",
+    )
+    a1 = sorted(r["doc_id"] for r in ingest_image_batch(spark, b1, sdir, batch_id="b1").collect())
+    assert a1 == [0, 2]
+    assert read_image_state(spark, sdir).count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, encode_png(resize_nearest(img_a, 72, 96))),  # variant of accepted 0
+            (11, encode_png(img_c)),                           # new
+            (12, encode_jpeg(img_c, quality=85, subsampling="420")),  # in-batch dup of 11
+        ],
+        "doc_id long, payload binary",
+    )
+    a2 = sorted(r["doc_id"] for r in ingest_image_batch(spark, b2, sdir, batch_id="b2").collect())
+    assert a2 == [11]
+    assert read_image_state(spark, sdir).count() == 3
+
+    # resume: committed batch returns staged rows, state unchanged
+    again = sorted(r["doc_id"] for r in ingest_image_batch(spark, b2, sdir, batch_id="b2").collect())
+    assert again == [11]
+    assert read_image_state(spark, sdir).count() == 3
+
+    # pure content semantics: re-delivering accepted content under a
+    # fresh id accepts nothing
+    b3 = spark.createDataFrame(
+        [(20, encode_png(img_b))], "doc_id long, payload binary"
+    )
+    a3 = ingest_image_batch(spark, b3, sdir).collect()
+    assert a3 == []
