@@ -22,6 +22,21 @@ heads make it perf evidence:
 Both recompute nothing across heads (bench children are separate
 JVMs); the setup hook keeps the build out of the serving
 measurement without hiding it — it is the other head.
+
+SCOPE NOTE — why no HNSW tier: graph-based ANN (HNSW/NSG) answers a
+query by a SEQUENTIAL greedy walk with random access to the whole
+neighbor graph — a pointer-chasing, latency-serving structure that
+maps to a single process holding the index in RAM, not to a
+partition-prunable columnar scan. Re-expressing it in Spark means
+either collecting the graph to the driver (not distributed) or one
+shuffle per hop (latency dead on arrival); neither survives the
+100 TB design bar, so the storage tiers here are the
+batch-serving-native ones — IVF-float / IVF-SQ8(int8 ADC) / IVF-PQ
+(+ sign-LSH), where a query batch prunes to nprobe/k of the
+partitions and scoring is one scan. A production system wanting
+single-query millisecond latency exports the persisted index to a
+dedicated ANN server; building that server is out of a Spark
+engine's scope, not an omission of it.
 """
 
 from __future__ import annotations
