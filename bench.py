@@ -293,6 +293,12 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
         "dedup_video_head",
     ),
+    # EXTRA_HEADS-only: the image-curation capstone's scale rung
+    # (metadata gate -> pHash dedup -> content-keyed split).
+    "curate_image_corpus": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "curate_image_corpus_head",
+    ),
 }
 
 

@@ -83,6 +83,7 @@ HEADS = [
     "dedup_phash",
     "dedup_audio",
     "dedup_video",
+    "curate_image_corpus",
 ]
 
 #: 10× corpus for the scale-fixed serving pair at the sf1 rung.

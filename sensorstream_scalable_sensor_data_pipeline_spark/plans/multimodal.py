@@ -354,3 +354,58 @@ def dedup_video_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("payload")).alias("bytes_kept"),
     )
+
+
+def curate_image_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_bytes: int = 1_000,
+    max_bytes: int = 2_000_000,
+    max_hamming: int = 8,
+    holdout_per_mille: int = 100,
+) -> DataFrame:
+    """The multimodal curation capstone — the end-to-end flow an
+    image-corpus user actually runs, mirroring
+    ``plans/text.py::curate_training_corpus`` for the image modality:
+
+    1. typed metadata over the opaque payloads (length/md5/magic —
+       scan-speed column math, prunes without touching payload bytes);
+    2. size/format gate (corrupt-tiny and giant outliers out; only
+       known magics pass — the repo codecs' sniffable set);
+    3. perceptual near-dup dedup (operators/phash.py — min-id
+       canonical per cluster, payloads never shuffle);
+    4. reproducible content-keyed train/holdout split (salted hash
+       on the CONTENT md5, so re-ingested bytes keep their
+       assignment and near-identical-but-distinct images don't
+       correlate across the split).
+
+    Returns the curated rows: (doc_id, payload, n_bytes, content_md5,
+    magic_hex, split)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        dedup_phash,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    imgs = binary_with_metadata(_image_corpus(spark, sf_dir), "payload")
+    gated = imgs.filter(
+        (F.col("n_bytes") >= min_bytes)
+        & (F.col("n_bytes") <= max_bytes)
+        & F.col("magic_hex").rlike("^(89504e47|424d|ffd8ff)")
+    )
+    surv = dedup_phash(gated, "doc_id", "payload", max_hamming=max_hamming)
+    return hash_split(
+        surv, "content_md5", holdout_per_mille=holdout_per_mille
+    )
+
+
+def curate_image_corpus_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-rung head (r11, EXTRA_HEADS-only): the image-curation
+    capstone, summarized per split so every computed column is
+    consumed (bench-head doctrine)."""
+    out = curate_image_corpus(spark, sf_dir)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

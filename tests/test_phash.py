@@ -286,3 +286,36 @@ def test_ingest_image_batch_incremental(spark, tmp_path):
     )
     a3 = ingest_image_batch(spark, b3, sdir).collect()
     assert a3 == []
+
+
+def test_curate_image_corpus_composition(spark):
+    """The image-curation capstone composes: planted variants collapse
+    (dedup ran), every survivor passes the size/magic gate, the split
+    is content-keyed and exhaustive, and re-running is byte-stable."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        curate_image_corpus,
+    )
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = curate_image_corpus(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    n_imgs = 4 * n_docs  # × _PHASH_IMAGES_PER_DOC
+    planted = len([i for i in range(n_imgs) if i % 5 == 0 and i > 0])
+    assert len(rows) == n_imgs - planted  # exact planted-cluster collapse
+    for r in rows:
+        assert 1_000 <= r["n_bytes"] <= 2_000_000
+        assert any(
+            r["magic_hex"].startswith(m) for m in ("89504e47", "424d", "ffd8ff")
+        )
+        assert r["split"] in ("train", "holdout")
+    splits = {r["doc_id"]: r["split"] for r in rows}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curate_image_corpus(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert splits == again  # content-keyed: reproducible end-to-end
