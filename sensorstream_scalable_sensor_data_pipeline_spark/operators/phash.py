@@ -375,3 +375,54 @@ def dedup_phash(
         )
     finally:
         hashes.unpersist()
+
+
+def decontaminate_images(
+    corpus: DataFrame,
+    eval_images: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Drop corpus images that are near-duplicates of any EVAL-set
+    image — the image twin of the n-gram text decontaminator
+    (operators/decontaminate.py): training on benchmark images
+    contaminates every evaluation that uses them, and re-encoded /
+    rescaled copies evade exact-hash checks.
+
+    Both sides hash executor-side; candidates come from the
+    pigeonhole blocked join (recall 1.0 at the bound — the property a
+    DECONTAMINATION pass actually needs: a missed eval twin is a
+    silent benchmark leak, so the guaranteed-recall generator is the
+    right default even at its quadratic-bucket cost, and eval sets
+    are small, so the bucket term is n_corpus × n_eval / 2^w, not
+    corpus-squared); matches anti-join away with the eval-side hash
+    table broadcast-friendly small. Returns the clean corpus rows."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        hamming_block_specs,
+    )
+
+    c_hash = with_phash(corpus, id_col, binary_col)
+    e_hash = with_phash(eval_images, id_col, binary_col)
+    specs = hamming_block_specs("phash", 64, max_hamming)
+
+    def blocked(df, side):
+        return df.select(
+            F.col("doc_id").alias(f"id_{side}"),
+            F.col("phash").alias(f"h_{side}"),
+            F.explode(F.array(*specs)).alias("b"),
+        ).select(
+            f"id_{side}", f"h_{side}",
+            F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
+        )
+
+    contaminated = (
+        blocked(c_hash, "c")
+        .join(F.broadcast(blocked(e_hash, "e")), ["blk", "val"])
+        .filter(
+            F.bit_count(F.col("h_c").bitwiseXOR(F.col("h_e"))) <= max_hamming
+        )
+        .select(F.col("id_c").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -363,6 +363,7 @@ def curate_image_corpus(
     max_bytes: int = 2_000_000,
     max_hamming: int = 8,
     holdout_per_mille: int = 100,
+    dedup_method: str = "pigeonhole",
 ) -> DataFrame:
     """The multimodal curation capstone — the end-to-end flow an
     image-corpus user actually runs, mirroring
@@ -379,6 +380,10 @@ def curate_image_corpus(
        assignment and near-identical-but-distinct images don't
        correlate across the split).
 
+    ``dedup_method`` plumbs through to :func:`~...phash.dedup_phash`
+    — ``"pigeonhole"`` (recall 1.0, right to ~10⁶ images) or
+    ``"banded"`` (subquadratic, the corpus-scale path).
+
     Returns the curated rows: (doc_id, payload, n_bytes, content_md5,
     magic_hex, split)."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
@@ -394,7 +399,10 @@ def curate_image_corpus(
         & (F.col("n_bytes") <= max_bytes)
         & F.col("magic_hex").rlike("^(89504e47|424d|ffd8ff)")
     )
-    surv = dedup_phash(gated, "doc_id", "payload", max_hamming=max_hamming)
+    surv = dedup_phash(
+        gated, "doc_id", "payload", max_hamming=max_hamming,
+        method=dedup_method,
+    )
     return hash_split(
         surv, "content_md5", holdout_per_mille=holdout_per_mille
     )

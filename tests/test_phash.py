@@ -319,3 +319,32 @@ def test_curate_image_corpus_composition(spark):
         for r in curate_image_corpus(spark, "/root/testdata/sf0.001").collect()
     }
     assert splits == again  # content-keyed: reproducible end-to-end
+
+
+def test_decontaminate_images(spark):
+    """Image decontamination: corpus images that are re-encodes /
+    rescales of EVAL images drop (recall-guaranteed blocking — a
+    missed eval twin is a silent benchmark leak); everything else
+    survives untouched."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        decontaminate_images,
+    )
+
+    eval_imgs = spark.createDataFrame(
+        [(100, encode_png(make_img(1))), (101, encode_png(make_img(11)))],
+        "doc_id long, payload binary",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, encode_jpeg(make_img(1), quality=85, subsampling="420")),  # eval twin
+            (1, encode_png(resize_nearest(make_img(11), 72, 96))),         # eval twin
+            (2, encode_bmp(make_img(31))),                                  # clean
+            (3, encode_png(make_img(41))),                                  # clean
+        ],
+        "doc_id long, payload binary",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_images(corpus, eval_imgs).collect()
+    )
+    assert kept == [2, 3]
