@@ -602,3 +602,59 @@ def vote_best_offset(matched: DataFrame) -> DataFrame:
             F.col("b.off").alias("offset"),
         )
     )
+
+
+def blocked_hamming_matches(
+    a: DataFrame,
+    b: DataFrame,
+    max_hamming: int,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    carry_cols: tuple = (),
+    bits: int = 64,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """The full blocked-pigeonhole match — blocks + equi-join + exact
+    Hamming verify + per-row dedup — as ONE shared helper (review-
+    found: three sites carried byte-identical copies of this
+    scaffolding, the same drift risk that motivated
+    :func:`hamming_block_specs`). Returns rows
+    ``(id_a, id_b[, <carry>_a, <carry>_b], hamming)`` for every
+    (a-row, b-row) pair within the bound; callers apply their own
+    ``id_a < id_b`` filter for self-joins. ``broadcast_b`` marks the
+    b side broadcast-joinable (e.g. a small eval set)."""
+    specs = hamming_block_specs(hash_col, bits, max_hamming)
+
+    def blocked(df: DataFrame, side: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col),
+            F.col(hash_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(F.array(*specs)).alias("_b"),
+        )
+        return base.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(hash_col).alias(f"h_{side}"),
+            *[F.col(c).alias(f"{c}_{side}") for c in carry_cols],
+            F.col("_b.blk").alias("blk"),
+            F.col("_b.val").alias("val"),
+        )
+
+    rhs = blocked(b, "b")
+    if broadcast_b:
+        rhs = F.broadcast(rhs)
+    out_cols = (
+        ["id_a", "id_b"]
+        + [f"{c}_a" for c in carry_cols]
+        + [f"{c}_b" for c in carry_cols]
+    )
+    return (
+        blocked(a, "a")
+        .join(rhs, ["blk", "val"])
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+        # a pair can match in several blocks — dedup per row identity
+        .select(*out_cols)
+        .distinct()
+    )

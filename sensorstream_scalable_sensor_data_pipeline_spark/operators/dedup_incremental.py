@@ -220,8 +220,8 @@ def ingest_image_batch(
     ``batch_id`` to make a crashed run resumable; omit it for pure
     content semantics."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        blocked_hamming_matches,
         dup_components,
-        hamming_block_specs,
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
         phash_candidates,
@@ -252,26 +252,9 @@ def ingest_image_batch(
 
         state = read_image_state(spark, state_dir)
         if state is not None:
-            specs = hamming_block_specs("phash", 64, max_hamming)
-
-            def blocked(df, side):
-                return df.select(
-                    F.col("doc_id").alias(f"id_{side}"),
-                    F.col("phash").alias(f"h_{side}"),
-                    F.explode(F.array(*specs)).alias("b"),
-                ).select(
-                    f"id_{side}", f"h_{side}",
-                    F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
-                )
-
             hits = (
-                blocked(within, "n")
-                .join(blocked(state, "s"), ["blk", "val"])
-                .filter(
-                    F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_s")))
-                    <= max_hamming
-                )
-                .select(F.col("id_n").alias("doc_id"))
+                blocked_hamming_matches(within, state, max_hamming)
+                .select(F.col("id_a").alias("doc_id"))
                 .distinct()
             )
             fresh = within.join(hits, "doc_id", "left_anti")
@@ -284,8 +267,17 @@ def ingest_image_batch(
         ).write.mode("overwrite").parquet(staged_dir)
         accepted = _staged(batch.schema)
 
-        # 2) commit hashes DERIVED FROM THE STAGED FILES
-        with_phash(accepted, id_col, binary_col).select(
+        # 2) commit hashes keyed by the STAGED doc ids — joining the
+        #    persisted hash table against the staged files keeps the
+        #    durability property (state records only staged docs:
+        #    pHash is a pure function of the payload and staged
+        #    payloads ARE the batch payloads) without re-decoding and
+        #    re-DCT-ing every accepted image (review-found: the
+        #    second with_phash pass doubled the dominant per-batch
+        #    cost)
+        hashes.join(
+            accepted.select(F.col(id_col).alias("doc_id")), "doc_id"
+        ).select(
             "phash",
             F.lower(F.hex(F.shiftrightunsigned(F.col("phash"), 60)))
             .alias("fp_prefix"),

@@ -399,30 +399,14 @@ def decontaminate_images(
     corpus-squared); matches anti-join away with the eval-side hash
     table broadcast-friendly small. Returns the clean corpus rows."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
-        hamming_block_specs,
+        blocked_hamming_matches,
     )
 
     c_hash = with_phash(corpus, id_col, binary_col)
     e_hash = with_phash(eval_images, id_col, binary_col)
-    specs = hamming_block_specs("phash", 64, max_hamming)
-
-    def blocked(df, side):
-        return df.select(
-            F.col("doc_id").alias(f"id_{side}"),
-            F.col("phash").alias(f"h_{side}"),
-            F.explode(F.array(*specs)).alias("b"),
-        ).select(
-            f"id_{side}", f"h_{side}",
-            F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
-        )
-
     contaminated = (
-        blocked(c_hash, "c")
-        .join(F.broadcast(blocked(e_hash, "e")), ["blk", "val"])
-        .filter(
-            F.bit_count(F.col("h_c").bitwiseXOR(F.col("h_e"))) <= max_hamming
-        )
-        .select(F.col("id_c").alias(id_col))
+        blocked_hamming_matches(c_hash, e_hash, max_hamming, broadcast_b=True)
+        .select(F.col("id_a").alias(id_col))
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")

@@ -43,10 +43,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+    blocked_hamming_matches,
     drop_near_duplicates,
-    hamming_block_specs,
     vote_best_offset,
 )
+
+#: Frame hashes every constant image collapses to: pHash of a constant
+#: frame is DC-bit-only (1<<63 → Long.MIN) or all-zero (black), and
+#: dHash of any constant frame is 0. Fades/title cards/black frames
+#: are ubiquitous in real footage, offset-CONSISTENT across unrelated
+#: clips, and hub the equi-join quadratically — drop them before
+#: matching (the same hub-removal reasoning as audio_fp's silence
+#: words and text LSH's stopwords).
+_DEGENERATE_FRAME_HASHES = (0, -1, -(2**63))
 
 FRAME_HASH_SCHEMA = "doc_id long, frame_idx long, phash long"
 
@@ -108,6 +117,14 @@ def video_candidates(
     lens = frame_hashes.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_frames")
     )
+    # constant (black/white) frames match offset-consistently across
+    # UNRELATED clips and hub the join — remove before matching; the
+    # match_frac denominator keeps the FULL frame count, so a clip
+    # that is mostly constant frames simply cannot reach the
+    # threshold on its degenerate content
+    frame_hashes = frame_hashes.filter(
+        ~F.col("phash").isin(*_DEGENERATE_FRAME_HASHES)
+    )
     if max_hamming == 0:
         a = frame_hashes.select(
             F.col("phash").alias("v"),
@@ -128,46 +145,17 @@ def video_candidates(
             )
         )
     else:
-        # range-validated shared pigeonhole blocks (review-found: the
-        # copied loop had dropped simhash_candidates' guard)
-        specs = hamming_block_specs("phash", 64, max_hamming)
-        blocked = frame_hashes.select(
-            F.col(id_col),
-            F.col("frame_idx"),
-            F.col("phash"),
-            F.explode(F.array(*specs)).alias("b"),
-        ).select(
-            id_col, "frame_idx", "phash",
-            F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
-        )
-        a = blocked.select(
-            "blk", "val",
-            F.col(id_col).alias("id_a"),
-            F.col("frame_idx").alias("idx_a"),
-            F.col("phash").alias("h_a"),
-        )
-        b = blocked.select(
-            "blk", "val",
-            F.col(id_col).alias("id_b"),
-            F.col("frame_idx").alias("idx_b"),
-            F.col("phash").alias("h_b"),
-        )
-        matched = (
-            a.join(b, ["blk", "val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(
-                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-                <= max_hamming
-            )
-            # dedup per FRAME PAIR (a frame pair can match in several
-            # blocks) — keeping the frame ids so distinct frames at
-            # the same offset still each count one vote
-            .select("id_a", "id_b", "idx_a", "idx_b")
-            .distinct()
-            .select(
-                "id_a", "id_b",
-                (F.col("idx_a") - F.col("idx_b")).alias("off"),
-            )
+        # shared blocked-pigeonhole match (range-validated, per-frame-
+        # pair deduped inside the helper)
+        matched = blocked_hamming_matches(
+            frame_hashes,
+            frame_hashes,
+            max_hamming,
+            id_col=id_col,
+            carry_cols=("frame_idx",),
+        ).filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b",
+            (F.col("frame_idx_a") - F.col("frame_idx_b")).alias("off"),
         )
     best = vote_best_offset(matched)
     la = lens.select(F.col(id_col).alias("id_a"), F.col("n_frames").alias("n_a"))

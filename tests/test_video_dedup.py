@@ -135,3 +135,27 @@ def test_video_rejections():
         with_frame_phashes(None, "doc_id", "payload", every_n=0)
     with pytest.raises(ValueError, match="min_match_frac"):
         video_candidates(None, min_match_frac=0.0)
+
+
+def test_constant_frames_do_not_merge_distinct_clips(spark):
+    """Two UNRELATED clips that both contain black frames at the same
+    sampled positions (fades/title cards — offset-consistent constant
+    content) must NOT merge: degenerate frame hashes are dropped
+    before matching, and the match_frac denominator keeps the full
+    frame count so mostly-black clips can't qualify on what remains."""
+    black = np.zeros((8, 48, 64, 3), dtype=np.uint8)
+    v1 = np.concatenate([black, make_video(1, n=8)])
+    v2 = np.concatenate([black, make_video(9, n=8)])
+    rows = [
+        (0, encode_avi(v1, codec="dib")),
+        (1, encode_avi(v2, codec="dib")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = with_frame_phashes(df, "doc_id", "payload", every_n=1)
+    got = video_candidates(fh, "doc_id", min_match_frac=0.5).collect()
+    assert got == []
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_videos(df, "doc_id", "payload", every_n=1).collect()
+    )
+    assert kept == [0, 1]
