@@ -12,6 +12,8 @@ sums as codepoint sums without a blob-iteration primitive.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,8 +165,10 @@ def dedup_phash_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_phash,
     )
 
-    surv = dedup_phash(_image_corpus(spark, sf_dir), "doc_id", "payload",
-                       max_hamming=8)
+    surv = dedup_phash(
+        _read_corpus(spark, sf_dir, "images", _image_corpus),
+        "doc_id", "payload", max_hamming=8,
+    )
     return surv.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
@@ -182,8 +186,10 @@ def dedup_phash_banded_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_phash,
     )
 
-    surv = dedup_phash(_image_corpus(spark, sf_dir), "doc_id", "payload",
-                       max_hamming=8, method="banded")
+    surv = dedup_phash(
+        _read_corpus(spark, sf_dir, "images", _image_corpus),
+        "doc_id", "payload", max_hamming=8, method="banded",
+    )
     return surv.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
@@ -270,7 +276,10 @@ def dedup_audio_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_audio,
     )
 
-    surv = dedup_audio(_audio_corpus(spark, sf_dir), "doc_id", "payload")
+    surv = dedup_audio(
+        _read_corpus(spark, sf_dir, "audio", _audio_corpus),
+        "doc_id", "payload",
+    )
     return surv.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
@@ -347,7 +356,8 @@ def dedup_video_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     surv = dedup_videos(
-        _video_corpus(spark, sf_dir), "doc_id", "payload", every_n=2
+        _read_corpus(spark, sf_dir, "video", _video_corpus),
+        "doc_id", "payload", every_n=2,
     )
     return surv.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -393,7 +403,9 @@ def curate_image_corpus(
         hash_split,
     )
 
-    imgs = binary_with_metadata(_image_corpus(spark, sf_dir), "payload")
+    imgs = binary_with_metadata(
+        _read_corpus(spark, sf_dir, "images", _image_corpus), "payload"
+    )
     gated = imgs.filter(
         (F.col("n_bytes") >= min_bytes)
         & (F.col("n_bytes") <= max_bytes)
@@ -417,3 +429,83 @@ def curate_image_corpus_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+# ------------------------- cached fixture corpora for the bench heads
+
+#: Bump when any synthetic-corpus recipe changes — embedded in the
+#: cache key so stale fixtures never serve.
+_CORPUS_LAYOUT_V = "v1"
+
+
+def _corpus_cache_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf_dir, recipe, user) parquet path for a
+    synthetic payload corpus, so the UNTIMED synthesis runs once per
+    bench run and every timed rep READS the corpus from storage —
+    which is both the prepare-child measurement discipline
+    (bench.py docstring) and the more honest workload: a real dedup
+    pass scans payloads from parquet, it does not synthesize them.
+    Same keyed-cache conventions as plans/ann_serving.py."""
+    import getpass
+    import hashlib
+    import tempfile
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{tag}|{_CORPUS_LAYOUT_V}".encode()
+    ).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_{user}_corpus_{tag}_{key}"
+    )
+
+
+def _ensure_corpus(spark: SparkSession, sf_dir: str, tag: str, builder) -> str:
+    """Build ``builder(spark, sf_dir)`` into the keyed cache once
+    (staged + atomic rename; _SUCCESS-gated) and return the path."""
+    import shutil
+
+    out = _corpus_cache_dir(sf_dir, tag)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    stage = f"{out}.tmp.{os.getpid()}"
+    builder(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    try:
+        os.rename(stage, out)
+    except OSError:
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _read_corpus(spark: SparkSession, sf_dir: str, tag: str, builder) -> DataFrame:
+    """The corpus for a timed head: the cached parquet when the setup
+    hook staged it, else built inline (ad-hoc callers outside the
+    bench harness still work — they just pay the synth in-plan)."""
+    out = _corpus_cache_dir(sf_dir, tag)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return spark.read.parquet(out)
+    return builder(spark, sf_dir)
+
+
+def dedup_phash_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "images", _image_corpus)
+
+
+def dedup_phash_banded_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "images", _image_corpus)
+
+
+def dedup_audio_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "audio", _audio_corpus)
+
+
+def dedup_video_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "video", _video_corpus)
+
+
+def curate_image_corpus_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "images", _image_corpus)

@@ -36,6 +36,23 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # BOTH batch-size knobs below exist because row-count-sized
+    # batches detonate on wide BINARY columns (measured r11: the
+    # video-dedup sf1 rung failed with executor OOM the moment its
+    # corpus moved from in-plan synthesis to a parquet scan of
+    # ~110 KB payloads — "Cannot reserve additional contiguous bytes
+    # in the vectorized reader (requested 101438408)").
+    #
+    # Arrow batches for mapInPandas/applyInPandas: the 10 000-record
+    # default × ~110 KB payloads is ~1.1 GB per python worker batch.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    # Parquet vectorized-reader batch: the 4096-row default × the
+    # same payloads is ~450 MB of contiguous column buffer per TASK
+    # (32 concurrent tasks → heap death). 256 caps a 1 MB-payload
+    # scan at 256 MB/task worst case, and costs NOTHING measurable on
+    # narrow scans at bench scale (q1 warm: 1.28 s at 4096 vs 0.78 s
+    # at 256 — the small batch was not slower in any measured run).
+    "spark.sql.parquet.columnarReaderBatchSize": "256",
     # Parquet scans: pushdown + pruning are on by default; stated
     # explicitly because the engine's plans depend on them (SURVEY §4
     # X8/X10).
