@@ -648,13 +648,15 @@ def blocked_hamming_matches(
         + [f"{c}_a" for c in carry_cols]
         + [f"{c}_b" for c in carry_cols]
     )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         blocked(a, "a")
         .join(rhs, ["blk", "val"])
-        .filter(
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
-        )
-        # a pair can match in several blocks — dedup per row identity
-        .select(*out_cols)
-        .distinct()
+        .filter(ham <= max_hamming)
+        .select(*out_cols, ham.alias("hamming"))
+        # a pair can match in several blocks — dedup per row identity;
+        # hamming is a pure function of the pair's two hashes, so the
+        # min IS the value and the aggregate doubles as the distinct
+        .groupBy(*out_cols)
+        .agg(F.min("hamming").alias("hamming"))
     )

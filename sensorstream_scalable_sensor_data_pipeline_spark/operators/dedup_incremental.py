@@ -193,6 +193,7 @@ def ingest_image_batch(
     binary_col: str = "payload",
     max_hamming: int = 8,
     batch_id: str | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Incremental near-duplicate IMAGE ingest — the pHash
     generalization of :func:`ingest_batch`, under the SAME
@@ -218,15 +219,34 @@ def ingest_image_batch(
 
     Same resumability contract as :func:`ingest_batch`: pass a stable
     ``batch_id`` to make a crashed run resumable; omit it for pure
-    content semantics."""
+    content semantics.
+
+    ``method`` routes the candidate joins through the image-dedup
+    method doctrine (operators/phash.py): ``"auto"`` (default)
+    measures the batch and state counts once and picks pigeonhole
+    (recall 1.0) while the estimated bucket terms fit the row budget
+    — the within-batch term is batch-squared, the cross-state term
+    bilinear batch×state — switching each join independently to
+    banded LSH beyond (a year of accepted state vs a day's batch can
+    cross the bilinear budget long before a single batch crosses the
+    quadratic one)."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         blocked_hamming_matches,
         dup_components,
     )
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        auto_banded_params,
+        banded_hamming_matches,
+        choose_phash_method,
         phash_candidates,
+        phash_candidates_banded,
         with_phash,
     )
+
+    if method not in ("auto", "pigeonhole", "banded"):
+        raise ValueError(
+            f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
+        )
 
     bid = batch_id if batch_id is not None else uuid.uuid4().hex
     staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
@@ -245,18 +265,45 @@ def ingest_image_batch(
     # dedup_phash)
     hashes = with_phash(batch, id_col, binary_col).persist()
     try:
-        pairs = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
+        state = read_image_state(spark, state_dir)
+        n_batch = n_state = None
+        if method == "auto":
+            n_batch = hashes.count()  # materializes the persist
+            n_state = state.count() if state is not None else 0
+
+        within_method = method if method != "auto" else choose_phash_method(
+            n_batch, max_hamming
+        )
+        if within_method == "pigeonhole":
+            pairs = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
+        else:
+            bands, bits = auto_banded_params(
+                n_batch if n_batch is not None else 2**20, max_hamming
+            )
+            pairs = phash_candidates_banded(
+                hashes, "doc_id", bands=bands, bits_per_band=bits
+            )
         comp = dup_components(pairs.filter(F.col("hamming") <= max_hamming))
         losers = comp.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
         within = hashes.join(losers, "doc_id", "left_anti")
 
-        state = read_image_state(spark, state_dir)
         if state is not None:
-            hits = (
-                blocked_hamming_matches(within, state, max_hamming)
-                .select(F.col("id_a").alias("doc_id"))
-                .distinct()
-            )
+            cross_method = method
+            if method == "auto":
+                cross_method = choose_phash_method(
+                    n_batch, max_hamming, n_b=n_state
+                )
+            if cross_method == "pigeonhole":
+                cross = blocked_hamming_matches(within, state, max_hamming)
+            else:
+                bands, bits = auto_banded_params(
+                    max(n_state or 0, n_batch or 0, 2), max_hamming
+                )
+                cross = banded_hamming_matches(
+                    within, state, max_hamming,
+                    bands=bands, bits_per_band=bits,
+                )
+            hits = cross.select(F.col("id_a").alias("doc_id")).distinct()
             fresh = within.join(hits, "doc_id", "left_anti")
         else:
             fresh = within

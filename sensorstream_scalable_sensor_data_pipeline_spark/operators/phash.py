@@ -251,6 +251,134 @@ def phash_candidates(
     )
 
 
+# ------------------------------------------- candidate-method choice
+
+#: Intermediate-row budget for ``method="auto"``: above this estimate
+#: the pigeonhole join's bucket term dominates the decode scan and
+#: auto switches to banded LSH. Basis (r11 sf1 rung): at 200 k images
+#: / max_hamming=8 the uniform-model estimate below gives 1.4e9 rows
+#: — exactly what the rung measured — and wall clock ran 6.2× at 10×
+#: data vs banded's 2.1×; at the budget point (~84 k images at b=8)
+#: the bucket term is ~2.5e8 rows, where candidate-join time starts
+#: to rival the decode scan. Real corpora skew worse than the uniform
+#: model (correlated pHash bits pile into fewer buckets), so the
+#: budget errs low.
+AUTO_CANDIDATE_ROW_BUDGET = 250_000_000
+
+
+def pigeonhole_row_estimate(
+    n_a: int, max_hamming: int, n_b: int | None = None, bits: int = 64
+) -> float:
+    """Expected intermediate rows of the rotating-block pigeonhole
+    join under a uniform-bit model: ``bits`` split into ``b+1``
+    blocks of ``w = bits // (b+1)`` key bits, each block's equi-join
+    emitting ~n_a·n_b/2^w rows. ``n_b=None`` means self-join (halved
+    by the ``id_a < id_b`` filter). Validated against the r11
+    measurement: n=200 k, b=8 → 1.4e9, the observed 1.4 G rows."""
+    blocks = max_hamming + 1
+    w = bits // blocks
+    nb = n_a if n_b is None else n_b
+    est = blocks * float(n_a) * float(nb) / (2**w)
+    return est / 2.0 if n_b is None else est
+
+
+def choose_phash_method(
+    n_a: int,
+    max_hamming: int,
+    n_b: int | None = None,
+    row_budget: float = AUTO_CANDIDATE_ROW_BUDGET,
+) -> str:
+    """The ``method="auto"`` decision: pigeonhole (recall 1.0 at the
+    bound) while its estimated bucket term fits ``row_budget``, banded
+    sampled-bit LSH (recall ≥ the sized target, subquadratic) beyond.
+    The estimate needs only corpus counts — a cheap pre-flight on the
+    already-persisted hash table, the same measured-pre-flight pattern
+    as operators/asof.py's ``bucket_seconds="auto"``."""
+    est = pigeonhole_row_estimate(n_a, max_hamming, n_b)
+    return "pigeonhole" if est <= row_budget else "banded"
+
+
+def auto_banded_params(
+    n: int,
+    max_hamming: int,
+    target_recall: float = 0.95,
+    bits: int = 64,
+    max_bands: int = 96,
+) -> tuple[int, int]:
+    """Size the banded-LSH knobs — (bands L, bits_per_band k) — from
+    corpus size and radius so ``target_recall`` at the DECLARED bound
+    always holds (never silently degraded by a cap):
+
+    * a pair at exactly the bound collides in one band with
+      ``p(k) = C(bits-d, k) / C(bits, k)`` (the k positions are
+      sampled WITHOUT replacement), so ``L(k) = ceil(ln(1-target) /
+      ln(1-p(k)))`` bands meet the target — stricter than r11's
+      hand-picked (12, 16), which targeted the ≤6-bit MEASURED
+      variant drift rather than the ≤8-bit contract;
+    * k is chosen by cost search over [16, 32]: expected RANDOM-pair
+      candidate rows fall ~2× per extra key bit (n²·L/2^(k+1)) while
+      the explode/shuffle term grows only ~1.15× (n·L), so the
+      search minimizes their sum — bigger corpora land on bigger k,
+      the "k scales with log₂(n)" doctrine made quantitative.
+
+    Raises when no k ≤ 32 meets the target within ``max_bands`` —
+    true for ``max_hamming ≥ 13`` on 64-bit codes, where banded LSH
+    cannot cheaply separate the radius and the caller should lower
+    the bound or pay the pigeonhole term. (At ≥10⁸ images even the
+    chosen config verifies O(100) candidates/image — the honest
+    price of radius-8-of-64; WIDER codes, not more bands, are the
+    remedy past that scale.)"""
+    import math
+
+    if target_recall <= 0.0 or target_recall >= 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    best = None
+    for k in range(16, 33):
+        p = 1.0
+        for i in range(k):
+            p *= (bits - max_hamming - i) / (bits - i)
+        if p <= 0.0:
+            break
+        if p >= 1.0:
+            return 1, k
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+        if bands > max_bands:
+            break  # L(k) grows with k — larger k only needs more bands
+        rand_rows = float(n) * n / 2.0 * min(1.0, bands / 2.0**k)
+        cost = rand_rows + float(n) * bands
+        if best is None or cost < best[0]:
+            best = (cost, bands, k)
+    if best is None:
+        raise ValueError(
+            f"banded LSH cannot reach recall {target_recall} at "
+            f"hamming<={max_hamming} on {bits}-bit codes within "
+            f"{max_bands} bands; lower the bound or use pigeonhole"
+        )
+    return best[1], best[2]
+
+
+def _banded_block_specs(
+    hash_col: str, bands: int, bits_per_band: int, seed: int
+):
+    """The shared banded-LSH key construction: ``bands`` struct
+    expressions, each packing ``bits_per_band`` deterministically
+    sampled bit positions of ``hash_col`` into a long key."""
+    import random
+
+    rng = random.Random(seed)
+    specs = []
+    for bi in range(bands):
+        pos = rng.sample(range(64), bits_per_band)
+        key = F.lit(0).cast("long")
+        for j, p in enumerate(pos):
+            key = key + F.shiftleft(
+                F.shiftrightunsigned(F.col(hash_col), p).bitwiseAND(F.lit(1)),
+                j,
+            )
+        specs.append(F.struct(F.lit(bi).alias("blk"), key.alias("val")))
+    return specs
+
+
 def phash_candidates_banded(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -280,23 +408,12 @@ def phash_candidates_banded(
     measure d≤4 typical, ≤6 worst) — while random 50 %-agreement
     pairs collide at ~L/2^k = 12/65 536, i.e. ~200× fewer candidate
     rows than the b=8 pigeonhole at 200 k images. ``bits_per_band``
-    is the knob that scales with log₂(n); the exact verifier
-    downstream keeps precision exact either way."""
+    is the knob that scales with log₂(n) — :func:`auto_banded_params`
+    sizes both knobs analytically; the exact verifier downstream
+    keeps precision exact either way."""
     if not (1 <= bits_per_band <= 62):
         raise ValueError("bits_per_band must be in [1, 62]")
-    import random
-
-    rng = random.Random(seed)
-    specs = []
-    for bi in range(bands):
-        pos = rng.sample(range(64), bits_per_band)
-        key = F.lit(0).cast("long")
-        for j, p in enumerate(pos):
-            key = key + F.shiftleft(
-                F.shiftrightunsigned(F.col(hash_col), p).bitwiseAND(F.lit(1)),
-                j,
-            )
-        specs.append(F.struct(F.lit(bi).alias("blk"), key.alias("val")))
+    specs = _banded_block_specs(hash_col, bands, bits_per_band, seed)
     blocked = hashes.select(
         F.col(id_col), F.col(hash_col), F.explode(F.array(*specs)).alias("b")
     ).select(
@@ -320,13 +437,60 @@ def phash_candidates_banded(
     )
 
 
+def banded_hamming_matches(
+    a: DataFrame,
+    b: DataFrame,
+    max_hamming: int,
+    bands: int = 12,
+    bits_per_band: int = 16,
+    seed: int = 7,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-table twin of :func:`phash_candidates_banded` — banded
+    sampled-bit LSH keys on BOTH sides, equi-join, exact Hamming
+    verify ≤ the bound. The subquadratic form of
+    :func:`~...dedup_fuzzy.blocked_hamming_matches` for when both
+    sides are large (e.g. a big ingest batch against a billion-hash
+    state table, where the pigeonhole bilinear term n_a·n_b·(b+1)/2^w
+    explodes). Precision exact, recall = the banded collision
+    probability at the bound. Returns (id_a, id_b, hamming)."""
+    specs = _banded_block_specs(hash_col, bands, bits_per_band, seed)
+
+    def blocked(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(hash_col).alias(f"h_{side}"),
+            F.explode(F.array(*specs)).alias("_b"),
+        ).select(
+            f"id_{side}",
+            f"h_{side}",
+            F.col("_b.blk").alias("blk"),
+            F.col("_b.val").alias("val"),
+        )
+
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        blocked(a, "a")
+        .join(blocked(b, "b"), ["blk", "val"])
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def dedup_phash(
     images: DataFrame,
     id_col: str,
     binary_col: str,
     max_hamming: int = 10,
     algo: str = "phash",
-    method: str = "pigeonhole",
+    method: str = "auto",
+    bands: int | None = None,
+    bits_per_band: int | None = None,
+    band_seed: int = 7,
+    row_budget: float = AUTO_CANDIDATE_ROW_BUDGET,
 ) -> DataFrame:
     """End-to-end near-duplicate IMAGE dedup: hash every payload,
     generate blocked candidates, verify exact Hamming ≤ bound, resolve
@@ -345,14 +509,24 @@ def dedup_phash(
     loser set itself outgrows broadcast, call the stages directly
     with ``drop_near_duplicates(broadcast_losers=False)``.
 
-    ``method`` picks the candidate generator: ``"pigeonhole"``
-    (default) is :func:`phash_candidates` — recall GUARANTEED 1.0 at
-    the bound, cost ~n²(b+1)/2^(64/(b+1)) from the narrow block keys
-    (right up to ~10⁵-10⁶ images); ``"banded"`` is
-    :func:`phash_candidates_banded` — sampled-bit LSH, recall ≈0.94+
-    at the measured variant drift but subquadratic-tunable, the
-    100 TB path. Precision is exact either way (the Hamming verify
-    runs on candidates).
+    ``method`` picks the candidate generator: ``"pigeonhole"`` is
+    :func:`phash_candidates` — recall GUARANTEED 1.0 at the bound,
+    cost ~n²(b+1)/2^(64/(b+1)) from the narrow block keys (right up
+    to ~10⁵ images); ``"banded"`` is :func:`phash_candidates_banded`
+    — sampled-bit LSH, recall ≥ the sized target at the bound but
+    subquadratic, the 100 TB path. ``"auto"`` (default) makes the
+    written doctrine SELF-EXECUTING: one count() of the persisted
+    hash table (a pre-flight the persist pays for anyway) feeds
+    :func:`choose_phash_method`, so a default-knob caller on a
+    10⁸-image corpus gets the subquadratic path instead of the
+    measured quadratic wall (r11: 6.2× wall at 10×, 1.4 G
+    intermediate rows at 200 k images). Precision is exact under
+    every method (the Hamming verify runs on candidates).
+
+    ``bands`` / ``bits_per_band`` tune the banded generator
+    (``bits_per_band`` must scale with log₂(n)); left ``None`` they
+    are sized analytically from the measured corpus count by
+    :func:`auto_banded_params` at a 0.95 recall target AT THE BOUND.
 
     The hash table PERSISTS across the candidate self-join: hashing
     is the expensive stage (a codec decode per payload), the blocked
@@ -361,14 +535,31 @@ def dedup_phash(
     frame is 16 bytes/row — at 10⁹ images ~16 GB cluster-wide, noise
     next to the payloads — and is released before returning (the
     closure has materialized the pairs by then)."""
-    if method not in ("pigeonhole", "banded"):
-        raise ValueError(f"method must be 'pigeonhole' or 'banded' (got {method!r})")
+    if method not in ("auto", "pigeonhole", "banded"):
+        raise ValueError(
+            f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
+        )
     hashes = with_phash(images, id_col, binary_col, algo=algo).persist()
     try:
-        if method == "pigeonhole":
+        resolved, n = method, None
+        if method == "auto":
+            n = hashes.count()
+            resolved = choose_phash_method(n, max_hamming, row_budget=row_budget)
+        if resolved == "pigeonhole":
             cand = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
         else:
-            cand = phash_candidates_banded(hashes, "doc_id")
+            if bands is None or bits_per_band is None:
+                if n is None:
+                    n = hashes.count()
+                auto_bands, auto_bits = auto_banded_params(n, max_hamming)
+                bands = bands if bands is not None else auto_bands
+                bits_per_band = (
+                    bits_per_band if bits_per_band is not None else auto_bits
+                )
+            cand = phash_candidates_banded(
+                hashes, "doc_id",
+                bands=bands, bits_per_band=bits_per_band, seed=band_seed,
+            )
         pairs = cand.filter(F.col("hamming") <= max_hamming)
         return drop_near_duplicates(
             images, pairs, id_col=id_col, broadcast_losers=True
@@ -383,6 +574,7 @@ def decontaminate_images(
     id_col: str = "doc_id",
     binary_col: str = "payload",
     max_hamming: int = 8,
+    method: str = "pigeonhole",
 ) -> DataFrame:
     """Drop corpus images that are near-duplicates of any EVAL-set
     image — the image twin of the n-gram text decontaminator
@@ -391,22 +583,41 @@ def decontaminate_images(
     rescaled copies evade exact-hash checks.
 
     Both sides hash executor-side; candidates come from the
-    pigeonhole blocked join (recall 1.0 at the bound — the property a
-    DECONTAMINATION pass actually needs: a missed eval twin is a
-    silent benchmark leak, so the guaranteed-recall generator is the
-    right default even at its quadratic-bucket cost, and eval sets
-    are small, so the bucket term is n_corpus × n_eval / 2^w, not
-    corpus-squared); matches anti-join away with the eval-side hash
-    table broadcast-friendly small. Returns the clean corpus rows."""
+    pigeonhole blocked join by DELIBERATE default — recall 1.0 at the
+    bound is the property a DECONTAMINATION pass actually needs (a
+    missed eval twin is a silent benchmark leak), and unlike dedup's
+    corpus-squared self-join the cost here is BILINEAR in the small
+    eval side (n_corpus × n_eval × (b+1) / 2^w: at 10⁹ corpus ×
+    10⁴ eval / b=8 that is ~7e11 key-bucket rows spread across the
+    cluster — heavy but shuffle-linear per corpus row, and the price
+    of guaranteed recall). This is why ``method="auto"`` here means
+    "pigeonhole unless told otherwise" rather than the dedup
+    estimator: the quadratic wall :func:`choose_phash_method` guards
+    against does not exist in the bilinear shape, and trading silent
+    eval leaks for candidate rows is the wrong default. Pass
+    ``method="banded"`` explicitly for an eval set so large the
+    bilinear term is unpayable, accepting ~0.95 recall at the bound.
+    Matches anti-join away with the eval-side hash table
+    broadcast-friendly small. Returns the clean corpus rows."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         blocked_hamming_matches,
     )
 
+    if method not in ("auto", "pigeonhole", "banded"):
+        raise ValueError(
+            f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
+        )
     c_hash = with_phash(corpus, id_col, binary_col)
     e_hash = with_phash(eval_images, id_col, binary_col)
-    contaminated = (
-        blocked_hamming_matches(c_hash, e_hash, max_hamming, broadcast_b=True)
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-    )
+    if method == "banded":
+        n_eval = e_hash.count()
+        bands, bits = auto_banded_params(n_eval, max_hamming)
+        hits = banded_hamming_matches(
+            c_hash, e_hash, max_hamming, bands=bands, bits_per_band=bits
+        )
+    else:
+        hits = blocked_hamming_matches(
+            c_hash, e_hash, max_hamming, broadcast_b=True
+        )
+    contaminated = hits.select(F.col("id_a").alias(id_col)).distinct()
     return corpus.join(contaminated, id_col, "left_anti")

@@ -48,14 +48,19 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy impo
     vote_best_offset,
 )
 
-#: Frame hashes every constant image collapses to: pHash of a constant
-#: frame is DC-bit-only (1<<63 → Long.MIN) or all-zero (black), and
-#: dHash of any constant frame is 0. Fades/title cards/black frames
-#: are ubiquitous in real footage, offset-CONSISTENT across unrelated
-#: clips, and hub the equi-join quadratically — drop them before
-#: matching (the same hub-removal reasoning as audio_fp's silence
-#: words and text LSH's stopwords).
-_DEGENERATE_FRAME_HASHES = (0, -1, -(2**63))
+#: Grayscale peak-to-peak below which a frame counts as DEGENERATE
+#: (constant/near-constant — fades, title cards, black/white frames).
+#: Such frames are ubiquitous in real footage, offset-CONSISTENT
+#: across unrelated clips, and hub the frame-hash equi-join
+#: quadratically (the same hub reasoning as audio_fp's silence words
+#: and text LSH's stopwords). Detection happens at HASH time by pixel
+#: variance, not by hash value: a constant frame's pHash is NOT a
+#: fixed sentinel — sub-median DCT float noise makes constant 128 /
+#: 255 frames hash to arbitrary stable values (measured:
+#: -7698788288617737321 / -2350834392976878697), so value-matching
+#: only ever caught black. The margin absorbs codec noise: a q85
+#: MJPEG re-encode of a constant frame reconstructs within ±2 levels.
+_DEGENERATE_PTP = 4.0
 
 FRAME_HASH_SCHEMA = "doc_id long, frame_idx long, phash long"
 
@@ -65,17 +70,23 @@ def with_frame_phashes(
 ) -> DataFrame:
     """(id, avi payload) → (doc_id, frame_idx, phash): decode every
     ``every_n``-th frame and pHash it, all inside one Arrow
-    ``mapInPandas`` pass — pixels never leave the executor."""
+    ``mapInPandas`` pass — pixels never leave the executor.
+    Degenerate (near-constant) frames emit a NULL hash: the row still
+    counts toward the clip's frame total (the match_frac denominator
+    must stay the FULL sampled count so mostly-constant clips can't
+    qualify on their few live frames), but NULL never joins."""
     if every_n <= 0:
         raise ValueError("every_n must be positive")
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
             decode_avi_frames,
         )
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+            _to_gray,
             phash64_pixels,
         )
 
@@ -88,9 +99,18 @@ def with_frame_phashes(
                 for fi in range(0, frames.shape[0], every_n):
                     ids.append(int(doc_id))
                     idxs.append(fi)
-                    hs.append(phash64_pixels(frames[fi]))
+                    degenerate = (
+                        np.ptp(_to_gray(frames[fi])) <= _DEGENERATE_PTP
+                    )
+                    hs.append(
+                        None if degenerate else phash64_pixels(frames[fi])
+                    )
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "phash": hs}
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "phash": pd.array(hs, dtype="Int64"),
+                }
             )
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
@@ -117,14 +137,13 @@ def video_candidates(
     lens = frame_hashes.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_frames")
     )
-    # constant (black/white) frames match offset-consistently across
-    # UNRELATED clips and hub the join — remove before matching; the
-    # match_frac denominator keeps the FULL frame count, so a clip
-    # that is mostly constant frames simply cannot reach the
-    # threshold on its degenerate content
-    frame_hashes = frame_hashes.filter(
-        ~F.col("phash").isin(*_DEGENERATE_FRAME_HASHES)
-    )
+    # constant (black/white/gray) frames were sentinel-marked NULL at
+    # hash time (pixel-variance check — see _DEGENERATE_PTP); drop
+    # them from matching only AFTER the n_frames count above, so the
+    # match_frac denominator keeps the FULL sampled count and a clip
+    # that is mostly constant frames cannot reach the threshold on
+    # its few live frames
+    frame_hashes = frame_hashes.filter(F.col("phash").isNotNull())
     if max_hamming == 0:
         a = frame_hashes.select(
             F.col("phash").alias("v"),

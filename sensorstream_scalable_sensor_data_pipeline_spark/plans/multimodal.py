@@ -373,7 +373,8 @@ def curate_image_corpus(
     max_bytes: int = 2_000_000,
     max_hamming: int = 8,
     holdout_per_mille: int = 100,
-    dedup_method: str = "pigeonhole",
+    dedup_method: str = "auto",
+    dedup_kwargs: dict | None = None,
 ) -> DataFrame:
     """The multimodal curation capstone — the end-to-end flow an
     image-corpus user actually runs, mirroring
@@ -391,8 +392,14 @@ def curate_image_corpus(
        correlate across the split).
 
     ``dedup_method`` plumbs through to :func:`~...phash.dedup_phash`
-    — ``"pigeonhole"`` (recall 1.0, right to ~10⁶ images) or
-    ``"banded"`` (subquadratic, the corpus-scale path).
+    — ``"auto"`` (default: one measured count picks pigeonhole below
+    the candidate-row budget, banded LSH above — the self-executing
+    form of the r11 scale doctrine), ``"pigeonhole"`` (recall 1.0,
+    right to ~10⁵ images) or ``"banded"`` (subquadratic, the
+    corpus-scale path). ``dedup_kwargs`` forwards tuning knobs
+    (``bands``, ``bits_per_band``, ``band_seed``, ``row_budget``) so
+    the capstone can size the bands for corpus scale instead of
+    being locked to the operator defaults.
 
     Returns the curated rows: (doc_id, payload, n_bytes, content_md5,
     magic_hex, split)."""
@@ -413,7 +420,7 @@ def curate_image_corpus(
     )
     surv = dedup_phash(
         gated, "doc_id", "payload", max_hamming=max_hamming,
-        method=dedup_method,
+        method=dedup_method, **(dedup_kwargs or {}),
     )
     return hash_split(
         surv, "content_md5", holdout_per_mille=holdout_per_mille

@@ -195,7 +195,10 @@ def stream_funnel(
 _HEAD_BATCHES = 4
 
 #: Bump when the landing layout changes — the cache key embeds it.
-_HEAD_LAYOUT_V = "v1"
+#: v2: explicit per-file mtimes (delivery order no longer depends on
+#: write latency), so stale v1 fixtures with accidental ordering are
+#: never reused.
+_HEAD_LAYOUT_V = "v2"
 
 #: Flush-sentinel key, filtered back out of the head's aggregate.
 _FLUSH_KEY = -1
@@ -259,7 +262,16 @@ def stream_funnel_head_setup(spark, sf_dir: str) -> None:
         d = os.path.join(stage, f"_w{i}")
         df.coalesce(1).write.mode("overwrite").parquet(d)
         src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-        shutil.move(src, os.path.join(stage, f"{i:03d}.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(src, dst)
+        # FileStreamSource orders files by MODIFICATION TIME, not
+        # name; the flush batch must arrive LAST or its far-future
+        # timestamp advances the watermark immediately and every real
+        # event is dropped as late. Sequential writes happen to give
+        # it the newest mtime, but an mtime tie (coarse filesystem
+        # timestamps) would break that silently — pin the ordering
+        # explicitly instead of relying on write latency.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         shutil.rmtree(d)
     open(os.path.join(stage, "_COMPLETE"), "w").close()
     try:

@@ -348,3 +348,207 @@ def test_decontaminate_images(spark):
         for r in decontaminate_images(corpus, eval_imgs).collect()
     )
     assert kept == [2, 3]
+
+
+# ------------------- method="auto" (r12: self-executing scale doctrine)
+
+
+def test_pigeonhole_row_estimate_matches_measured_wall():
+    """The uniform-model estimator reproduces the r11 sf1 measurement:
+    200 k images at max_hamming=8 → ~1.4 G intermediate rows (the
+    observed quadratic wall), and the auto chooser therefore switches
+    exactly where the doctrine says — pigeonhole at bench scale
+    (20 k), banded at the rung scale (200 k)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        choose_phash_method,
+        pigeonhole_row_estimate,
+    )
+
+    est = pigeonhole_row_estimate(200_000, 8)
+    assert 1.3e9 <= est <= 1.5e9
+    assert choose_phash_method(20_000, 8) == "pigeonhole"
+    assert choose_phash_method(200_000, 8) == "banded"
+    # cross-table (bilinear) form: a big corpus against a small eval
+    # set stays pigeonhole — the decontamination shape
+    assert choose_phash_method(1_000_000, 8, n_b=1_000) == "pigeonhole"
+    # ... but a big batch against a huge state table does not
+    assert choose_phash_method(100_000, 8, n_b=100_000_000) == "banded"
+
+
+def test_auto_banded_params_meet_recall_target():
+    """The analytic sizer always satisfies the recall target at the
+    DECLARED bound (no silent cap degradation), scales bits_per_band
+    with corpus size, and raises where 64-bit banded LSH genuinely
+    cannot separate the radius."""
+    import pytest as _pytest
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        auto_banded_params,
+    )
+
+    def band_p(k: int, d: int, bits: int = 64) -> float:
+        p = 1.0
+        for i in range(k):
+            p *= (bits - d - i) / (bits - i)
+        return p
+
+    ks = []
+    for n in (1_000, 200_000, 10**8):
+        for d in (4, 6, 8, 10):
+            bands, k = auto_banded_params(n, d)
+            recall = 1.0 - (1.0 - band_p(k, d)) ** bands
+            assert recall >= 0.95, (n, d, bands, k, recall)
+        ks.append(k)
+    assert ks == sorted(ks) and ks[0] < ks[-1]  # k grows with log2(n)
+    with _pytest.raises(ValueError, match="cannot reach"):
+        auto_banded_params(10**6, 13)
+    with _pytest.raises(ValueError, match="target_recall"):
+        auto_banded_params(10**6, 8, target_recall=1.0)
+
+
+def test_dedup_phash_auto_equivalent_at_both_regimes(spark):
+    """The AUTO entry point keeps an identical survivor set whichever
+    regime it resolves to: with the default budget the fixture corpus
+    routes pigeonhole; with a zero budget the same corpus is forced
+    onto the banded path — same survivors (the r12 equivalence pin
+    for the self-executing method selection)."""
+    rows = []
+    for i, seed in enumerate((1, 11, 21, 31)):
+        img = make_img(seed)
+        rows.append((2 * i, encode_png(img)))
+        rows.append(
+            (2 * i + 1, encode_jpeg(img, quality=85, subsampling="420"))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    auto_default = sorted(
+        r["doc_id"]
+        for r in dedup_phash(df, "doc_id", "payload", method="auto").collect()
+    )
+    auto_banded = sorted(
+        r["doc_id"]
+        for r in dedup_phash(
+            df, "doc_id", "payload", method="auto", row_budget=0
+        ).collect()
+    )
+    assert auto_default == auto_banded == [0, 2, 4, 6]
+
+
+def test_dedup_phash_band_knobs_forwarded(spark):
+    """ADVICE r11: explicit bands/bits_per_band reach the banded
+    generator instead of being ignored — a 1-band/62-bit key config
+    is too selective to catch the planted rescale variant (measured
+    drift 4 bits for this seed — a 62-bit sampled band only collides
+    on drift-0 pairs), so the survivor set visibly changes with the
+    knob."""
+    img = make_img(11)
+    df = spark.createDataFrame(
+        [
+            (0, encode_png(img)),
+            (1, encode_png(resize_nearest(img, 72, 96))),
+        ],
+        "doc_id long, payload binary",
+    )
+    generous = sorted(
+        r["doc_id"]
+        for r in dedup_phash(
+            df, "doc_id", "payload", method="banded",
+            bands=34, bits_per_band=16,
+        ).collect()
+    )
+    assert generous == [0]
+    starved = sorted(
+        r["doc_id"]
+        for r in dedup_phash(
+            df, "doc_id", "payload", method="banded",
+            bands=1, bits_per_band=62,
+        ).collect()
+    )
+    assert starved == [0, 1]
+
+
+def test_banded_hamming_matches_cross_tables(spark):
+    """Cross-table banded matcher (the big-state ingest path): planted
+    eval twins match across tables with exact hamming attached;
+    distinct images do not; the plan stays a keyed equi-join."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        banded_hamming_matches,
+    )
+
+    a_rows = [
+        (0, phash64_bytes(encode_jpeg(make_img(1), quality=85, subsampling="420"))),
+        (1, phash64_pixels(make_img(31))),
+    ]
+    b_rows = [(100, phash64_pixels(make_img(1))), (101, phash64_pixels(make_img(41)))]
+    a = spark.createDataFrame(a_rows, "doc_id long, phash long")
+    b = spark.createDataFrame(b_rows, "doc_id long, phash long")
+    out = banded_hamming_matches(a, b, max_hamming=8, bands=34, bits_per_band=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert set(got) == {(0, 100)}
+    assert 0 <= got[(0, 100)] <= 8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_hamming_matches_returns_hamming(spark):
+    """ADVICE r11: the shared pigeonhole helper honors its documented
+    contract — the exact hamming distance IS in the output (one row
+    per pair even when several blocks match, distance exact)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        blocked_hamming_matches,
+    )
+
+    h = phash64_pixels(make_img(1))
+    a = spark.createDataFrame([(0, h)], "doc_id long, phash long")
+    b = spark.createDataFrame(
+        [(10, h), (11, h ^ 0b111)], "doc_id long, phash long"
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in blocked_hamming_matches(a, b, 8).collect()
+    }
+    assert rows == {(0, 10): 0, (0, 11): 3}
+
+
+def test_ingest_image_batch_banded_matches_default(spark, tmp_path):
+    """The incremental-ingest method routing: an explicit banded run
+    accepts the same set as the default (auto→pigeonhole here) on the
+    planted fixture — within-batch collapse AND cross-state rejection
+    both survive the generator swap."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+    )
+
+    def mk(did: int, seed: int, variant: bool = False):
+        img = make_img(seed)
+        payload = (
+            encode_jpeg(img, quality=85, subsampling="420")
+            if variant
+            else encode_png(img)
+        )
+        return (did, payload)
+
+    b1 = spark.createDataFrame(
+        [mk(0, 1), mk(1, 1, variant=True), mk(2, 11)],
+        "doc_id long, payload binary",
+    )
+    b2 = spark.createDataFrame(
+        [mk(3, 11, variant=True), mk(4, 21)], "doc_id long, payload binary"
+    )
+    out = {}
+    for method in ("auto", "banded"):
+        sdir = str(tmp_path / f"state_{method}")
+        a1 = sorted(
+            r["doc_id"]
+            for r in ingest_image_batch(
+                spark, b1, sdir, batch_id="b1", method=method
+            ).collect()
+        )
+        a2 = sorted(
+            r["doc_id"]
+            for r in ingest_image_batch(
+                spark, b2, sdir, batch_id="b2", method=method
+            ).collect()
+        )
+        out[method] = (a1, a2)
+    assert out["auto"] == out["banded"] == ([0, 2], [4])

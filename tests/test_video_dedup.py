@@ -137,15 +137,20 @@ def test_video_rejections():
         video_candidates(None, min_match_frac=0.0)
 
 
-def test_constant_frames_do_not_merge_distinct_clips(spark):
-    """Two UNRELATED clips that both contain black frames at the same
-    sampled positions (fades/title cards — offset-consistent constant
-    content) must NOT merge: degenerate frame hashes are dropped
-    before matching, and the match_frac denominator keeps the full
-    frame count so mostly-black clips can't qualify on what remains."""
-    black = np.zeros((8, 48, 64, 3), dtype=np.uint8)
-    v1 = np.concatenate([black, make_video(1, n=8)])
-    v2 = np.concatenate([black, make_video(9, n=8)])
+@pytest.mark.parametrize("level", [0, 128, 255])
+def test_constant_frames_do_not_merge_distinct_clips(spark, level):
+    """Two UNRELATED clips that both contain constant frames at the
+    same sampled positions (fades/title cards — offset-consistent
+    constant content) must NOT merge — at ANY constant level, not
+    just black (ADVICE r11: a constant 128/255 frame's pHash is an
+    arbitrary stable value set by sub-median DCT float noise, so the
+    old hash-value guard only ever caught black). Degeneracy is now
+    detected at hash time by pixel variance; the match_frac
+    denominator keeps the full frame count so mostly-constant clips
+    can't qualify on what remains."""
+    const = np.full((8, 48, 64, 3), level, dtype=np.uint8)
+    v1 = np.concatenate([const, make_video(1, n=8)])
+    v2 = np.concatenate([const, make_video(9, n=8)])
     rows = [
         (0, encode_avi(v1, codec="dib")),
         (1, encode_avi(v2, codec="dib")),
@@ -159,3 +164,38 @@ def test_constant_frames_do_not_merge_distinct_clips(spark):
         for r in dedup_videos(df, "doc_id", "payload", every_n=1).collect()
     )
     assert kept == [0, 1]
+
+
+def test_constant_frames_survive_reencode_guard(spark):
+    """The variance threshold absorbs codec noise: an MJPEG-q85
+    re-encode of a clip with mid-gray constant frames still marks
+    those frames degenerate (reconstruction lands within ±2 levels of
+    constant), so the re-encode PAIR still matches on its live frames
+    only — found at offset 0 with full-denominator match_frac — while
+    the constant frames never enter the join."""
+    gray = np.full((4, 48, 64, 3), 128, dtype=np.uint8)
+    v = np.concatenate([gray, make_video(3, n=12)])
+    rows = [
+        (0, encode_avi(v, codec="dib")),
+        (1, encode_avi(v, codec="mjpg", quality=85)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = with_frame_phashes(df, "doc_id", "payload", every_n=1)
+    # degenerate frames emit NULL hashes but still count toward the
+    # denominator: 16 sampled frames/clip, 4 NULL on the DIB side
+    per_clip = {
+        r["doc_id"]: r["n"]
+        for r in fh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_clip == {0: 16, 1: 16}
+    nulls = fh.filter("phash is null").groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in nulls}[0] == 4
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_candidates(fh, "doc_id", min_match_frac=0.4).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)]["offset"] == 0
+    # the denominator stays 16 (degenerates counted, never matched):
+    # 7 of the 12 live frames survive q85 bit-exact here, so the pair
+    # sits BELOW the 0.5 it would show under a live-only denominator
+    assert got[(0, 1)]["match_frac"] <= 12 / 16
