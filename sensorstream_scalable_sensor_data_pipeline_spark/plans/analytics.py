@@ -245,10 +245,11 @@ def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle-checked directly by tests/test_operators.py (not registered:
-# the driver records only the first 50 registry entries — observed in
-# CORRECTNESS_r01 — so w2 carries the sessionization slot and this
-# native-operator twin is verified locally against the same sessions).
+# Registered in round 12 (rotation #4, queued in the r11 verdict):
+# the native session_window operator now carries a driver CORRECTNESS
+# row; `u1_u2_union_suite` rotated out (its union/dedup semantics are
+# separately covered by `a2_d1_d2_distinct_dedup` and the setops unit
+# suite, and it keeps a local oracle in the rotated-slot suite).
 W3_SESSION_WINDOW_ORACLE = f"""
 SELECT user_id,
        min(ts) AS session_start, max(ts) AS session_end,
@@ -272,6 +273,7 @@ GROUP BY user_id, session_idx
 """
 
 
+@query("w3_session_window", oracle=W3_SESSION_WINDOW_ORACLE)
 def w3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same sessions via Spark's native ``session_window``
     aggregation — the streaming-ready form (works identically under a

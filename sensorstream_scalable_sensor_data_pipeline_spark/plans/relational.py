@@ -272,9 +272,13 @@ def a1_a3_a4_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- set ops
 
 
-@query(
-    "u1_u2_union_suite",
-    oracle="""
+#: u1_u2_union_suite's oracle, kept importable for the rotated-slot
+#: local suite (tests/test_queries_vs_oracle.py) after the round-12
+#: fourth rotation: its slot now carries ``w3_session_window``
+#: (plans/analytics.py). Union/dedup semantics stay separately
+#: driver-green via ``a2_d1_d2_distinct_dedup`` plus the setops unit
+#: suite.
+U1_U2_UNION_SUITE_ORACLE = """
     SELECT DISTINCT event_id, event_type FROM (
       SELECT event_id, event_type FROM events WHERE event_type = 'click'
       UNION ALL
@@ -284,15 +288,18 @@ def a1_a3_a4_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT event_id, event_type FROM events WHERE user_id < 75
     )
-    """,
-)
+    """
+
+
 def u1_u2_union_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1+U2+D2: N-ary unionByName fold across per-month scans
     (main_pipeline.py:301-303, bug-fixed as a fold per SURVEY §2.7),
     then positional union with history and full dedup — the idempotent
     append path (main_pipeline.py:321-328). Catalyst flattens the
     union tree into one multi-child Union feeding a single hash
-    aggregate."""
+    aggregate. Rotated OUT of the 50-slot driver registry in round 12
+    (stays locally oracle-pinned in the rotated-slot suite; the freed
+    slot carries ``w3_session_window``)."""
     ev = load_table(spark, sf_dir, "events")
     parts = [
         eq_filter(ev, "event_type", t).select("event_id", "event_type")

@@ -27,10 +27,9 @@ def test_query_without_oracle_runs(name, spark, sf_dir):
 
 
 def test_w3_session_window_matches_oracle(spark, duck, sf_dir):
-    """w3 is oracle-checked here rather than via the registry: the
-    driver records only the first 50 registry entries, and w2 carries
-    the sessionization slot (bench head). Same sessions, native
-    session_window operator."""
+    """w3 entered the 50-slot driver registry in round 12 (rotation
+    #4); this local pin predates that and stays as the second witness.
+    Same sessions as w2, native session_window operator."""
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.analytics import (
         W3_SESSION_WINDOW_ORACLE,
         w3_session_window,
@@ -224,6 +223,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "stream_asof_join",
         "funnel_match",
         "html_extract_corpus",
+        "w3_session_window",
     } <= names
     assert not {
         "d1_dedup_deterministic",
@@ -233,6 +233,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "dedup_ngram_blocked",
         "text_fingerprint",
         "mm_binary_metadata",
+        "u1_u2_union_suite",
     } & names
 
 
@@ -278,6 +279,20 @@ def test_rotated_mm_binary_metadata_matches_oracle(spark, duck, sf_dir):
     sdf = mm_binary_metadata(spark, sf_dir).toPandas()
     ddf = duck.sql(MM_BINARY_METADATA_ORACLE).df()
     assert_frames_match(sdf, ddf, "mm_binary_metadata")
+
+
+def test_rotated_u1_u2_union_suite_matches_oracle(spark, duck, sf_dir):
+    """Rotated out in round 12 (slot now carries w3_session_window);
+    the union-fold + positional-union + full-dedup composition stays
+    locally oracle-pinned here."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        U1_U2_UNION_SUITE_ORACLE,
+        u1_u2_union_suite,
+    )
+
+    sdf = u1_u2_union_suite(spark, sf_dir).toPandas()
+    ddf = duck.sql(U1_U2_UNION_SUITE_ORACLE).df()
+    assert_frames_match(sdf, ddf, "u1_u2_union_suite")
 
 
 def test_entry_smoke(spark):
