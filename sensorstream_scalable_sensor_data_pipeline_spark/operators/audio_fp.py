@@ -184,12 +184,28 @@ def with_audio_fingerprint(
     )
 
 
+#: Default document-frequency cap for probe words: a sub-fingerprint
+#: value occurring in more than this many DISTINCT clips is a
+#: stop-word (station jingles, loops, codec artifacts on common
+#: textures) and is dropped from the probe join — the general form of
+#: the silence-word guard, and the audio analog of the video
+#: constant-frame guard. Sizing: a word at df = D contributes ~D²/2
+#: probe-join rows, so one 4 096-clip jingle word alone costs ~8.4 M
+#: rows — more than the ENTIRE measured probe exchange at sf0.1; at
+#: the 1 024 default a worst-case hub word costs ~0.5 M rows (noise),
+#: while true variant pairs share hundreds of CLIP-SPECIFIC words and
+#: need only ``min_probe_frames`` surviving hits, so recall is
+#: untouched (pinned on the planted corpus; sf1 rung re-measured r12).
+MAX_WORD_DF = 1024
+
+
 def audio_candidates(
     fps: DataFrame,
     id_col: str = "doc_id",
     min_probe_frames: int = 2,
     ber_max: float = 0.25,
     min_overlap_frames: int = 10,
+    max_word_df: int | None = MAX_WORD_DF,
 ) -> DataFrame:
     """Near-dup audio pairs from (id, fp) fingerprint sequences —
     probe-then-verify, the paper's two levels as two joins.
@@ -216,18 +232,38 @@ def audio_candidates(
     Scale shape: probe buckets are tiny for real audio — and
     degenerate values (digital silence → constant words 0/-1) are
     DROPPED before the join, the same hub-removal reasoning as
-    stopwords in text LSH; the vote is one groupBy; the BER join
-    touches only voted candidates."""
+    stopwords in text LSH; ``max_word_df`` generalizes that guard to
+    ANY hub word (loops, jingles, codec artifacts a synthetic corpus
+    can't exhibit): one map-side-combined HyperLogLog pass computes
+    per-word clip counts, the tiny over-cap word list broadcasts, and
+    a left-anti join drops those probe rows — bounding the join's
+    worst bucket at ~max_word_df²/2 rows no matter how adversarial
+    the corpus (``None`` disables). The vote is one groupBy; the BER
+    join touches only voted candidates."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
         raise ValueError("ber_max must be in (0, 0.5)")
+    if max_word_df is not None and max_word_df < 1:
+        raise ValueError("max_word_df must be positive (or None to disable)")
     ex = fps.select(
         F.col(id_col), F.posexplode("fp").alias("idx", "v")
     )
     # drop degenerate values: sub-fingerprints of digital silence /
     # constant tones (0 or -1 = all-bits patterns) hub the join
     ex = ex.filter(~F.col("v").isin(0, -1))
+    if max_word_df is not None:
+        # HLL distinct-clip count per word (±~2.3 % at the default
+        # rsd — a CAP, not an exact statistic; deterministic: register
+        # maxima are order-independent). Hub words are rare by
+        # construction, so the blacklist broadcasts.
+        hubs = (
+            ex.groupBy("v")
+            .agg(F.approx_count_distinct(id_col).alias("df"))
+            .filter(F.col("df") > max_word_df)
+            .select("v")
+        )
+        ex = ex.join(F.broadcast(hubs), "v", "left_anti")
     a = ex.select(
         F.col("v"),
         F.col(id_col).alias("id_a"),
@@ -293,6 +329,7 @@ def dedup_audio(
     binary_col: str,
     ber_max: float = 0.25,
     min_probe_frames: int = 2,
+    max_word_df: int | None = MAX_WORD_DF,
 ) -> DataFrame:
     """End-to-end near-duplicate AUDIO dedup: fingerprint every WAV
     payload, probe-vote candidates, aligned-BER verify, transitive
@@ -309,6 +346,7 @@ def dedup_audio(
             "doc_id",
             min_probe_frames=min_probe_frames,
             ber_max=ber_max,
+            max_word_df=max_word_df,
         )
         return drop_near_duplicates(
             clips, pairs, id_col=id_col, broadcast_losers=True

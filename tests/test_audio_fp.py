@@ -165,3 +165,70 @@ def test_audio_candidates_rejections():
 
 def test_short_clip_empty_fingerprint():
     assert len(subfingerprints(np.zeros(100, np.int16), RATE)) == 0
+
+
+def test_max_word_df_drops_jingle_hubs_keeps_variants(spark):
+    """The document-frequency cap (r11 verdict #4): a shared intro
+    jingle puts the SAME sub-fingerprint words into every clip —
+    the hub shape (loops/station idents) that quadratically inflates
+    the probe join on real corpora. With the cap sized below the
+    jingle's df, those words drop from the probe while the planted
+    gain variant — whose surviving hits come from clip-SPECIFIC
+    words — is still found, and no unrelated jingle-sharing pair
+    appears."""
+    jingle = make_clip(999)[: HOP * 40]
+    clips = {
+        i: np.concatenate([jingle, make_clip(i)]) for i in range(10)
+    }
+    rows = [(i, encode_wav(c, RATE)) for i, c in clips.items()]
+    # planted variant of clip 3 (gain copy, jingle included)
+    rows.append((100, encode_wav((clips[3] * 0.5).astype(np.int16), RATE)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = with_audio_fingerprint(df, "doc_id", "payload")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in audio_candidates(fps, "doc_id", max_word_df=4).collect()
+    }
+    assert (3, 100) in capped
+    assert capped == {(3, 100)}
+
+    # the cap's row-bound is real: the jingle words each sit in 11
+    # clips, so uncapped the probe join carries ~df^2/2 rows per
+    # jingle word; capped at 4 those words are gone entirely
+    ex = fps.select("doc_id", F.explode("fp").alias("v")).filter(
+        ~F.col("v").isin(0, -1)
+    )
+    dfs = (
+        ex.groupBy("v")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 4)
+    )
+    assert dfs.count() > 0  # the fixture really does contain hubs
+
+
+def test_max_word_df_none_and_default_unchanged_on_clean_corpus(spark):
+    """On a hub-free corpus the cap is inert: default (1024),
+    disabled (None) and a tight cap all return the identical pair
+    set — recall on planted variants is untouched by the guard."""
+    base = make_clip(7)
+    rows = [
+        (0, encode_wav(base, RATE)),
+        (1, encode_wav((base * 0.5).astype(np.int16), RATE)),
+        (2, encode_wav(make_clip(8), RATE)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = with_audio_fingerprint(df, "doc_id", "payload")
+    outs = [
+        {
+            (r["id_a"], r["id_b"])
+            for r in audio_candidates(fps, "doc_id", max_word_df=cap).collect()
+        }
+        for cap in (1024, None, 2)
+    ]
+    assert outs[0] == outs[1] == outs[2] == {(0, 1)}
+
+
+def test_max_word_df_rejects_bad_value():
+    with pytest.raises(ValueError, match="max_word_df"):
+        audio_candidates(None, max_word_df=0)
