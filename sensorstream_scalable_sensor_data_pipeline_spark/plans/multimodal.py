@@ -491,10 +491,19 @@ def _ensure_corpus(spark: SparkSession, sf_dir: str, tag: str, builder) -> str:
 def _read_corpus(spark: SparkSession, sf_dir: str, tag: str, builder) -> DataFrame:
     """The corpus for a timed head: the cached parquet when the setup
     hook staged it, else built inline (ad-hoc callers outside the
-    bench harness still work — they just pay the synth in-plan)."""
+    bench harness still work — they just pay the synth in-plan).
+    Staged corpora read through the ROW-BASED parquet path
+    (sources/readers.py::read_binary_corpus): the r12 profiling
+    found the vectorized reader's per-batch cost ~quadratic in batch
+    bytes on wide payloads — the named cause of the super-linear
+    r11 video/audio rungs."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
+        read_binary_corpus,
+    )
+
     out = _corpus_cache_dir(sf_dir, tag)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return spark.read.parquet(out)
+        return read_binary_corpus(spark, out)
     return builder(spark, sf_dir)
 
 

@@ -100,3 +100,27 @@ def test_text_line_ids_split_invariant(spark, tmp_path):
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
     assert ids_a == ids_b
     assert len(ids_a) == len(set(ids_a)) == 54
+
+
+def test_read_binary_corpus_equals_vectorized_read(spark, tmp_path):
+    """The wide-binary row-based read path (r12: the vectorized
+    reader's per-batch cost measures ~quadratic in batch bytes on
+    ~100 KB payloads) is a pure perf knob — identical rows, schema,
+    and bytes as the default vectorized scan."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
+        read_binary_corpus,
+    )
+
+    rows = [(i, bytes([i % 251]) * (50_000 + i)) for i in range(40)]
+    src = spark.createDataFrame(rows, "doc_id long, payload binary")
+    path = str(tmp_path / "corpus")
+    src.write.parquet(path)
+    plain = {
+        r["doc_id"]: r["payload"] for r in spark.read.parquet(path).collect()
+    }
+    rowbased = {
+        r["doc_id"]: r["payload"]
+        for r in read_binary_corpus(spark, path).collect()
+    }
+    assert rowbased == plain
+    assert read_binary_corpus(spark, path).schema == spark.read.parquet(path).schema
