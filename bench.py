@@ -293,6 +293,14 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
         "dedup_video_head",
     ),
+    # EXTRA_HEADS-only (r12): fuzzy frame-match mode — pigeonhole
+    # frame join at max_hamming=2, whose 21-bit blocks keep the
+    # bucket term trivial (the measured de-scope boundary for the
+    # image family's quadratic wall).
+    "dedup_video_fuzzy": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "dedup_video_fuzzy_head",
+    ),
     # EXTRA_HEADS-only: the image-curation capstone's scale rung
     # (metadata gate -> pHash dedup -> content-keyed split).
     "curate_image_corpus": (

@@ -184,18 +184,22 @@ def with_audio_fingerprint(
     )
 
 
-#: Default document-frequency cap for probe words: a sub-fingerprint
-#: value occurring in more than this many DISTINCT clips is a
-#: stop-word (station jingles, loops, codec artifacts on common
-#: textures) and is dropped from the probe join — the general form of
-#: the silence-word guard, and the audio analog of the video
-#: constant-frame guard. Sizing: a word at df = D contributes ~D²/2
-#: probe-join rows, so one 4 096-clip jingle word alone costs ~8.4 M
-#: rows — more than the ENTIRE measured probe exchange at sf0.1; at
-#: the 1 024 default a worst-case hub word costs ~0.5 M rows (noise),
-#: while true variant pairs share hundreds of CLIP-SPECIFIC words and
-#: need only ``min_probe_frames`` surviving hits, so recall is
-#: untouched (pinned on the planted corpus; sf1 rung re-measured r12).
+#: Default occurrence cap for probe words: a sub-fingerprint value
+#: occurring more than ~this many times across the corpus (station
+#: jingles, loops, codec artifacts on common textures — or one clip
+#: repeating itself) is a stop-word and is dropped from the probe
+#: join — the general form of the silence-word guard, and the audio
+#: analog of the video constant-frame guard. Sizing: a word with D
+#: occurrences contributes ~D²/2 probe-join rows, so one 4 096-hit
+#: jingle word alone costs ~8.4 M rows — more than the ENTIRE
+#: measured probe exchange at sf0.1; at the 1 024 default a
+#: worst-case hub word costs ~0.5 M rows (noise), while true variant
+#: pairs share hundreds of CLIP-SPECIFIC words and need only
+#: ``min_probe_frames`` surviving hits, so recall is untouched
+#: (pinned on the planted corpus). Detection is SAMPLED (see
+#: audio_candidates) — an exact per-word count would itself shuffle
+#: a row per distinct word, which the r12 rung measured at +378 MB
+#: at sf1 for the first HLL-based cut of this guard.
 MAX_WORD_DF = 1024
 
 
@@ -234,12 +238,19 @@ def audio_candidates(
     DROPPED before the join, the same hub-removal reasoning as
     stopwords in text LSH; ``max_word_df`` generalizes that guard to
     ANY hub word (loops, jingles, codec artifacts a synthetic corpus
-    can't exhibit): one map-side-combined HyperLogLog pass computes
-    per-word clip counts, the tiny over-cap word list broadcasts, and
-    a left-anti join drops those probe rows — bounding the join's
-    worst bucket at ~max_word_df²/2 rows no matter how adversarial
-    the corpus (``None`` disables). The vote is one groupBy; the BER
-    join touches only voted candidates."""
+    can't exhibit): deterministic 1-in-(cap/16) row sampling finds
+    the heavy hitters (a word AT the cap shows ~Poisson(16) sampled
+    occurrences — detected w.p. ≈0.96 at the half cut; words far
+    below are essentially never flagged, and the guard's miss
+    direction costs only join rows, never recall), the tiny hub list
+    broadcasts, and a left-anti join drops those probe rows —
+    bounding the join's worst bucket at ~max_word_df²/2 rows no
+    matter how adversarial the corpus (``None`` disables; the cap is
+    approximate within ~2×). Why sampled: an exact per-word count
+    shuffles a row per distinct word — measured +38/+378 MB at
+    sf0.1/sf1 for the HLL form of this guard, swamping what it
+    saves on clean corpora. The vote is one groupBy; the BER join
+    touches only voted candidates."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
@@ -253,14 +264,24 @@ def audio_candidates(
     # constant tones (0 or -1 = all-bits patterns) hub the join
     ex = ex.filter(~F.col("v").isin(0, -1))
     if max_word_df is not None:
-        # HLL distinct-clip count per word (±~2.3 % at the default
-        # rsd — a CAP, not an exact statistic; deterministic: register
-        # maxima are order-independent). Hub words are rare by
-        # construction, so the blacklist broadcasts.
+        # sampled heavy-hitter detection, deterministic via xxhash64
+        # on (clip, frame): rate 1-in-(cap/16) concentrates true hubs
+        # while the sampled aggregate's shuffle is ~rate × the
+        # explode (trivial). rate_inv == 1 (small caps) degenerates
+        # to the exact occurrence count with an exact cut.
+        rate_inv = max(1, max_word_df // 16)
+        cut = (
+            max_word_df
+            if rate_inv == 1
+            else max(1, max_word_df // (2 * rate_inv))
+        )
+        sampled = ex if rate_inv == 1 else ex.filter(
+            F.pmod(F.xxhash64(id_col, "idx", F.lit(7)), F.lit(rate_inv)) == 0
+        )
         hubs = (
-            ex.groupBy("v")
-            .agg(F.approx_count_distinct(id_col).alias("df"))
-            .filter(F.col("df") > max_word_df)
+            sampled.groupBy("v")
+            .count()
+            .filter(F.col("count") > cut)
             .select("v")
         )
         ex = ex.join(F.broadcast(hubs), "v", "left_anti")

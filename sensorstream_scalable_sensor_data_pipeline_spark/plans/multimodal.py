@@ -427,6 +427,72 @@ def curate_image_corpus(
     )
 
 
+#: dedup_phash_recovery's oracle (QUEUED for the r14 registry rotation
+#: — written and locally pinned in r12 per the r11 verdict task #5).
+#: The planted corpus structure is closed-form: _image_corpus emits
+#: img_id = doc_id·4 + rep, and every img_id ≡ 0 (mod 5), id > 0 is a
+#: format-level VARIANT of img_id−1, so perfect near-dup recovery
+#: keeps exactly the non-variant ids (min-id survivor per planted
+#: pair; the fixture's synthetic images are entropy-injected so
+#: distinct seeds sit ≥ 14 bits apart — zero accidental merges,
+#: measured in operators/phash.py::synth_image's docstring). DuckDB
+#: replays that structure from the documents table alone — a FULL
+#: value-hash oracle for an end-to-end perceptual dedup: any missed
+#: variant (recall) or accidental merge (precision) breaks the match.
+DEDUP_PHASH_RECOVERY_ORACLE = r"""
+    SELECT count(*) AS n_kept, sum(img_id) AS id_sum
+    FROM (
+      SELECT doc_id * 4 + r.range AS img_id
+      FROM documents CROSS JOIN range(4) r
+    )
+    WHERE NOT (img_id % 5 = 0 AND img_id > 0)
+    """
+
+
+def dedup_phash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-variant recovery for perceptual image dedup — the
+    registry-shaped form of the pHash family (r14 rotation queue):
+    synthesize the deterministic planted corpus, run the full
+    hash → candidates → verify → closure → anti-join chain, and emit
+    the survivor count + id-sum that the closed-form oracle predicts."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        dedup_phash,
+    )
+
+    surv = dedup_phash(
+        _read_corpus(spark, sf_dir, "images", _image_corpus),
+        "doc_id", "payload", max_hamming=8,
+    )
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def dedup_video_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-rung head (r12, EXTRA_HEADS-only; r11 verdict task #7):
+    video dedup in FUZZY frame-match mode — ``max_hamming=2`` routes
+    the frame join through the pigeonhole blocks instead of exact
+    value equality. At this radius the blocks stay WIDE (3 blocks of
+    21 bits), so the bucket term is ~n²·3/2^21/2 ≈ 6e4 rows at the
+    sf1 rung's 290 k sampled frames — the quadratic wall the image
+    path hits at b=8 does not exist at small radii; this rung is the
+    measured witness (the de-scope boundary: radii ≥ 8 on frames
+    would inherit the image family's auto/banded doctrine)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        dedup_videos,
+    )
+
+    surv = dedup_videos(
+        _read_corpus(spark, sf_dir, "video", _video_corpus),
+        "doc_id", "payload", every_n=2, max_hamming=2,
+    )
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("bytes_kept"),
+    )
+
+
 def curate_image_corpus_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-rung head (r11, EXTRA_HEADS-only): the image-curation
     capstone, summarized per split so every computed column is
@@ -492,18 +558,17 @@ def _read_corpus(spark: SparkSession, sf_dir: str, tag: str, builder) -> DataFra
     """The corpus for a timed head: the cached parquet when the setup
     hook staged it, else built inline (ad-hoc callers outside the
     bench harness still work — they just pay the synth in-plan).
-    Staged corpora read through the ROW-BASED parquet path
-    (sources/readers.py::read_binary_corpus): the r12 profiling
-    found the vectorized reader's per-batch cost ~quadratic in batch
-    bytes on wide payloads — the named cause of the super-linear
-    r11 video/audio rungs."""
-    from sensorstream_scalable_sensor_data_pipeline_spark.sources.readers import (
-        read_binary_corpus,
-    )
-
+    (r12 note: an interim commit routed this read through the
+    row-based parquet path on a contended-box measurement that read
+    as a vectorized-reader CPU term; quiet-box cold-JVM replay showed
+    NO stable reader difference at this payload width — decode-scan
+    wall varies ±40 % across identical reps — so the read stays on
+    the default vectorized path the recorded baselines used;
+    sources/readers.py::read_binary_corpus remains available as the
+    MEMORY knob for ≫100 KB payloads.)"""
     out = _corpus_cache_dir(sf_dir, tag)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return read_binary_corpus(spark, out)
+        return spark.read.parquet(out)
     return builder(spark, sf_dir)
 
 
@@ -520,6 +585,10 @@ def dedup_audio_head_setup(spark: SparkSession, sf_dir: str) -> None:
 
 
 def dedup_video_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "video", _video_corpus)
+
+
+def dedup_video_fuzzy_head_setup(spark: SparkSession, sf_dir: str) -> None:
     _ensure_corpus(spark, sf_dir, "video", _video_corpus)
 
 

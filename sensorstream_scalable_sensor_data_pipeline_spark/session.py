@@ -52,12 +52,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # scan at 256 MB/task worst case, and costs NOTHING measurable on
     # narrow scans at bench scale (q1 warm: 1.28 s at 4096 vs 0.78 s
     # at 256 — the small batch was not slower in any measured run).
-    # r12 addendum: 256 bounds MEMORY but not CPU — the vectorized
-    # reader's per-batch cost measures ~quadratic in batch BYTES on
-    # ~110 KB payloads (19× wall at 10× rows), so wide-binary scans
-    # should additionally go through the ROW-BASED reader via
-    # sources/readers.py::read_binary_corpus (per-read option; the
-    # measurement lives in its docstring).
+    # r12 addendum: for payloads ≫ the ~110 KB this pin was sized on
+    # (multi-MB blobs), per-task batch bytes grow past what any
+    # row-count pin can bound — those reads should use the row-based
+    # path (sources/readers.py::read_binary_corpus, per-read option).
     "spark.sql.parquet.columnarReaderBatchSize": "256",
     # Parquet scans: pushdown + pruning are on by default; stated
     # explicitly because the engine's plans depend on them (SURVEY §4

@@ -57,24 +57,28 @@ def read_parquet(
 
 
 def read_binary_corpus(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan tuned for WIDE-BINARY payload tables (image /
-    audio / video corpora): the vectorized reader is disabled for
-    this read only.
+    """Parquet scan with the vectorized reader disabled FOR THIS READ
+    — the memory-shape knob for extreme-width binary payloads.
 
-    Basis (measured, r12 profiling of the super-linear modality
-    rungs): on ~110 KB payloads the vectorized reader's per-batch
-    cost grows ~quadratically with columnar-batch BYTES, so a task
-    over a 97 MB row group spends 10× more JVM CPU per row than the
-    same rows split small — the video-dedup decode stage read 19× at
-    10× data (88.7 s) with the session's 256-row batches, vs 15.8-24.5 s
-    with the row-based reader and ~17 s at 32-row batches. Consistent
-    across reps and modalities (audio sf1 scan 11.6 → 8.9 s). The
-    row-based reader is immune, costs nothing here (payload scans
-    read every column anyway — there is no pruning for vectorization
-    to win), and unlike a session-wide batch-size cut it leaves
-    narrow analytic scans at full batch width. See
-    session.py::RUNTIME_CONFS for the companion OOM-bound batch pins.
-    """
+    What this is for: the vectorized reader materializes
+    ``columnarReaderBatchSize`` rows into one contiguous column
+    buffer per task (the r11 OOM: 4096 × ~110 KB ≈ 450 MB/task); the
+    session pins that to 256, which caps a 1 MB-payload scan at
+    ~256 MB/task — still 8 GB across 32 tasks. The row-based reader
+    materializes one row at a time, so multi-MB payloads (full video
+    files, raw audio masters) scan in bounded memory regardless of
+    batch tuning, per-read, without touching session confs that
+    narrow analytic scans rely on.
+
+    What this is NOT (r12 honesty note): an interim r12 measurement
+    attributed a super-linear CPU term to the vectorized reader on
+    ~110 KB payloads; quiet-box cold-JVM replay could not reproduce
+    it (reader A/B within the ±40 % rep-to-rep variance of the
+    decode scan; the original 19× reading was contaminated by a
+    concurrent driver_sim run — the round-6 contended-box doctrine
+    applies to profiling too). At ~100 KB widths use the default
+    reader; reach for this only when per-task batch bytes, not CPU,
+    are the constraint."""
     return spark.read.option("enableVectorizedReader", "false").parquet(path)
 
 

@@ -301,3 +301,20 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"tagpath", "datetime", "sensor_value", "sensor_id"}
+
+
+def test_queued_dedup_phash_recovery_matches_oracle(spark, duck, sf_dir):
+    """r14 rotation-queue feasibility pin (r11 verdict task #5): the
+    perceptual image-dedup recovery query hash-matches its closed-form
+    DuckDB oracle BEFORE taking a registry slot — the planted corpus
+    structure (every img_id ≡ 0 mod 5 is a variant of img_id−1, no
+    accidental merges by fixture design) makes perfect recovery a
+    pure function of the documents table."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        DEDUP_PHASH_RECOVERY_ORACLE,
+        dedup_phash_recovery,
+    )
+
+    sdf = dedup_phash_recovery(spark, sf_dir).toPandas()
+    ddf = duck.sql(DEDUP_PHASH_RECOVERY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "dedup_phash_recovery")
