@@ -98,8 +98,12 @@ def test_compound_filter_conjunction_pushed(spark, sf_dir):
 def test_union_suite_flattens(spark, sf_dir):
     """The U1 fold + U2 positional union must plan as ONE multi-child
     Union feeding a single dedup aggregate — not a left-deep chain of
-    binary unions with separate exchanges."""
-    plan = _plan(spark, sf_dir, "u1_u2_union_suite")
+    binary unions with separate exchanges. (Rotated out of the driver
+    registry in round 12, so called directly, not via all_queries().)"""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import u1_u2_union_suite
+
+    df = u1_u2_union_suite(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Union") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
