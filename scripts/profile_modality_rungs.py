@@ -127,8 +127,12 @@ def profile_video(spark, sf_dir: str) -> None:
         with_frame_phashes,
     )
 
-    p = Prof(spark, "video", sf_dir)
+    # corpus staging FIRST: on an unstaged sf_dir _ensure_corpus runs
+    # the full synth+encode+write job, and a Prof baseline captured
+    # before it would mis-attribute those jobs to the first profiled
+    # stage (review-found)
     corpus = _corpus(spark, sf_dir, "video")
+    p = Prof(spark, "video", sf_dir)
     p.stage(
         "payload_scan_only",
         lambda: corpus.agg(F.sum(F.length("payload"))).collect()[0][0],
@@ -163,8 +167,8 @@ def profile_image(spark, sf_dir: str) -> None:
         with_phash,
     )
 
+    corpus = _corpus(spark, sf_dir, "images")  # stage before baselining
     p = Prof(spark, "image", sf_dir)
-    corpus = _corpus(spark, sf_dir, "images")
     p.stage(
         "payload_scan_only",
         lambda: corpus.agg(F.sum(F.length("payload"))).collect()[0][0],
@@ -205,8 +209,8 @@ def profile_audio(spark, sf_dir: str) -> None:
         drop_near_duplicates,
     )
 
+    corpus = _corpus(spark, sf_dir, "audio")  # stage before baselining
     p = Prof(spark, "audio", sf_dir)
-    corpus = _corpus(spark, sf_dir, "audio")
     p.stage(
         "payload_scan_only",
         lambda: corpus.agg(F.sum(F.length("payload"))).collect()[0][0],

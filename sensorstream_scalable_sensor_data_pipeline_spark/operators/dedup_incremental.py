@@ -237,9 +237,9 @@ def ingest_image_batch(
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
         auto_banded_params,
         banded_hamming_matches,
-        choose_phash_method,
         phash_candidates,
         phash_candidates_banded,
+        resolve_phash_method,
         with_phash,
     )
 
@@ -266,20 +266,29 @@ def ingest_image_batch(
     hashes = with_phash(batch, id_col, binary_col).persist()
     try:
         state = read_image_state(spark, state_dir)
+        # counts feed BOTH auto's method choice and banded's LSH
+        # sizing, so take them whenever any banded path can run —
+        # an explicit method="banded" used to size from a placeholder
+        # n=2 / 2^20 guess (review-found: a 10^6-batch × 10^9-state
+        # call got k sized for a 2-row corpus). The batch count
+        # materializes the persist it was paying for anyway; the
+        # state count is a parquet-metadata count.
         n_batch = n_state = None
-        if method == "auto":
+        if method != "pigeonhole":
             n_batch = hashes.count()  # materializes the persist
             n_state = state.count() if state is not None else 0
 
-        within_method = method if method != "auto" else choose_phash_method(
-            n_batch, max_hamming
-        )
+        if method == "auto":
+            within_method, bands, bits = resolve_phash_method(
+                max_hamming, n_batch
+            )
+        else:
+            within_method = method
+            if method == "banded":
+                bands, bits = auto_banded_params(n_batch, max_hamming)
         if within_method == "pigeonhole":
             pairs = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
         else:
-            bands, bits = auto_banded_params(
-                n_batch if n_batch is not None else 2**20, max_hamming
-            )
             pairs = phash_candidates_banded(
                 hashes, "doc_id", bands=bands, bits_per_band=bits
             )
@@ -288,17 +297,19 @@ def ingest_image_batch(
         within = hashes.join(losers, "doc_id", "left_anti")
 
         if state is not None:
-            cross_method = method
             if method == "auto":
-                cross_method = choose_phash_method(
-                    n_batch, max_hamming, n_b=n_state
+                cross_method, bands, bits = resolve_phash_method(
+                    max_hamming, n_batch, n_b=n_state
                 )
+            else:
+                cross_method = method
+                if method == "banded":
+                    bands, bits = auto_banded_params(
+                        n_batch, max_hamming, n_b=n_state
+                    )
             if cross_method == "pigeonhole":
                 cross = blocked_hamming_matches(within, state, max_hamming)
             else:
-                bands, bits = auto_banded_params(
-                    max(n_state or 0, n_batch or 0, 2), max_hamming
-                )
                 cross = banded_hamming_matches(
                     within, state, max_hamming,
                     bands=bands, bits_per_band=bits,

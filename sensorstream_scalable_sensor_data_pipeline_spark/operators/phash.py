@@ -304,6 +304,7 @@ def auto_banded_params(
     target_recall: float = 0.95,
     bits: int = 64,
     max_bands: int = 96,
+    n_b: int | None = None,
 ) -> tuple[int, int]:
     """Size the banded-LSH knobs — (bands L, bits_per_band k) — from
     corpus size and radius so ``target_recall`` at the DECLARED bound
@@ -320,14 +321,19 @@ def auto_banded_params(
       the explode/shuffle term grows only ~1.15× (n·L), so the
       search minimizes their sum — bigger corpora land on bigger k,
       the "k scales with log₂(n)" doctrine made quantitative.
+      ``n_b`` switches the random-pair term to the CROSS-join form
+      n·n_b·L/2^k (both sides' counts matter — sizing a corpus×eval
+      join from the small side alone under-picks k by orders).
 
     Raises when no k ≤ 32 meets the target within ``max_bands`` —
-    true for ``max_hamming ≥ 13`` on 64-bit codes, where banded LSH
-    cannot cheaply separate the radius and the caller should lower
-    the bound or pay the pigeonhole term. (At ≥10⁸ images even the
-    chosen config verifies O(100) candidates/image — the honest
-    price of radius-8-of-64; WIDER codes, not more bands, are the
-    remedy past that scale.)"""
+    true for ``max_hamming ≥ 11`` on 64-bit codes at the default
+    0.95 target (L(16) is already 116 at d=11; review-verified — an
+    earlier draft claimed ≥13), where banded LSH cannot cheaply
+    separate the radius and the caller should lower the bound or pay
+    the pigeonhole term. (At ≥10⁸ images even the chosen config
+    verifies O(100) candidates/image — the honest price of
+    radius-8-of-64; WIDER codes, not more bands, are the remedy past
+    that scale.)"""
     import math
 
     if target_recall <= 0.0 or target_recall >= 1.0:
@@ -344,8 +350,11 @@ def auto_banded_params(
         bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
         if bands > max_bands:
             break  # L(k) grows with k — larger k only needs more bands
-        rand_rows = float(n) * n / 2.0 * min(1.0, bands / 2.0**k)
-        cost = rand_rows + float(n) * bands
+        pair_base = (
+            float(n) * n / 2.0 if n_b is None else float(n) * float(n_b)
+        )
+        rand_rows = pair_base * min(1.0, bands / 2.0**k)
+        cost = rand_rows + (float(n) + float(n_b or 0)) * bands
         if best is None or cost < best[0]:
             best = (cost, bands, k)
     if best is None:
@@ -355,6 +364,37 @@ def auto_banded_params(
             f"{max_bands} bands; lower the bound or use pigeonhole"
         )
     return best[1], best[2]
+
+
+def resolve_phash_method(
+    max_hamming: int,
+    n_a: int,
+    n_b: int | None = None,
+    row_budget: float = AUTO_CANDIDATE_ROW_BUDGET,
+) -> tuple[str, int | None, int | None]:
+    """Resolve ``method="auto"`` to a concrete candidate generator
+    plus banded knobs: ``(method, bands, bits_per_band)`` — the ONE
+    place the auto doctrine lives, shared by :func:`dedup_phash`,
+    :func:`decontaminate_images`, and
+    :func:`~...dedup_incremental.ingest_image_batch`'s two joins.
+
+    Pigeonhole (recall 1.0) while :func:`pigeonhole_row_estimate`
+    fits ``row_budget``; banded beyond — UNLESS
+    :func:`auto_banded_params` finds no feasible config at the radius
+    (``max_hamming ≥ 11`` on 64-bit codes at the 0.95 target), in
+    which case auto falls BACK to pigeonhole: the guaranteed-recall
+    quadratic term is then the only correct generator, and auto must
+    never turn a call that worked under the old pigeonhole default
+    into a ValueError (review-found). Callers passing
+    ``method="banded"`` explicitly still get the raise — they asked
+    for a cost envelope pigeonhole cannot honor."""
+    if choose_phash_method(n_a, max_hamming, n_b, row_budget) == "pigeonhole":
+        return "pigeonhole", None, None
+    try:
+        bands, bits = auto_banded_params(n_a, max_hamming, n_b=n_b)
+    except ValueError:
+        return "pigeonhole", None, None
+    return "banded", bands, bits
 
 
 def _banded_block_specs(
@@ -520,8 +560,12 @@ def dedup_phash(
     :func:`choose_phash_method`, so a default-knob caller on a
     10⁸-image corpus gets the subquadratic path instead of the
     measured quadratic wall (r11: 6.2× wall at 10×, 1.4 G
-    intermediate rows at 200 k images). Precision is exact under
-    every method (the Hamming verify runs on candidates).
+    intermediate rows at 200 k images). When banded LSH cannot reach
+    the recall target at the radius (``max_hamming ≥ 11`` on 64-bit
+    codes), auto falls back to pigeonhole — correct but quadratic —
+    instead of raising; only an EXPLICIT ``method="banded"`` raises
+    there. Precision is exact under every method (the Hamming verify
+    runs on candidates).
 
     ``bands`` / ``bits_per_band`` tune the banded generator
     (``bits_per_band`` must scale with log₂(n)); left ``None`` they
@@ -541,17 +585,23 @@ def dedup_phash(
         )
     hashes = with_phash(images, id_col, binary_col, algo=algo).persist()
     try:
-        resolved, n = method, None
+        resolved = method
         if method == "auto":
             n = hashes.count()
-            resolved = choose_phash_method(n, max_hamming, row_budget=row_budget)
+            resolved, auto_bands, auto_bits = resolve_phash_method(
+                max_hamming, n, row_budget=row_budget
+            )
+            bands = bands if bands is not None else auto_bands
+            bits_per_band = (
+                bits_per_band if bits_per_band is not None else auto_bits
+            )
         if resolved == "pigeonhole":
             cand = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
         else:
             if bands is None or bits_per_band is None:
-                if n is None:
-                    n = hashes.count()
-                auto_bands, auto_bits = auto_banded_params(n, max_hamming)
+                auto_bands, auto_bits = auto_banded_params(
+                    hashes.count(), max_hamming
+                )
                 bands = bands if bands is not None else auto_bands
                 bits_per_band = (
                     bits_per_band if bits_per_band is not None else auto_bits
@@ -610,8 +660,14 @@ def decontaminate_images(
     c_hash = with_phash(corpus, id_col, binary_col)
     e_hash = with_phash(eval_images, id_col, binary_col)
     if method == "banded":
-        n_eval = e_hash.count()
-        bands, bits = auto_banded_params(n_eval, max_hamming)
+        # size from BOTH sides (the candidate row term is bilinear,
+        # n_corpus·n_eval·L/2^k — k picked from the eval count alone
+        # under-sizes by orders at corpus scale) and count the RAW
+        # inputs: counting the hash frames would run the decode+DCT
+        # scan once for the count and again for the join
+        # (review-found)
+        n_corpus, n_eval = corpus.count(), eval_images.count()
+        bands, bits = auto_banded_params(n_eval, max_hamming, n_b=n_corpus)
         hits = banded_hamming_matches(
             c_hash, e_hash, max_hamming, bands=bands, bits_per_band=bits
         )

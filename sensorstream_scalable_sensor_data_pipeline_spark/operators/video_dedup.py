@@ -99,12 +99,12 @@ def with_frame_phashes(
                 for fi in range(0, frames.shape[0], every_n):
                     ids.append(int(doc_id))
                     idxs.append(fi)
-                    degenerate = (
-                        np.ptp(_to_gray(frames[fi])) <= _DEGENERATE_PTP
-                    )
-                    hs.append(
-                        None if degenerate else phash64_pixels(frames[fi])
-                    )
+                    # gray once: the ptp gate and the hash share the
+                    # h*w*3 luma matmul (phash64_pixels passes 2-D
+                    # arrays through _to_gray unchanged)
+                    gray = _to_gray(frames[fi])
+                    degenerate = np.ptp(gray) <= _DEGENERATE_PTP
+                    hs.append(None if degenerate else phash64_pixels(gray))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -454,14 +454,20 @@ def dedup_phash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry-shaped form of the pHash family (r14 rotation queue):
     synthesize the deterministic planted corpus, run the full
     hash → candidates → verify → closure → anti-join chain, and emit
-    the survivor count + id-sum that the closed-form oracle predicts."""
+    the survivor count + id-sum that the closed-form oracle predicts.
+
+    ``method`` is PINNED to pigeonhole: the oracle demands recall
+    1.0 (one missed planted pair breaks the value hash), and the
+    default ``"auto"`` flips to banded — 0.95-target, probabilistic —
+    past the row budget (~84 k images at b=8), which would make the
+    query's correctness scale-dependent (review-found)."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
         dedup_phash,
     )
 
     surv = dedup_phash(
         _read_corpus(spark, sf_dir, "images", _image_corpus),
-        "doc_id", "payload", max_hamming=8,
+        "doc_id", "payload", max_hamming=8, method="pigeonhole",
     )
     return surv.agg(
         F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")

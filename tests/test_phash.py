@@ -552,3 +552,77 @@ def test_ingest_image_batch_banded_matches_default(spark, tmp_path):
         )
         out[method] = (a1, a2)
     assert out["auto"] == out["banded"] == ([0, 2], [4])
+
+
+def test_resolve_phash_method_falls_back_when_banded_infeasible():
+    """method='auto' must never turn a working call into a raise
+    (review-found r12): past the row budget the resolver picks banded
+    only where the analytic sizer can actually reach the recall
+    target; at max_hamming >= 11 (64-bit codes, 0.95 target — the
+    measured feasibility boundary; an earlier docstring claimed 13)
+    it falls back to guaranteed-recall pigeonhole instead of raising
+    like the explicit-banded path does."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        auto_banded_params,
+        resolve_phash_method,
+    )
+
+    # under budget: pigeonhole, no knobs
+    assert resolve_phash_method(8, 20_000) == ("pigeonhole", None, None)
+    # past budget at a feasible radius: banded with sized knobs
+    m, bands, bits = resolve_phash_method(8, 10**6)
+    assert m == "banded" and bands >= 1 and 16 <= bits <= 32
+    # past budget at an infeasible radius: FALL BACK, don't raise
+    for d in (11, 12):
+        assert resolve_phash_method(d, 10**6) == ("pigeonhole", None, None)
+        with pytest.raises(ValueError, match="cannot reach"):
+            auto_banded_params(10**6, d)
+
+
+def test_auto_banded_params_bilinear_sizing():
+    """Cross-join sizing must see BOTH sides (review-found r12: the
+    decontamination path sized k from the small eval count alone
+    while the candidate term is n_corpus*n_eval*L/2^k — and the
+    explode term is (n+n_b)*L, so a huge n_b can also pull the OTHER
+    way): under the bilinear cost model the n_b-aware choice is never
+    worse than the n-alone choice, and strictly better where the
+    terms actually trade (measured: (1e6, 1e9) picks (90, 21) at
+    1.33e11 modeled rows vs n-alone (74, 20) at 1.45e11)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        auto_banded_params,
+    )
+
+    def bilinear_cost(bands: int, k: int, n: int, n_b: int) -> float:
+        pair = float(n) * n_b * min(1.0, bands / 2.0**k)
+        return pair + (n + n_b) * bands
+
+    improved = 0
+    for n, n_b in ((10**4, 10**9), (10**5, 10**9), (10**6, 10**9),
+                   (10**6, 10**7)):
+        alone = auto_banded_params(n, 8)
+        cross = auto_banded_params(n, 8, n_b=n_b)
+        c_alone = bilinear_cost(*alone, n, n_b)
+        c_cross = bilinear_cost(*cross, n, n_b)
+        assert c_cross <= c_alone, (n, n_b, alone, cross)
+        improved += c_cross < c_alone
+    assert improved >= 2  # the parameter genuinely changes choices
+
+
+def test_dedup_phash_auto_infeasible_radius_still_works(spark):
+    """End-to-end guard for the fallback: auto at max_hamming=12 with
+    a zero row budget (which would have routed banded and raised
+    before the fix) must run via pigeonhole and still collapse the
+    planted variant pair."""
+    img = make_img(31)
+    df = spark.createDataFrame(
+        [(0, encode_png(img)), (1, encode_jpeg(img, quality=85, subsampling="420"))],
+        "doc_id long, payload binary",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup_phash(
+            df, "doc_id", "payload", max_hamming=12, method="auto",
+            row_budget=0,
+        ).collect()
+    )
+    assert out == [0]
