@@ -474,6 +474,51 @@ def dedup_phash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_audio_recovery's oracle (QUEUED for the r15 registry rotation
+#: — written and locally pinned in r12, extending the r14 image entry
+#: to the audio modality). The planted corpus structure is closed-form:
+#: _audio_corpus emits clip_id = doc_id·2 + rep, and every clip_id ≡ 0
+#: (mod 5), id > 0 is a signal-level VARIANT (0.5× gain or 10-hop pad)
+#: of clip_id−1's recording, so perfect near-dup recovery keeps exactly
+#: the non-variant ids (min-id survivor per planted pair; distinct
+#: seeds measure BER ≈ 0.5 vs the 0.25 verify bound and the variants
+#: 0.00–0.18 — zero accidental merges, zero missed variants, measured
+#: in operators/audio_fp.py). DuckDB replays that structure from the
+#: documents table alone — a FULL value-hash oracle for the end-to-end
+#: fingerprint → probe-vote → BER-verify → closure chain: any recall
+#: miss or accidental merge breaks the match.
+DEDUP_AUDIO_RECOVERY_ORACLE = r"""
+    SELECT count(*) AS n_kept, sum(clip_id) AS id_sum
+    FROM (
+      SELECT doc_id * 2 + r.range AS clip_id
+      FROM documents CROSS JOIN range(2) r
+    )
+    WHERE NOT (clip_id % 5 = 0 AND clip_id > 0)
+    """
+
+
+def dedup_audio_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-variant recovery for near-duplicate audio dedup — the
+    registry-shaped form of the Haitsma–Kalker family (r15 rotation
+    queue): synthesize the deterministic planted WAV corpus, run the
+    full fingerprint → exact-probe vote → aligned-BER verify →
+    closure → anti-join chain, and emit the survivor count + id-sum
+    the closed-form oracle predicts. Defaults throughout — including
+    the ``max_word_df`` hub guard, which the planted-jingle test pins
+    as recall-neutral on clip-specific words."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        dedup_audio,
+    )
+
+    surv = dedup_audio(
+        _read_corpus(spark, sf_dir, "audio", _audio_corpus),
+        "doc_id", "payload",
+    )
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def dedup_video_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-rung head (r12, EXTRA_HEADS-only; r11 verdict task #7):
     video dedup in FUZZY frame-match mode — ``max_hamming=2`` routes

@@ -318,3 +318,20 @@ def test_queued_dedup_phash_recovery_matches_oracle(spark, duck, sf_dir):
     sdf = dedup_phash_recovery(spark, sf_dir).toPandas()
     ddf = duck.sql(DEDUP_PHASH_RECOVERY_ORACLE).df()
     assert_frames_match(sdf, ddf, "dedup_phash_recovery")
+
+
+def test_queued_dedup_audio_recovery_matches_oracle(spark, duck, sf_dir):
+    """r15 rotation-queue feasibility pin: the audio near-dup recovery
+    query hash-matches its closed-form DuckDB oracle BEFORE taking a
+    registry slot — the planted WAV corpus structure (every clip_id ≡
+    0 mod 5 is a gain/pad variant of clip_id−1, distinct seeds at
+    BER ≈ 0.5 vs the 0.25 bound) makes perfect recovery a pure
+    function of the documents table."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        DEDUP_AUDIO_RECOVERY_ORACLE,
+        dedup_audio_recovery,
+    )
+
+    sdf = dedup_audio_recovery(spark, sf_dir).toPandas()
+    ddf = duck.sql(DEDUP_AUDIO_RECOVERY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "dedup_audio_recovery")
