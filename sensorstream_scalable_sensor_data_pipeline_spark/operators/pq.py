@@ -401,6 +401,123 @@ def build_ivfpq_index(
     return out_dir
 
 
+def _query_luts(qs: DataFrame, cb: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, lut)`` with
+    ``lut[m][ci] = grid_dot(q_sub_m, ĉ_{m,ci})``: explode queries into
+    subvectors, dot against the broadcast codebook, fold back
+    ci-ordered then m-ordered — the whole frame is |batch|·m·ksub
+    rows, broadcast-sized. ``qs`` must carry (query_id, q_emb)."""
+    qsub = qs.select(
+        "query_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" i -> slice(q_emb, i * {dsub} + 1, {dsub}))"
+            )
+        ).alias("m", "sub"),
+    )
+    return (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "ci",
+            grid_dot(F.col("sub"), F.col("c")).alias("v"),
+        )
+        .groupBy("query_id", "m")
+        .agg(F.array_sort(F.collect_list(F.struct("ci", "v"))).alias("s"))
+        .select(
+            "query_id", "m",
+            F.transform("s", lambda e: e["v"]).alias("row"),
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "row"))).alias("s"))
+        .select(
+            "query_id",
+            F.transform("s", lambda e: e["row"]).alias("lut"),
+        )
+    )
+
+
+def _adc_lut_sum() -> F.Column:
+    """Σ_m lut[m][code_m] over a row carrying ``codes`` and ``lut`` —
+    m positional array lookups + m−1 adds per candidate, folded in
+    fixed subspace order from 0.0 (the order every exact replay —
+    numpy and DuckDB — mirrors op for op)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    codebook: list | None = None,
+) -> DataFrame:
+    """Flat-PQ ADC top-k cosine — the FAISS ``IndexPQ`` tier: train
+    the per-subspace codebook (or reuse ``codebook``), encode the
+    corpus to m-byte codes + one stored ‖x̂‖², and score EVERY
+    candidate against the per-query LUT. A full scan, but over m
+    bytes per vector instead of the raw floats (~32× narrower than
+    the 64-dim float64 corpus at m=8) and each candidate costs m
+    array lookups + m adds — no per-dimension work. The coarse-pruned
+    ``build_ivfpq_index``/``query_ivfpq_index`` pair is the 100 TB
+    serving path; flat PQ is the right tier when the corpus fits a
+    scan but raw vectors don't, and it is the registry-shaped face of
+    the PQ family (r13 rotation queue): train → encode → LUT → fold
+    is grid-integer exact throughout, so a DuckDB oracle replays the
+    whole chain value-for-value.
+
+    Returns (query_id, nbr_id, cosine, rank); ties rank by nbr_id.
+    """
+    cb_list = (
+        codebook if codebook is not None else train_pq(spark, emb, m=m, ksub=ksub)
+    )
+    m = 1 + max(r[0] for r in cb_list)
+    dsub = len(cb_list[0][2])
+    _check_codebook_dim(emb, "embedding", m, dsub)
+    cb = codebook_df(spark, cb_list)
+    codes = pq_encode(spark, emb, cb_list)
+    qs = queries.select(
+        "query_id",
+        F.col("embedding").alias("q_emb"),
+        grid_dot(F.col("embedding"), F.col("embedding")).alias("q_n2"),
+    )
+    bq = qs.select("query_id", "q_n2").join(
+        _query_luts(qs, cb, m, dsub), "query_id"
+    )
+    # query batches are broadcast-tiny by contract (plans/similarity
+    # module doctrine) — the BNL join fans the scan out ×|batch| over
+    # 9-byte-ish rows, never the payload floats
+    scored = (
+        codes.crossJoin(F.broadcast(bq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nbr_id"),
+            (
+                _adc_lut_sum() / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     index_dir: str,
@@ -456,52 +573,13 @@ def query_ivfpq_index(
     lists = spark.read.parquet(os.path.join(index_dir, "lists")).filter(
         F.col("j").isin(probe_js)
     )
-    # per-query LUT: explode queries into subvectors, dot against the
-    # broadcast codebook, fold back ci-ordered then m-ordered — the
-    # whole frame is |batch|·m·ksub rows, broadcast-sized
     mq = cb.agg(F.max("m")).collect()[0][0] + 1
     dsub = len(cb.select("c").first()["c"])
     _check_codebook_dim(queries, "embedding", mq, dsub)
-    qsub = qs.select(
-        "query_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {mq - 1}),"
-                f" i -> slice(q_emb, i * {dsub} + 1, {dsub}))"
-            )
-        ).alias("m", "sub"),
-    )
-    lut_rows = (
-        qsub.join(F.broadcast(cb), "m")
-        .select(
-            "query_id", "m", "ci",
-            grid_dot(F.col("sub"), F.col("c")).alias("v"),
-        )
-        .groupBy("query_id", "m")
-        .agg(F.array_sort(F.collect_list(F.struct("ci", "v"))).alias("s"))
-        .select(
-            "query_id", "m",
-            F.transform("s", lambda e: e["v"]).alias("row"),
-        )
-        .groupBy("query_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "row"))).alias("s"))
-        .select(
-            "query_id",
-            F.transform("s", lambda e: e["row"]).alias("lut"),
-        )
-    )
     bq = probes.join(qs.select("query_id", "q_n2"), "query_id").join(
-        lut_rows, "query_id"
+        _query_luts(qs, cb, mq, dsub), "query_id"
     )
-    lut_sum = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("lut"),
-            lambda c, row: F.element_at(row, c.cast("int") + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    lut_sum = _adc_lut_sum()
     numerator = (lut_sum + F.col("qc")) if residual else lut_sum
     scored = (
         F.broadcast(bq)

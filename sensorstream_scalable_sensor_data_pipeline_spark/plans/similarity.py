@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
     grid_cosine_sql,
     grid_dot,
+    grid_dot_sql,
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
@@ -584,3 +585,150 @@ def sim_signlsh_multitable(
         )
     )
     return _topk(scored)
+
+
+# ---------------------------------------------------- flat-PQ serving
+
+#: Flat-PQ codebook shape for the registry-scale corpus: 8 subspaces
+#: of dim/8 dims, 16 centroids each — 8 one-byte codes per vector.
+_PQ_M, _PQ_KSUB = 8, 16
+
+#: sim_pq_adc_topk's oracle (QUEUED for the r13 registry rotation —
+#: "a PQ serving query", now concrete): DuckDB replays the ENTIRE
+#: flat-PQ chain value-for-value — per-subspace strided seeds, one
+#: µ-grid integer Lloyd update (sum → /GRID → /count, the exact op
+#: order of operators/pq.py::train_pq), grid-L2 argmin encoding with
+#: ties to the smaller ci, stored ‖x̂‖² as the ordered fold of the
+#: chosen centroids' grid squared norms, the per-query ADC LUT of
+#: grid dots, and the candidate numerator as the SAME fixed-order
+#: left-to-right double fold (list_reduce over the m-ordered picks ≡
+#: Spark's aggregate from 0.0 — adding 0.0 first is an exact no-op
+#: since grid dots never produce -0.0). Every float op is a single
+#: IEEE op in the same order on both engines, so cosine hash-matches
+#: bit for bit — the same exact-replay discipline as _IVF_ORACLE.
+SIM_PQ_ADC_TOPK_ORACLE = f"""
+WITH st AS (SELECT greatest(1, count(*) // {_PQ_KSUB}) AS stride,
+                   max(len(embedding)) // {_PQ_M} AS dsub
+            FROM embeddings),
+seeds AS (
+  SELECT CAST(vec_id // stride AS INT) AS ci,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings, st
+  WHERE vec_id % stride = 0 AND vec_id < stride * {_PQ_KSUB}
+),
+subs AS (
+  SELECT e.vec_id, mi.range AS m,
+         list_slice(e.embedding, mi.range * st.dsub + 1,
+                    (mi.range + 1) * st.dsub) AS sub
+  FROM embeddings e, range({_PQ_M}) mi, st
+),
+seedsub AS (
+  SELECT s.ci, mi.range AS m,
+         list_slice(s.v, mi.range * st.dsub + 1,
+                    (mi.range + 1) * st.dsub) AS c
+  FROM seeds s, range({_PQ_M}) mi, st
+),
+d0 AS (
+  SELECT sub.vec_id, sub.m, ss.ci, {_grid_l2_sql('sub.sub', 'ss.c')} AS dist
+  FROM subs sub JOIN seedsub ss ON sub.m = ss.m
+),
+a0 AS (
+  SELECT vec_id, m, ci FROM (
+    SELECT vec_id, m, ci,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, ci) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+gexp AS (
+  SELECT a0.m, a0.ci, u.pos, u.g
+  FROM a0 JOIN (
+    SELECT vec_id, m,
+           unnest(list_transform(sub,
+                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_GRID_LIT}) AS BIGINT))) AS g,
+           unnest(generate_series(1, len(sub))) AS pos
+    FROM subs
+  ) u ON u.vec_id = a0.vec_id AND u.m = a0.m
+),
+upd AS (
+  SELECT m, ci, list(CAST(s AS DOUBLE) / {_GRID_LIT} / n ORDER BY pos) AS c
+  FROM (SELECT m, ci, pos, SUM(g) AS s, COUNT(*) AS n
+        FROM gexp GROUP BY m, ci, pos)
+  GROUP BY m, ci
+),
+cb AS (
+  SELECT ss.m, ss.ci, COALESCE(upd.c, ss.c) AS c
+  FROM seedsub ss LEFT JOIN upd ON ss.m = upd.m AND ss.ci = upd.ci
+),
+cbsq AS (
+  SELECT m, ci, c,
+         CAST(list_sum(list_transform(c,
+              x -> CAST(FLOOR(x * x * {_GRID_LIT}) AS BIGINT))) AS DOUBLE)
+           / {_GRID_LIT} AS sq
+  FROM cb
+),
+d1 AS (
+  SELECT s.vec_id, s.m, cs.ci, {_grid_l2_sql('s.sub', 'cs.c')} AS dist
+  FROM subs s JOIN cbsq cs ON s.m = cs.m
+),
+a1 AS (
+  SELECT vec_id, m, ci FROM (
+    SELECT vec_id, m, ci,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, ci) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+n2s AS (
+  SELECT a1.vec_id,
+         list_reduce(list(cs.sq ORDER BY a1.m), (a, b) -> a + b) AS n2
+  FROM a1 JOIN cbsq cs ON a1.m = cs.m AND a1.ci = cs.ci
+  GROUP BY a1.vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE {_QUERY_PRED}),
+qn AS (SELECT query_id, {grid_dot_sql('embedding', 'embedding')} AS q_n2 FROM q),
+qsub AS (
+  SELECT query_id, mi.range AS m,
+         list_slice(embedding, mi.range * st.dsub + 1,
+                    (mi.range + 1) * st.dsub) AS sub
+  FROM q, range({_PQ_M}) mi, st
+),
+lutv AS (
+  SELECT qs.query_id, qs.m, cs.ci, {grid_dot_sql('qs.sub', 'cs.c')} AS v
+  FROM qsub qs JOIN cbsq cs ON qs.m = cs.m
+),
+adc AS (
+  SELECT lv.query_id, a1.vec_id AS nbr_id,
+         list_reduce(list(lv.v ORDER BY lv.m), (a, b) -> a + b) AS num
+  FROM a1 JOIN lutv lv ON lv.m = a1.m AND lv.ci = a1.ci
+  GROUP BY lv.query_id, a1.vec_id
+)
+SELECT query_id, nbr_id, cosine, rank FROM (
+  SELECT adc.query_id, adc.nbr_id,
+         adc.num / (sqrt(qn.q_n2) * sqrt(n2s.n2)) AS cosine,
+         row_number() OVER (
+           PARTITION BY adc.query_id
+           ORDER BY adc.num / (sqrt(qn.q_n2) * sqrt(n2s.n2)) DESC,
+                    adc.nbr_id ASC
+         ) AS rank
+  FROM adc
+  JOIN qn ON qn.query_id = adc.query_id
+  JOIN n2s ON n2s.vec_id = adc.nbr_id
+  WHERE adc.nbr_id <> adc.query_id
+) WHERE rank <= {_K}
+"""
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ ADC top-k over the embeddings table — the registry-
+    shaped face of the product-quantization tier (r13 rotation
+    queue; operators/pq.py::pq_topk). Train → encode → per-query LUT
+    → m-lookup ADC fold, all grid-integer exact; the oracle above
+    replays the whole chain, so one mis-trained centroid, one
+    mis-assigned code, or one out-of-order float add anywhere in the
+    PQ family breaks the value hash."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(spark, emb, qs, k=_K, m=_PQ_M, ksub=_PQ_KSUB)

@@ -335,3 +335,19 @@ def test_queued_dedup_audio_recovery_matches_oracle(spark, duck, sf_dir):
     sdf = dedup_audio_recovery(spark, sf_dir).toPandas()
     ddf = duck.sql(DEDUP_AUDIO_RECOVERY_ORACLE).df()
     assert_frames_match(sdf, ddf, "dedup_audio_recovery")
+
+
+def test_queued_sim_pq_adc_topk_matches_oracle(spark, duck, sf_dir):
+    """r13 rotation-queue feasibility pin: the flat-PQ ADC serving
+    query hash-matches a DuckDB replay of the ENTIRE chain — codebook
+    training (µ-grid Lloyd), encoding (grid-L2 argmin, ties to
+    smaller ci), stored ‖x̂‖², per-query LUT, and the fixed-order ADC
+    fold — bit for bit, including the cosine doubles."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        SIM_PQ_ADC_TOPK_ORACLE,
+        sim_pq_adc_topk,
+    )
+
+    sdf = sim_pq_adc_topk(spark, sf_dir).toPandas()
+    ddf = duck.sql(SIM_PQ_ADC_TOPK_ORACLE).df()
+    assert_frames_match(sdf, ddf, "sim_pq_adc_topk")
