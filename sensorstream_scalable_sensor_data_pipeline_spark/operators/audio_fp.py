@@ -257,6 +257,42 @@ def audio_candidates(
         raise ValueError("ber_max must be in (0, 0.5)")
     if max_word_df is not None and max_word_df < 1:
         raise ValueError("max_word_df must be positive (or None to disable)")
+    ex = _exploded_words(fps, id_col, max_word_df)
+    a = ex.select(
+        F.col("v"),
+        F.col(id_col).alias("id_a"),
+        F.col("idx").alias("idx_a"),
+    )
+    b = ex.select(
+        F.col("v"),
+        F.col(id_col).alias("id_b"),
+        F.col("idx").alias("idx_b"),
+    )
+    matched = (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
+        )
+    )
+    # best offset per pair: max probe hits, ties to the smallest
+    # offset (shared vote, operators/dedup_fuzzy.py)
+    best = vote_best_offset(matched).filter(
+        F.col("n_match") >= min_probe_frames
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    return _ber_verify(best, fa, fb, ber_max, min_overlap_frames)
+
+
+def _exploded_words(
+    fps: DataFrame, id_col: str, max_word_df: int | None
+) -> DataFrame:
+    """(id, idx, v) probe words from a fingerprint table, with the
+    degenerate-word drop and (optionally) the sampled heavy-hitter
+    ``max_word_df`` guard applied — the shared probe front end of the
+    self-join (:func:`audio_candidates`) and cross-table
+    (:func:`audio_candidates_cross`) paths."""
     ex = fps.select(
         F.col(id_col), F.posexplode("fp").alias("idx", "v")
     )
@@ -285,31 +321,26 @@ def audio_candidates(
             .select("v")
         )
         ex = ex.join(F.broadcast(hubs), "v", "left_anti")
-    a = ex.select(
-        F.col("v"),
-        F.col(id_col).alias("id_a"),
-        F.col("idx").alias("idx_a"),
+    return ex
+
+
+def _ber_verify(
+    best: DataFrame,
+    fa: DataFrame,
+    fb: DataFrame,
+    ber_max: float,
+    min_overlap_frames: int,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Aligned-BER verification of voted candidate pairs: join the
+    (id_a, fp_a) / (id_b, fp_b) frames back, align at the voted
+    offset, and score the bit error rate in one Catalyst fold.
+    ``broadcast_b`` marks the b side as broadcast-tiny (the eval set
+    in decontamination). Returns
+    (id_a, id_b, ber, offset, overlap_frames) under the thresholds."""
+    j = best.join(fa, "id_a").join(
+        F.broadcast(fb) if broadcast_b else fb, "id_b"
     )
-    b = ex.select(
-        F.col("v"),
-        F.col(id_col).alias("id_b"),
-        F.col("idx").alias("idx_b"),
-    )
-    matched = (
-        a.join(b, "v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
-        )
-    )
-    # best offset per pair: max probe hits, ties to the smallest
-    # offset (shared vote, operators/dedup_fuzzy.py)
-    best = vote_best_offset(matched).filter(
-        F.col("n_match") >= min_probe_frames
-    )
-    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
-    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
-    j = best.join(fa, "id_a").join(fb, "id_b")
     # overlap under alignment idx_a = idx_b + offset (1-indexed slices)
     start_a = F.greatest(F.col("offset"), F.lit(0)) + 1
     start_b = F.greatest(-F.col("offset"), F.lit(0)) + 1
@@ -342,6 +373,107 @@ def audio_candidates(
         (F.col("ber") <= ber_max)
         & (F.col("overlap_frames") >= min_overlap_frames)
     )
+
+
+def audio_candidates_cross(
+    fps_a: DataFrame,
+    fps_b: DataFrame,
+    id_col: str = "doc_id",
+    min_probe_frames: int = 2,
+    ber_max: float = 0.25,
+    min_overlap_frames: int = 10,
+    max_word_df: int | None = None,
+) -> DataFrame:
+    """Cross-table near-dup audio pairs: same probe-vote-verify chain
+    as :func:`audio_candidates`, but between TWO fingerprint tables
+    (id_a from ``fps_a``, id_b from ``fps_b``) — the decontamination
+    / incremental-ingest join shape, where ``fps_b`` is the small
+    side (eval set, accepted state) and broadcasts through both the
+    probe join and the verify join. No ``id_a < id_b`` ordering: the
+    sides are distinct tables and every (a, b) hit matters.
+
+    ``max_word_df`` defaults OFF here (contrast the self-join's
+    default-on): the cross shape's worst bucket is
+    df_a(w)·df_b(w) — bounded by the SMALL side's length, not the
+    corpus — and in decontamination a dropped word can only cost
+    recall, which is the one property the pass exists for."""
+    if min_probe_frames < 1:
+        raise ValueError("min_probe_frames must be positive")
+    if not (0.0 < ber_max < 0.5):
+        raise ValueError("ber_max must be in (0, 0.5)")
+    if max_word_df is not None and max_word_df < 1:
+        raise ValueError("max_word_df must be positive (or None to disable)")
+    ex_a = _exploded_words(fps_a, id_col, max_word_df).select(
+        F.col("v"), F.col(id_col).alias("id_a"), F.col("idx").alias("idx_a")
+    )
+    ex_b = _exploded_words(fps_b, id_col, max_word_df).select(
+        F.col("v"), F.col(id_col).alias("id_b"), F.col("idx").alias("idx_b")
+    )
+    matched = ex_a.join(F.broadcast(ex_b), "v").select(
+        "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
+    )
+    best = vote_best_offset(matched).filter(
+        F.col("n_match") >= min_probe_frames
+    )
+    fa = fps_a.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fps_b.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    return _ber_verify(
+        best, fa, fb, ber_max, min_overlap_frames, broadcast_b=True
+    )
+
+
+def decontaminate_audio(
+    corpus: DataFrame,
+    eval_clips: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    min_probe_frames: int = 2,
+    ber_max: float = 0.25,
+    max_word_df: int | None = None,
+) -> DataFrame:
+    """Drop corpus clips that are near-duplicates of any EVAL-set
+    clip — the audio twin of phash.decontaminate_images: training on
+    benchmark audio contaminates every evaluation that uses it, and
+    re-gained / padded / re-encoded copies evade exact-hash checks.
+
+    The eval side is broadcast-small by contract, so the probe join
+    is bilinear in the SMALL side (corpus words × eval words per
+    shared value) and the corpus payloads never shuffle — only their
+    fingerprints probe, and only contaminated IDs come back to the
+    anti-join. The ``max_word_df`` hub guard defaults OFF (a dropped
+    probe word can only cost recall — a silent benchmark leak — and
+    the cross shape's buckets are already bounded by the eval side);
+    the degenerate silence words are still dropped, they carry no
+    identity. Returns the clean corpus rows.
+
+    Lifecycle: both fingerprint tables feed TWO joins (probe +
+    verify), so both persist — fingerprints only, ~2 KB/clip, never
+    the payloads — and the contaminated-ID set (post-aggregation,
+    orders smaller) is materialized through
+    ``materialize_and_release`` so the session cache is left clean
+    (there is no ``dup_components`` action inside this pass to force
+    the plan the way the dedup path's closure does)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+
+    fps_c = with_audio_fingerprint(corpus, id_col, binary_col).persist()
+    fps_e = with_audio_fingerprint(eval_clips, id_col, binary_col).persist()
+    hits = audio_candidates_cross(
+        fps_c,
+        fps_e,
+        id_col=id_col,
+        min_probe_frames=min_probe_frames,
+        ber_max=ber_max,
+        max_word_df=max_word_df,
+    )
+    contaminated = materialize_and_release(
+        hits.select(F.col("id_a").alias(id_col)).distinct(), fps_c, fps_e
+    )
+    # plain anti-join (no forced broadcast), matching
+    # decontaminate_images: a fully-contaminated corpus makes the ID
+    # set corpus-sized, and AQE already broadcasts it when it is small
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def dedup_audio(

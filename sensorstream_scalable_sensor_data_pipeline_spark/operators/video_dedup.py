@@ -137,48 +137,84 @@ def video_candidates(
     lens = frame_hashes.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_frames")
     )
-    # constant (black/white/gray) frames were sentinel-marked NULL at
-    # hash time (pixel-variance check — see _DEGENERATE_PTP); drop
-    # them from matching only AFTER the n_frames count above, so the
-    # match_frac denominator keeps the FULL sampled count and a clip
-    # that is mostly constant frames cannot reach the threshold on
-    # its few live frames
-    frame_hashes = frame_hashes.filter(F.col("phash").isNotNull())
+    matched = _frame_matches(
+        frame_hashes, frame_hashes, max_hamming, id_col
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return _score_offset_votes(matched, lens, lens, id_col, min_match_frac)
+
+
+def _frame_matches(
+    frames_a: DataFrame,
+    frames_b: DataFrame,
+    max_hamming: int,
+    id_col: str,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Frame-level matches between two frame-hash tables as
+    UNORDERED (id_a, id_b, off) rows — exact-value equi-join at
+    ``max_hamming == 0``, the shared blocked-pigeonhole match
+    otherwise. Self-join callers apply ``id_a < id_b`` on top; the
+    cross-table path keeps every pair (two distinct tables may reuse
+    numeric ids, so no id comparison is meaningful there).
+
+    Constant (black/white/gray) frames were sentinel-marked NULL at
+    hash time (pixel-variance check — see ``_DEGENERATE_PTP``); drop
+    them here, AFTER callers have taken their n_frames counts, so
+    the match_frac denominator keeps the FULL sampled count and a
+    clip that is mostly constant frames cannot reach the threshold
+    on its few live frames."""
+    frames_a = frames_a.filter(F.col("phash").isNotNull())
+    frames_b = frames_b.filter(F.col("phash").isNotNull())
     if max_hamming == 0:
-        a = frame_hashes.select(
+        a = frames_a.select(
             F.col("phash").alias("v"),
             F.col(id_col).alias("id_a"),
             F.col("frame_idx").alias("idx_a"),
         )
-        b = frame_hashes.select(
+        b = frames_b.select(
             F.col("phash").alias("v"),
             F.col(id_col).alias("id_b"),
             F.col("frame_idx").alias("idx_b"),
         )
-        matched = (
-            a.join(b, "v")
-            .filter(F.col("id_a") < F.col("id_b"))
+        return (
+            a.join(F.broadcast(b) if broadcast_b else b, "v")
             .select(
                 "id_a", "id_b",
                 (F.col("idx_a") - F.col("idx_b")).alias("off"),
             )
         )
-    else:
-        # shared blocked-pigeonhole match (range-validated, per-frame-
-        # pair deduped inside the helper)
-        matched = blocked_hamming_matches(
-            frame_hashes,
-            frame_hashes,
-            max_hamming,
-            id_col=id_col,
-            carry_cols=("frame_idx",),
-        ).filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b",
-            (F.col("frame_idx_a") - F.col("frame_idx_b")).alias("off"),
-        )
+    # shared blocked-pigeonhole match (range-validated, per-frame-
+    # pair deduped inside the helper)
+    return blocked_hamming_matches(
+        frames_a,
+        frames_b,
+        max_hamming,
+        id_col=id_col,
+        carry_cols=("frame_idx",),
+        broadcast_b=broadcast_b,
+    ).select(
+        "id_a", "id_b",
+        (F.col("frame_idx_a") - F.col("frame_idx_b")).alias("off"),
+    )
+
+
+def _score_offset_votes(
+    matched: DataFrame,
+    lens_a: DataFrame,
+    lens_b: DataFrame,
+    id_col: str,
+    min_match_frac: float,
+) -> DataFrame:
+    """Most-common-offset vote over frame matches, scored against the
+    shorter clip's FULL sampled frame count. Returns
+    (id_a, id_b, match_frac, offset) above the threshold."""
     best = vote_best_offset(matched)
-    la = lens.select(F.col(id_col).alias("id_a"), F.col("n_frames").alias("n_a"))
-    lb = lens.select(F.col(id_col).alias("id_b"), F.col("n_frames").alias("n_b"))
+    la = lens_a.select(
+        F.col(id_col).alias("id_a"), F.col("n_frames").alias("n_a")
+    )
+    lb = lens_b.select(
+        F.col(id_col).alias("id_b"), F.col("n_frames").alias("n_b")
+    )
     return (
         best.join(la, "id_a")
         .join(lb, "id_b")
@@ -193,6 +229,85 @@ def video_candidates(
         )
         .filter(F.col("match_frac") >= min_match_frac)
     )
+
+
+def video_candidates_cross(
+    frames_a: DataFrame,
+    frames_b: DataFrame,
+    id_col: str = "doc_id",
+    min_match_frac: float = 0.5,
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Cross-table near-dup video pairs: the same frame-match →
+    offset-vote → shorter-clip-fraction chain as
+    :func:`video_candidates`, but between TWO frame-hash tables
+    (id_a from ``frames_a``, id_b from ``frames_b``) — the
+    decontamination join shape, where ``frames_b`` is the small side
+    (eval set) and broadcasts through the frame join. No
+    ``id_a < id_b`` ordering: the sides are distinct tables and
+    every (a, b) hit matters."""
+    if not (0.0 < min_match_frac <= 1.0):
+        raise ValueError("min_match_frac must be in (0, 1]")
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be non-negative")
+    lens_a = frames_a.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    lens_b = frames_b.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    matched = _frame_matches(
+        frames_a, frames_b, max_hamming, id_col, broadcast_b=True
+    )
+    return _score_offset_votes(
+        matched, lens_a, lens_b, id_col, min_match_frac
+    )
+
+
+def decontaminate_videos(
+    corpus: DataFrame,
+    eval_videos: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    every_n: int = 4,
+    min_match_frac: float = 0.5,
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Drop corpus clips that are near-duplicates of any EVAL-set
+    video — the video twin of phash.decontaminate_images /
+    audio_fp.decontaminate_audio: training on benchmark footage
+    contaminates every evaluation that uses it, and re-encoded /
+    head-trimmed copies evade exact-hash checks.
+
+    Pixels never leave the executors on either side — only 8-byte
+    frame hashes join, with the eval side broadcast. Same lifecycle
+    as the audio twin: both frame-hash tables feed two consumers
+    (the n_frames count and the match join), so both persist and the
+    contaminated-ID set is materialized through
+    ``materialize_and_release``, leaving the session cache clean.
+    Returns the clean corpus rows."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+
+    fh_c = with_frame_phashes(corpus, id_col, binary_col, every_n).persist()
+    fh_e = with_frame_phashes(
+        eval_videos, id_col, binary_col, every_n
+    ).persist()
+    hits = video_candidates_cross(
+        fh_c,
+        fh_e,
+        id_col=id_col,
+        min_match_frac=min_match_frac,
+        max_hamming=max_hamming,
+    )
+    contaminated = materialize_and_release(
+        hits.select(F.col("id_a").alias(id_col)).distinct(), fh_c, fh_e
+    )
+    # plain anti-join (no forced broadcast) — same rationale as the
+    # audio twin: a fully-contaminated corpus makes the ID set
+    # corpus-sized; AQE broadcasts it when it is small
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def dedup_videos(

@@ -19,6 +19,8 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import 
     HOP,
     N_BANDS,
     audio_candidates,
+    audio_candidates_cross,
+    decontaminate_audio,
     dedup_audio,
     fingerprint_wav,
     subfingerprints,
@@ -232,3 +234,88 @@ def test_max_word_df_none_and_default_unchanged_on_clean_corpus(spark):
 def test_max_word_df_rejects_bad_value():
     with pytest.raises(ValueError, match="max_word_df"):
         audio_candidates(None, max_word_df=0)
+
+
+# ----------------------------- cross-table path / decontamination (r12)
+
+
+def test_audio_candidates_cross_matches_self_join_pairs(spark):
+    """The cross-table probe-vote-verify chain finds exactly the
+    a-side↔b-side pairs the self-join finds (same thresholds, same
+    BER/offset values) when the two tables partition one corpus."""
+    base = make_clip(1)
+    vs = variants(base)
+    all_rows = [
+        (0, fingerprint_wav(encode_wav(base, RATE)).tolist()),
+        (1, fingerprint_wav(encode_wav(vs["gain05"], RATE)).tolist()),
+        (2, fingerprint_wav(encode_wav(vs["pad10hop"], RATE)).tolist()),
+        (3, fingerprint_wav(encode_wav(make_clip(5), RATE)).tolist()),
+    ]
+    fps = spark.createDataFrame(all_rows, "doc_id long, fp array<int>")
+    fps_a = fps.filter("doc_id IN (1, 2, 3)")
+    fps_b = fps.filter("doc_id = 0")
+    cross = {
+        (r["id_a"], r["id_b"]): (r["ber"], r["offset"])
+        for r in audio_candidates_cross(fps_a, fps_b, "doc_id").collect()
+    }
+    selfj = {
+        (r["id_b"], r["id_a"]): (r["ber"], r["offset"])
+        for r in audio_candidates(fps, "doc_id").collect()
+        if r["id_a"] == 0
+    }
+    # the self-join voted offset is for (0, x); the cross pair is
+    # (x, 0), whose aligned offset is the negation
+    assert set(cross) == set(selfj)
+    for k, (ber, off) in cross.items():
+        assert ber == selfj[k][0]
+        assert off == -selfj[k][1]
+
+
+def test_audio_candidates_cross_plan_no_cartesian(spark):
+    fps_a = spark.createDataFrame(
+        [(i, [int(i * 7 + j) for j in range(20)]) for i in range(10)],
+        "doc_id long, fp array<int>",
+    )
+    fps_b = spark.createDataFrame(
+        [(100 + i, [int(i * 5 + j) for j in range(20)]) for i in range(3)],
+        "doc_id long, fp array<int>",
+    )
+    plan = (
+        audio_candidates_cross(fps_a, fps_b, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_audio(spark):
+    """Audio decontamination: corpus clips that are gain/pad variants
+    of EVAL clips drop; unrelated clips survive untouched; the
+    session cache is left clean (materialize_and_release)."""
+    eval_rows = [
+        (100, encode_wav(make_clip(1), RATE)),
+        (101, encode_wav(make_clip(2), RATE)),
+    ]
+    vs1 = variants(make_clip(1))
+    vs2 = variants(make_clip(2))
+    corpus_rows = [
+        (0, encode_wav(vs1["gain05"], RATE)),    # eval twin (gain)
+        (1, encode_wav(vs2["pad10hop"], RATE)),  # eval twin (pad)
+        (2, encode_wav(make_clip(7), RATE)),     # clean
+        (3, encode_wav(make_clip(8), RATE)),     # clean
+    ]
+    eval_clips = spark.createDataFrame(
+        eval_rows, "doc_id long, payload binary"
+    )
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, payload binary"
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_audio(corpus, eval_clips).collect()
+    )
+    assert kept == [2, 3]
+    # the session CacheManager is left clean (the localCheckpoint'd
+    # ID set is RDD-level, outside the CacheManager by design)
+    assert cm.isEmpty(), "decontaminate_audio leaked persisted frames"

@@ -23,6 +23,7 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
     dedup_videos,
     video_candidates,
+    video_candidates_cross,
     with_frame_phashes,
 )
 
@@ -199,3 +200,86 @@ def test_constant_frames_survive_reencode_guard(spark):
     # 7 of the 12 live frames survive q85 bit-exact here, so the pair
     # sits BELOW the 0.5 it would show under a live-only denominator
     assert got[(0, 1)]["match_frac"] <= 12 / 16
+
+
+# ----------------------------- cross-table path / decontamination (r12)
+
+
+def test_video_candidates_cross_matches_self_join_pairs(spark):
+    """The cross-table frame-match → offset-vote chain finds exactly
+    the a-side↔b-side pairs the self-join finds (same match_frac,
+    negated offset) when the two tables partition one corpus."""
+    vid = make_video(1, n=16)
+    rows = [
+        (0, encode_avi(vid, codec="dib")),
+        (1, encode_avi(vid, codec="mjpg", quality=85)),
+        (2, encode_avi(vid[4:], codec="dib")),
+        (3, encode_avi(make_video(9, n=16), codec="dib")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = with_frame_phashes(df, "doc_id", "payload", every_n=2)
+    cross = {
+        (r["id_a"], r["id_b"]): (r["match_frac"], r["offset"])
+        for r in video_candidates_cross(
+            fh.filter("doc_id > 0"), fh.filter("doc_id = 0"),
+            "doc_id", min_match_frac=0.5,
+        ).collect()
+    }
+    selfj = {
+        (r["id_b"], r["id_a"]): (r["match_frac"], r["offset"])
+        for r in video_candidates(fh, "doc_id", min_match_frac=0.5).collect()
+        if r["id_a"] == 0
+    }
+    assert set(cross) == set(selfj)
+    for k, (frac, off) in cross.items():
+        assert frac == selfj[k][0]
+        assert off == -selfj[k][1]
+
+
+def test_video_candidates_cross_plan_no_cartesian(spark):
+    vid = make_video(1, n=8)
+    fh = with_frame_phashes(
+        spark.createDataFrame(
+            [(0, encode_avi(vid, codec="dib"))], "doc_id long, payload binary"
+        ),
+        "doc_id", "payload", every_n=2,
+    )
+    for mh in (0, 2):
+        plan = (
+            video_candidates_cross(fh, fh, "doc_id", max_hamming=mh)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_videos(spark):
+    """Video decontamination: corpus clips that are re-encodes /
+    head-trims of EVAL footage drop; unrelated clips survive; the
+    session CacheManager is left clean."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        decontaminate_videos,
+    )
+
+    v1, v2 = make_video(1, n=16), make_video(2, n=16)
+    eval_videos = spark.createDataFrame(
+        [(100, encode_avi(v1, codec="dib")), (101, encode_avi(v2, codec="dib"))],
+        "doc_id long, payload binary",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, encode_avi(v1, codec="mjpg", quality=85)),  # eval twin
+            (1, encode_avi(v2[4:], codec="dib")),           # eval twin (trim)
+            (2, encode_avi(make_video(7, n=16), codec="dib")),  # clean
+            (3, encode_avi(make_video(8, n=16), codec="dib")),  # clean
+        ],
+        "doc_id long, payload binary",
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_videos(corpus, eval_videos, every_n=2).collect()
+    )
+    assert kept == [2, 3]
+    assert cm.isEmpty(), "decontaminate_videos leaked persisted frames"
