@@ -383,20 +383,24 @@ def audio_candidates_cross(
     ber_max: float = 0.25,
     min_overlap_frames: int = 10,
     max_word_df: int | None = None,
+    broadcast_b: bool = True,
 ) -> DataFrame:
     """Cross-table near-dup audio pairs: same probe-vote-verify chain
     as :func:`audio_candidates`, but between TWO fingerprint tables
-    (id_a from ``fps_a``, id_b from ``fps_b``) — the decontamination
-    / incremental-ingest join shape, where ``fps_b`` is the small
-    side (eval set, accepted state) and broadcasts through both the
-    probe join and the verify join. No ``id_a < id_b`` ordering: the
-    sides are distinct tables and every (a, b) hit matters.
+    (id_a from ``fps_a``, id_b from ``fps_b``). No ``id_a < id_b``
+    ordering: the sides are distinct tables and every (a, b) hit
+    matters. ``broadcast_b`` (default on) marks ``fps_b`` as the
+    small side — the eval set in decontamination — broadcasting it
+    through both the probe join and the verify join; pass False when
+    neither side is broadcast-small (e.g. accepted-state tables,
+    which ride the keyed shuffle instead).
 
     ``max_word_df`` defaults OFF here (contrast the self-join's
     default-on): the cross shape's worst bucket is
-    df_a(w)·df_b(w) — bounded by the SMALL side's length, not the
-    corpus — and in decontamination a dropped word can only cost
-    recall, which is the one property the pass exists for."""
+    df_a(w)·df_b(w) — bounded by the SMALLER side's occurrences, not
+    the corpus squared — and in decontamination a dropped word can
+    only cost recall, which is the one property the pass exists
+    for."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
@@ -409,7 +413,9 @@ def audio_candidates_cross(
     ex_b = _exploded_words(fps_b, id_col, max_word_df).select(
         F.col("v"), F.col(id_col).alias("id_b"), F.col("idx").alias("idx_b")
     )
-    matched = ex_a.join(F.broadcast(ex_b), "v").select(
+    matched = ex_a.join(
+        F.broadcast(ex_b) if broadcast_b else ex_b, "v"
+    ).select(
         "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
     )
     best = vote_best_offset(matched).filter(
@@ -418,7 +424,7 @@ def audio_candidates_cross(
     fa = fps_a.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
     fb = fps_b.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
     return _ber_verify(
-        best, fa, fb, ber_max, min_overlap_frames, broadcast_b=True
+        best, fa, fb, ber_max, min_overlap_frames, broadcast_b=broadcast_b
     )
 
 

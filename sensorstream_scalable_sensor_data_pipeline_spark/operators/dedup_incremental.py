@@ -344,3 +344,252 @@ def ingest_image_batch(
         return accepted
     finally:
         hashes.unpersist()
+
+
+# ------------------------------------------ incremental AUDIO ingest
+
+
+def read_audio_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The accepted audio-fingerprint table (committed batches only),
+    or None before the first successful audio ingest. One
+    (doc_id, fp array<int>) row per accepted clip."""
+    root = posixpath.join(state_dir, "audio_fps")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def ingest_audio_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    ber_max: float = 0.25,
+    min_probe_frames: int = 2,
+    batch_id: str | None = None,
+    max_word_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate AUDIO ingest — the Haitsma–Kalker
+    generalization of :func:`ingest_batch` / :func:`ingest_image_batch`,
+    under the SAME two-dir crash-consistency protocol (stage
+    survivors first, commit fingerprints second, ``_SUCCESS``-gated
+    state reads):
+
+    * within the batch: near-dup clusters (probe-vote + aligned-BER,
+      operators/audio_fp.py) collapse to the min-id survivor;
+    * against history: a new clip matching ANY accepted clip's
+      fingerprint sequence is rejected — the cross-table chain with
+      ``broadcast_b=False``: a daily batch's probe-word explode is
+      itself megabytes (~110 words × 20 B per clip), so BOTH sides
+      ride the keyed equi-join on the 32-bit word value instead of a
+      broadcast; history always wins, exactly the ``ingest_batch``
+      semantics.
+
+    State stores one (fp sequence, id) row per accepted clip —
+    ~4 bytes per fingerprint frame (≈0.5 KB for a 2 s clip, and
+    linear in duration), orders smaller than the payloads but NOT
+    the 16-byte-per-row image state: the honest audio-state cost is
+    the fingerprint sequence, because near-dup matching needs the
+    aligned frames, not just a scalar hash.
+
+    ``max_word_df`` defaults OFF: the cross join is batch×state
+    bilinear per shared word — bounded by the batch side — and a
+    dropped word on the ingest path costs recall (a duplicate slips
+    into the corpus silently). Enable it when real hub words
+    (jingles, loops) make the probe exchange unpayable, the same
+    measured tradeoff as ``dedup_audio``'s default-on guard.
+
+    Same resumability contract as :func:`ingest_batch`: pass a
+    stable ``batch_id`` to make a crashed run resumable; omit it for
+    pure content semantics."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        audio_candidates,
+        audio_candidates_cross,
+        with_audio_fingerprint,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        dup_components,
+    )
+
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex
+    staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
+    fp_dir = posixpath.join(state_dir, "audio_fps", f"batch={bid}")
+
+    def _staged(schema: StructType) -> DataFrame:
+        return spark.read.schema(schema).parquet(staged_dir)
+
+    fs, _ = _fs(spark, state_dir)
+    fp_success = _fs(spark, posixpath.join(fp_dir, "_SUCCESS"))[1]
+    if batch_id is not None and fs.exists(fp_success):
+        return _staged(batch.schema)  # fully committed — resume
+
+    # fingerprint once, persist: the within-batch self-join reads both
+    # sides and the cross-state join reads it again (same rationale as
+    # dedup_audio; dup_components' convergence actions materialize it)
+    fps = with_audio_fingerprint(batch, id_col, binary_col).persist()
+    try:
+        pairs = audio_candidates(
+            fps,
+            "doc_id",
+            min_probe_frames=min_probe_frames,
+            ber_max=ber_max,
+            max_word_df=max_word_df,
+        )
+        comp = dup_components(pairs)
+        losers = comp.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
+        within = fps.join(losers, "doc_id", "left_anti")
+
+        state = read_audio_state(spark, state_dir)
+        if state is not None:
+            hits = audio_candidates_cross(
+                within,
+                state,
+                "doc_id",
+                min_probe_frames=min_probe_frames,
+                ber_max=ber_max,
+                max_word_df=max_word_df,
+                broadcast_b=False,
+            )
+            rejected = hits.select(F.col("id_a").alias("doc_id")).distinct()
+            fresh = within.join(rejected, "doc_id", "left_anti")
+        else:
+            fresh = within
+
+        # 1) stage survivors BEFORE any state mutation
+        batch.join(
+            fresh.select(F.col("doc_id").alias(id_col)), id_col
+        ).write.mode("overwrite").parquet(staged_dir)
+        accepted = _staged(batch.schema)
+
+        # 2) commit fingerprints keyed by the STAGED doc ids — the
+        #    persisted fingerprint table joins against the staged
+        #    files, so state records only durable docs and the FFT
+        #    never re-runs (the image path's review-found doctrine)
+        fps.join(
+            accepted.select(F.col(id_col).alias("doc_id")), "doc_id"
+        ).select("doc_id", "fp").write.mode("overwrite").parquet(fp_dir)
+        return accepted
+    finally:
+        fps.unpersist()
+
+
+# ------------------------------------------ incremental VIDEO ingest
+
+
+def read_video_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The accepted frame-hash table (committed batches only), or
+    None before the first successful video ingest. One
+    (doc_id, frame_idx, phash) row per SAMPLED frame of each accepted
+    clip — NULL-hash rows (degenerate constant frames) are stored
+    too: they never join, but they keep the match_frac denominator at
+    the full sampled count."""
+    root = posixpath.join(state_dir, "frame_phashes")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def ingest_video_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    every_n: int = 4,
+    min_match_frac: float = 0.5,
+    max_hamming: int = 0,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate VIDEO ingest — the frame-sampled
+    generalization of :func:`ingest_batch`, completing the
+    incremental family across modalities (text / image / audio /
+    video), under the SAME two-dir crash-consistency protocol (stage
+    survivors first, commit frame hashes second, ``_SUCCESS``-gated
+    state reads):
+
+    * within the batch: offset-consistent near-dup clusters
+      (operators/video_dedup.py) collapse to the min-id survivor;
+    * against history: a new clip whose frames match ANY accepted
+      clip at one consistent offset covering ≥ ``min_match_frac`` of
+      the shorter clip is rejected — the cross-table chain with
+      ``broadcast_b=False`` (the state's frame table is corpus-sized;
+      both sides ride the keyed equi-join on the 8-byte frame hash);
+      history always wins.
+
+    State stores the SAMPLED frame hashes per accepted clip —
+    ~8 bytes per sampled frame plus the NULL degenerate rows, linear
+    in footage; pixels never enter state and never shuffle. Same
+    resumability contract as :func:`ingest_batch`."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        dup_components,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        video_candidates,
+        video_candidates_cross,
+        with_frame_phashes,
+    )
+
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex
+    staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
+    fh_dir = posixpath.join(state_dir, "frame_phashes", f"batch={bid}")
+
+    def _staged(schema: StructType) -> DataFrame:
+        return spark.read.schema(schema).parquet(staged_dir)
+
+    fs, _ = _fs(spark, state_dir)
+    fh_success = _fs(spark, posixpath.join(fh_dir, "_SUCCESS"))[1]
+    if batch_id is not None and fs.exists(fh_success):
+        return _staged(batch.schema)  # fully committed — resume
+
+    # hash frames once, persist: the within-batch self-join reads both
+    # sides and the cross-state join reads it again (decode is the
+    # expensive stage; dup_components' convergence actions materialize)
+    fh = with_frame_phashes(batch, id_col, binary_col, every_n).persist()
+    try:
+        pairs = video_candidates(
+            fh, "doc_id",
+            min_match_frac=min_match_frac, max_hamming=max_hamming,
+        )
+        comp = dup_components(pairs)
+        losers = comp.filter(F.col("rep") != F.col("doc_id")).select("doc_id")
+        within = fh.join(losers, "doc_id", "left_anti")
+
+        state = read_video_state(spark, state_dir)
+        if state is not None:
+            hits = video_candidates_cross(
+                within,
+                state.select("doc_id", "frame_idx", "phash"),
+                "doc_id",
+                min_match_frac=min_match_frac,
+                max_hamming=max_hamming,
+                broadcast_b=False,
+            )
+            rejected = hits.select(F.col("id_a").alias("doc_id")).distinct()
+            fresh_ids = (
+                within.select("doc_id").distinct()
+                .join(rejected, "doc_id", "left_anti")
+            )
+        else:
+            fresh_ids = within.select("doc_id").distinct()
+
+        # 1) stage survivors BEFORE any state mutation
+        batch.join(
+            fresh_ids.select(F.col("doc_id").alias(id_col)), id_col
+        ).write.mode("overwrite").parquet(staged_dir)
+        accepted = _staged(batch.schema)
+
+        # 2) commit frame hashes keyed by the STAGED doc ids — the
+        #    persisted frame table joins against the staged files, so
+        #    state records only durable clips and the decode+DCT
+        #    never re-runs
+        fh.join(
+            accepted.select(F.col(id_col).alias("doc_id")), "doc_id"
+        ).select("doc_id", "frame_idx", "phash").write.mode(
+            "overwrite"
+        ).parquet(fh_dir)
+        return accepted
+    finally:
+        fh.unpersist()

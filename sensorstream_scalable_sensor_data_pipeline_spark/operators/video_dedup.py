@@ -237,15 +237,18 @@ def video_candidates_cross(
     id_col: str = "doc_id",
     min_match_frac: float = 0.5,
     max_hamming: int = 0,
+    broadcast_b: bool = True,
 ) -> DataFrame:
     """Cross-table near-dup video pairs: the same frame-match →
     offset-vote → shorter-clip-fraction chain as
     :func:`video_candidates`, but between TWO frame-hash tables
-    (id_a from ``frames_a``, id_b from ``frames_b``) — the
-    decontamination join shape, where ``frames_b`` is the small side
-    (eval set) and broadcasts through the frame join. No
+    (id_a from ``frames_a``, id_b from ``frames_b``). No
     ``id_a < id_b`` ordering: the sides are distinct tables and
-    every (a, b) hit matters."""
+    every (a, b) hit matters. ``broadcast_b`` (default on) marks
+    ``frames_b`` as the small side — the eval set in decontamination
+    — broadcasting it through the frame join; pass False when
+    neither side is broadcast-small (accepted-state tables ride the
+    keyed shuffle instead)."""
     if not (0.0 < min_match_frac <= 1.0):
         raise ValueError("min_match_frac must be in (0, 1]")
     if max_hamming < 0:
@@ -257,7 +260,7 @@ def video_candidates_cross(
         F.count(F.lit(1)).alias("n_frames")
     )
     matched = _frame_matches(
-        frames_a, frames_b, max_hamming, id_col, broadcast_b=True
+        frames_a, frames_b, max_hamming, id_col, broadcast_b=broadcast_b
     )
     return _score_offset_votes(
         matched, lens_a, lens_b, id_col, min_match_frac

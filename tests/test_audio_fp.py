@@ -319,3 +319,63 @@ def test_decontaminate_audio(spark):
     # the session CacheManager is left clean (the localCheckpoint'd
     # ID set is RDD-level, outside the CacheManager by design)
     assert cm.isEmpty(), "decontaminate_audio leaked persisted frames"
+
+
+def test_ingest_audio_batch_incremental(spark, tmp_path):
+    """Incremental audio ingest: within-batch near-dup clusters
+    collapse to min-id; a later batch re-delivering a variant of
+    ACCEPTED audio accepts nothing for it (history wins); genuinely
+    new clips accept; resuming a committed batch_id returns the
+    staged survivors without recompute."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_audio_batch,
+        read_audio_state,
+    )
+
+    sdir = str(tmp_path / "audiostate")
+    clip_a, clip_b, clip_c = make_clip(1), make_clip(2), make_clip(3)
+    vs_a = variants(clip_a)
+    b1 = spark.createDataFrame(
+        [
+            (0, encode_wav(clip_a, RATE)),
+            (1, encode_wav(vs_a["gain05"], RATE)),  # in-batch dup of 0
+            (2, encode_wav(clip_b, RATE)),
+        ],
+        "doc_id long, payload binary",
+    )
+    a1 = sorted(
+        r["doc_id"]
+        for r in ingest_audio_batch(spark, b1, sdir, batch_id="b1").collect()
+    )
+    assert a1 == [0, 2]
+    assert read_audio_state(spark, sdir).count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, encode_wav(vs_a["pad10hop"], RATE)),  # variant of accepted 0
+            (11, encode_wav(clip_c, RATE)),             # new
+            (12, encode_wav((clip_c * 0.5).astype(np.int16), RATE)),  # dup of 11
+        ],
+        "doc_id long, payload binary",
+    )
+    a2 = sorted(
+        r["doc_id"]
+        for r in ingest_audio_batch(spark, b2, sdir, batch_id="b2").collect()
+    )
+    assert a2 == [11]
+    assert read_audio_state(spark, sdir).count() == 3
+
+    # resume: committed batch returns staged rows, state unchanged
+    again = sorted(
+        r["doc_id"]
+        for r in ingest_audio_batch(spark, b2, sdir, batch_id="b2").collect()
+    )
+    assert again == [11]
+    assert read_audio_state(spark, sdir).count() == 3
+
+    # pure content semantics: re-delivering accepted content under a
+    # fresh id accepts nothing
+    b3 = spark.createDataFrame(
+        [(20, encode_wav(clip_b, RATE))], "doc_id long, payload binary"
+    )
+    assert ingest_audio_batch(spark, b3, sdir).collect() == []

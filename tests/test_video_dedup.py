@@ -283,3 +283,67 @@ def test_decontaminate_videos(spark):
     )
     assert kept == [2, 3]
     assert cm.isEmpty(), "decontaminate_videos leaked persisted frames"
+
+
+def test_ingest_video_batch_incremental(spark, tmp_path):
+    """Incremental video ingest: within-batch near-dup clusters
+    collapse to min-id; a later batch re-delivering a re-encode or
+    head-trim of ACCEPTED footage accepts nothing for it (history
+    wins); genuinely new clips accept; resuming a committed batch_id
+    returns the staged survivors without recompute."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_video_batch,
+        read_video_state,
+    )
+
+    sdir = str(tmp_path / "vidstate")
+    v_a, v_b, v_c = make_video(1, n=16), make_video(2, n=16), make_video(3, n=16)
+    b1 = spark.createDataFrame(
+        [
+            (0, encode_avi(v_a, codec="dib")),
+            (1, encode_avi(v_a, codec="mjpg", quality=85)),  # in-batch dup of 0
+            (2, encode_avi(v_b, codec="dib")),
+        ],
+        "doc_id long, payload binary",
+    )
+    a1 = sorted(
+        r["doc_id"]
+        for r in ingest_video_batch(
+            spark, b1, sdir, every_n=2, batch_id="b1"
+        ).collect()
+    )
+    assert a1 == [0, 2]
+    assert read_video_state(spark, sdir).select("doc_id").distinct().count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, encode_avi(v_a[4:], codec="dib")),  # head-trim of accepted 0
+            (11, encode_avi(v_c, codec="dib")),       # new
+            (12, encode_avi(v_c, codec="mjpg", quality=85)),  # dup of 11
+        ],
+        "doc_id long, payload binary",
+    )
+    a2 = sorted(
+        r["doc_id"]
+        for r in ingest_video_batch(
+            spark, b2, sdir, every_n=2, batch_id="b2"
+        ).collect()
+    )
+    assert a2 == [11]
+    assert read_video_state(spark, sdir).select("doc_id").distinct().count() == 3
+
+    # resume: committed batch returns staged rows, state unchanged
+    again = sorted(
+        r["doc_id"]
+        for r in ingest_video_batch(
+            spark, b2, sdir, every_n=2, batch_id="b2"
+        ).collect()
+    )
+    assert again == [11]
+
+    # pure content semantics: re-delivering accepted content under a
+    # fresh id accepts nothing
+    b3 = spark.createDataFrame(
+        [(20, encode_avi(v_b, codec="dib"))], "doc_id long, payload binary"
+    )
+    assert ingest_video_batch(spark, b3, sdir, every_n=2).collect() == []
