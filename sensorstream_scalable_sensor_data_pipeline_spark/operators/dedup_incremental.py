@@ -55,6 +55,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+    MAX_WORD_DF as _AUDIO_MAX_WORD_DF,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup import (
     key_dedup_deterministic,
 )
@@ -369,7 +372,7 @@ def ingest_audio_batch(
     ber_max: float = 0.25,
     min_probe_frames: int = 2,
     batch_id: str | None = None,
-    max_word_df: int | None = None,
+    max_word_df: int | None = _AUDIO_MAX_WORD_DF,
 ) -> DataFrame:
     """Incremental near-duplicate AUDIO ingest — the Haitsma–Kalker
     generalization of :func:`ingest_batch` / :func:`ingest_image_batch`,
@@ -394,12 +397,14 @@ def ingest_audio_batch(
     the fingerprint sequence, because near-dup matching needs the
     aligned frames, not just a scalar hash.
 
-    ``max_word_df`` defaults OFF: the cross join is batch×state
-    bilinear per shared word — bounded by the batch side — and a
-    dropped word on the ingest path costs recall (a duplicate slips
-    into the corpus silently). Enable it when real hub words
-    (jingles, loops) make the probe exchange unpayable, the same
-    measured tradeoff as ``dedup_audio``'s default-on guard.
+    ``max_word_df`` defaults ON at ``dedup_audio``'s cap, applied to
+    BOTH joins: ingest is the incremental form of DEDUP (a dropped
+    hub word costs at most a duplicate slipping through — the same
+    accepted tradeoff as the one-shot default, pinned recall-neutral
+    on the planted corpus), not decontamination, and the
+    batch-squared within join plus an ever-growing state side carry
+    exactly the hub exposure the guard exists for. Pass ``None`` to
+    disable, same knob as the one-shot.
 
     Same resumability contract as :func:`ingest_batch`: pass a
     stable ``batch_id`` to make a crashed run resumable; omit it for

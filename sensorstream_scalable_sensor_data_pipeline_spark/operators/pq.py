@@ -465,10 +465,10 @@ def pq_topk(
     """Flat-PQ ADC top-k cosine — the FAISS ``IndexPQ`` tier: train
     the per-subspace codebook (or reuse ``codebook``), encode the
     corpus to m-byte codes + one stored ‖x̂‖², and score EVERY
-    candidate against the per-query LUT. A full scan, but over m
-    bytes per vector instead of the raw floats (~32× narrower than
-    the 64-dim float64 corpus at m=8) and each candidate costs m
-    array lookups + m adds — no per-dimension work. The coarse-pruned
+    candidate against the per-query LUT. A full scan, but over
+    ~m + 8 bytes per vector instead of the raw floats (~16× narrower
+    than the 64-dim float32 corpus at m=8) and each candidate costs
+    m array lookups + m adds — no per-dimension work. The coarse-pruned
     ``build_ivfpq_index``/``query_ivfpq_index`` pair is the 100 TB
     serving path; flat PQ is the right tier when the corpus fits a
     scan but raw vectors don't, and it is the registry-shaped face of
@@ -496,7 +496,7 @@ def pq_topk(
     )
     # query batches are broadcast-tiny by contract (plans/similarity
     # module doctrine) — the BNL join fans the scan out ×|batch| over
-    # 9-byte-ish rows, never the payload floats
+    # ~24-byte rows (m codes + n2 + id), never the raw vectors
     scored = (
         codes.crossJoin(F.broadcast(bq))
         .filter(F.col("vec_id") != F.col("query_id"))
