@@ -323,3 +323,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS agg_bucketed")
+
+
+def test_pq_adc_topk_plan_shape(spark, sf_dir):
+    """Flat-PQ serving plan contract (r13 rotation queue): no
+    CartesianProduct — the one nested-loop join is the DELIBERATE
+    broadcast of the tiny query batch (LUT + q_n2) against the m-byte
+    code scan, the same brute-force shape as sim_topk_cosine (the
+    encode pass upstream still reads embeddings once — it is the
+    scored join that touches only codes + n2)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
+        sim_pq_adc_topk,
+    )
+
+    df = sim_pq_adc_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the intended broadcast BNL
