@@ -519,6 +519,52 @@ def dedup_audio_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_video_recovery's oracle (QUEUED r16 — completes the
+#: planted-recovery registry trio: image r14, audio r15, video r16).
+#: _video_corpus emits one clip per documents row (doc_id = vid_id)
+#: and every vid_id ≡ 0 (mod 5), id > 0 is a format-level VARIANT of
+#: vid_id−1 (MJPEG-q85 re-encode or 4-frame head trim — the trim is a
+#: multiple of the every_n=2 sampling grid, so it matches at the
+#: exact negative offset), so perfect near-dup recovery keeps exactly
+#: the non-variant ids. Distinct seeds sit ≥ 14 bits apart per frame
+#: (synth_image entropy injection), so a radius-2 frame join has zero
+#: accidental merges; DuckDB derives the survivor count + id-sum from
+#: the documents table alone. The query runs ``max_hamming=2``
+#: DELIBERATELY: exact-value matching misses one sf0.01 variant
+#: (clip 470 — its q85 re-encode leaves only 2 of 6 sampled frames
+#: bit-exact, under the 0.5 vote), i.e. per-frame codec noise is a
+#: 1-2 bit phenomenon that the small-radius pigeonhole absorbs at
+#: ~zero cost (3 blocks × 21-bit keys, the measured 1.6× fuzzy rung)
+#: while exact equality is only ~83 % per frame ON AVERAGE with
+#: per-seed tails below the vote threshold.
+DEDUP_VIDEO_RECOVERY_ORACLE = r"""
+    SELECT count(*) AS n_kept, sum(doc_id) AS id_sum
+    FROM documents
+    WHERE NOT (doc_id % 5 = 0 AND doc_id > 0)
+    """
+
+
+def dedup_video_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-variant recovery for near-duplicate video dedup — the
+    registry-shaped form of the frame-sampled family (r16 rotation
+    queue): synthesize the deterministic planted AVI corpus, run the
+    full decode → frame-pHash → radius-2 pigeonhole frame join →
+    offset vote → closure → anti-join chain, and emit the survivor
+    count + id-sum the closed-form oracle predicts (see the oracle
+    comment for why the radius is 2, not exact-value)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        dedup_videos,
+    )
+
+    surv = dedup_videos(
+        _read_corpus(spark, sf_dir, "video", _video_corpus),
+        "doc_id", "payload", every_n=2, max_hamming=2,
+    )
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def dedup_video_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-rung head (r12, EXTRA_HEADS-only; r11 verdict task #7):
     video dedup in FUZZY frame-match mode — ``max_hamming=2`` routes

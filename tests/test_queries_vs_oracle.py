@@ -337,6 +337,23 @@ def test_queued_dedup_audio_recovery_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "dedup_audio_recovery")
 
 
+def test_queued_dedup_video_recovery_matches_oracle(spark, duck, sf_dir):
+    """r16 rotation-queue feasibility pin: the video near-dup recovery
+    query hash-matches its closed-form DuckDB oracle BEFORE taking a
+    registry slot — the planted AVI corpus structure (every vid_id ≡
+    0 mod 5 is a re-encode/head-trim variant of vid_id−1; distinct
+    seeds ≥ 14 bits apart per frame) makes perfect recovery a pure
+    function of the documents table."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        DEDUP_VIDEO_RECOVERY_ORACLE,
+        dedup_video_recovery,
+    )
+
+    sdf = dedup_video_recovery(spark, sf_dir).toPandas()
+    ddf = duck.sql(DEDUP_VIDEO_RECOVERY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "dedup_video_recovery")
+
+
 def test_queued_sim_pq_adc_topk_matches_oracle(spark, duck, sf_dir):
     """r13 rotation-queue feasibility pin: the flat-PQ ADC serving
     query hash-matches a DuckDB replay of the ENTIRE chain — codebook
