@@ -18,12 +18,17 @@ module split was designed for:
    separates true re-encodes from one coincidentally similar frame —
    e.g. two clips sharing a black frame).
 
-Frame matching is EXACT on the 64-bit pHash by default: a re-encode
-perturbs a frame's hash by ≤ a few bits, and across tens of sampled
-frames enough land bit-exact to dominate the vote (same argument as
-the audio probe); ``max_hamming > 0`` switches the frame join to the
-pigeonhole blocks for noisier transforms, with the same quadratic-
-bucket caveat documented in operators/phash.py.
+Frame matching is EXACT on the 64-bit pHash by default — the
+scan-cheap setting for byte-preserving duplicates — but exact
+matching is measured NOT recall-1.0 against lossy re-encodes: a q85
+MJPEG copy lands ~83 % of frames bit-exact ON AVERAGE, with
+per-seed tails where too few sampled frames survive the vote (r12,
+found by the recovery oracle). ``max_hamming=2`` absorbs the 1-2
+bit codec noise at the small-radius pigeonhole's near-free cost
+(measured 1.6× at 10× data); the dedup default stays 0 for the
+byte-preserving workload, decontamination defaults to 2 (recall is
+its purpose), and radii ≥ 8 inherit the image family's banded
+doctrine (operators/phash.py).
 
 Scale shape: decode+hash is an Arrow ``mapInPandas`` scan (frames
 never leave the executor as pixels — only 8-byte hashes shuffle);
@@ -274,13 +279,22 @@ def decontaminate_videos(
     binary_col: str = "payload",
     every_n: int = 4,
     min_match_frac: float = 0.5,
-    max_hamming: int = 0,
+    max_hamming: int = 2,
 ) -> DataFrame:
     """Drop corpus clips that are near-duplicates of any EVAL-set
     video — the video twin of phash.decontaminate_images /
     audio_fp.decontaminate_audio: training on benchmark footage
     contaminates every evaluation that uses it, and re-encoded /
     head-trimmed copies evade exact-hash checks.
+
+    ``max_hamming`` defaults to 2 HERE, unlike the dedup path's 0:
+    recall is the one property a decontamination pass exists for,
+    and exact-value frame matching is measured NOT recall-1.0
+    against lossy re-encodes (per-seed bit-exact-frame tails fall
+    under the vote threshold — see :func:`dedup_videos`); the
+    radius-2 pigeonhole absorbs the 1-2 bit codec noise at near-zero
+    cost. The same deliberate recall-first asymmetry as
+    ``decontaminate_images``' pigeonhole default.
 
     Pixels never leave the executors on either side — only 8-byte
     frame hashes join, with the eval side broadcast. Same lifecycle
@@ -325,7 +339,22 @@ def dedup_videos(
     offset-consistent vote, transitive closure, keep the min-id
     canonical per cluster. Frame-hash table persists across the
     self-join (the decode is the expensive stage); the loser-ID
-    anti-join broadcasts so video payloads never shuffle."""
+    anti-join broadcasts so video payloads never shuffle.
+
+    Choosing ``max_hamming`` — a WORKLOAD property, not a scale one
+    (contrast the image family's ``method="auto"``, which a corpus
+    count can size): exact-value frame matching (the 0 default) is
+    the scan-cheap setting for byte-preserving duplicates (container
+    remux, head/tail trims, re-wraps), but it is NOT recall-1.0
+    against lossy re-encodes — measured (r12): an MJPEG-q85 copy's
+    bit-exact frame rate is ~83 % on AVERAGE with per-seed tails
+    below the 0.5 vote (one sf0.01 planted variant kept only 2 of 6
+    sampled frames exact and survived). Codec noise is a 1-2 bit
+    per-frame phenomenon, so ``max_hamming=2`` restores recall at
+    the small-radius pigeonhole's near-free cost (3 blocks × 21-bit
+    keys, measured 1.6× at 10× data — no quadratic term at this
+    radius). Rule: re-encoded inputs → 2; byte-preserving inputs →
+    0; radii ≥ 8 would inherit the image family's banded doctrine."""
     fh = with_frame_phashes(videos, id_col, binary_col, every_n).persist()
     try:
         pairs = video_candidates(
