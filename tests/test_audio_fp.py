@@ -379,3 +379,18 @@ def test_ingest_audio_batch_incremental(spark, tmp_path):
         [(20, encode_wav(clip_b, RATE))], "doc_id long, payload binary"
     )
     assert ingest_audio_batch(spark, b3, sdir).collect() == []
+
+
+def test_decontaminate_audio_empty_eval_keeps_all(spark):
+    """Empty eval set → every corpus clip survives (the empty-side
+    probe join, the empty contaminated-ID materialization, and the
+    anti-join all compose to identity)."""
+    corpus = spark.createDataFrame(
+        [(0, encode_wav(make_clip(1), RATE)), (1, encode_wav(make_clip(2), RATE))],
+        "doc_id long, payload binary",
+    )
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_audio(corpus, empty).collect()
+    )
+    assert kept == [0, 1]

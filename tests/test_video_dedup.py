@@ -347,3 +347,21 @@ def test_ingest_video_batch_incremental(spark, tmp_path):
         [(20, encode_avi(v_b, codec="dib"))], "doc_id long, payload binary"
     )
     assert ingest_video_batch(spark, b3, sdir, every_n=2).collect() == []
+
+
+def test_decontaminate_videos_empty_eval_keeps_all(spark):
+    """Empty eval set → every corpus clip survives."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        decontaminate_videos,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, encode_avi(make_video(1, n=8), codec="dib"))],
+        "doc_id long, payload binary",
+    )
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    kept = [
+        r["doc_id"]
+        for r in decontaminate_videos(corpus, empty, every_n=2).collect()
+    ]
+    assert kept == [0]
