@@ -168,13 +168,20 @@ def p8_f7_regex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p9_p10_project_rename",
-    oracle="SELECT event_id, ts AS datetime, value AS sensor_value FROM events",
+#: p9_p10_project_rename's oracle, kept importable for the
+#: rotated-slot suite (rotated out in round 13 — rotation #5; its
+#: slot now carries sim_pq_adc_topk; projection mechanics stay
+#: driver-carried by s1_scan_project + the schema unit tests).
+P9_P10_PROJECT_RENAME_ORACLE = (
+    "SELECT event_id, ts AS datetime, value AS sensor_value FROM events"
 )
+
+
 def p9_p10_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/P10: drop keys + rename value column to output names
-    (main_pipeline.py:314-320)."""
+    (main_pipeline.py:314-320). Local-oracle since the r13 rotation
+    (tests/test_queries_vs_oracle.py::test_rotated_p9_p10_project_
+    rename_matches_oracle)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.drop("props", "event_type", "user_id")

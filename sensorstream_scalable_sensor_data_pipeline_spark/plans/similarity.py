@@ -717,14 +717,15 @@ SELECT query_id, nbr_id, cosine, rank FROM (
 """
 
 
+@query("sim_pq_adc_topk", oracle=SIM_PQ_ADC_TOPK_ORACLE)
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat-PQ ADC top-k over the embeddings table — the registry-
-    shaped face of the product-quantization tier (r13 rotation
-    queue; operators/pq.py::pq_topk). Train → encode → per-query LUT
-    → m-lookup ADC fold, all grid-integer exact; the oracle above
-    replays the whole chain, so one mis-trained centroid, one
-    mis-assigned code, or one out-of-order float add anywhere in the
-    PQ family breaks the value hash."""
+    shaped face of the product-quantization tier (registry slot since
+    the r13 rotation; operators/pq.py::pq_topk). Train → encode →
+    per-query LUT → m-lookup ADC fold, all grid-integer exact; the
+    oracle above replays the whole chain, so one mis-trained
+    centroid, one mis-assigned code, or one out-of-order float add
+    anywhere in the PQ family breaks the value hash."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -224,6 +224,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "funnel_match",
         "html_extract_corpus",
         "w3_session_window",
+        "sim_pq_adc_topk",
     } <= names
     assert not {
         "d1_dedup_deterministic",
@@ -234,6 +235,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "text_fingerprint",
         "mm_binary_metadata",
         "u1_u2_union_suite",
+        "p9_p10_project_rename",
     } & names
 
 
@@ -295,6 +297,21 @@ def test_rotated_u1_u2_union_suite_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "u1_u2_union_suite")
 
 
+def test_rotated_p9_p10_project_rename_matches_oracle(spark, duck, sf_dir):
+    """Rotated out in round 13 (rotation #5 — slot now carries
+    sim_pq_adc_topk); the drop+rename projection mechanics stay
+    locally oracle-pinned here and driver-carried by
+    s1_scan_project's projection plus the schema unit suite."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        P9_P10_PROJECT_RENAME_ORACLE,
+        p9_p10_project_rename,
+    )
+
+    sdf = p9_p10_project_rename(spark, sf_dir).toPandas()
+    ddf = duck.sql(P9_P10_PROJECT_RENAME_ORACLE).df()
+    assert_frames_match(sdf, ddf, "p9_p10_project_rename")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
@@ -354,12 +371,14 @@ def test_queued_dedup_video_recovery_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "dedup_video_recovery")
 
 
-def test_queued_sim_pq_adc_topk_matches_oracle(spark, duck, sf_dir):
-    """r13 rotation-queue feasibility pin: the flat-PQ ADC serving
-    query hash-matches a DuckDB replay of the ENTIRE chain — codebook
-    training (µ-grid Lloyd), encoding (grid-L2 argmin, ties to
-    smaller ci), stored ‖x̂‖², per-query LUT, and the fixed-order ADC
-    fold — bit for bit, including the cosine doubles."""
+def test_sim_pq_adc_topk_matches_oracle(spark, duck, sf_dir):
+    """Entered the 50-slot driver registry in round 13 (rotation #5);
+    this local pin predates that and stays as the second witness: the
+    flat-PQ ADC serving query hash-matches a DuckDB replay of the
+    ENTIRE chain — codebook training (µ-grid Lloyd), encoding
+    (grid-L2 argmin, ties to smaller ci), stored ‖x̂‖², per-query LUT,
+    and the fixed-order ADC fold — bit for bit, including the cosine
+    doubles."""
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.similarity import (
         SIM_PQ_ADC_TOPK_ORACLE,
         sim_pq_adc_topk,
