@@ -245,8 +245,18 @@ def audio_candidates(
     direction costs only join rows, never recall), the tiny hub list
     broadcasts, and a left-anti join drops those probe rows —
     bounding the join's worst bucket at ~max_word_df²/2 rows no
-    matter how adversarial the corpus (``None`` disables; the cap is
-    approximate within ~2×). Why sampled: an exact per-word count
+    matter how adversarial the corpus (``None`` disables). The cap
+    is STATISTICAL, not exact, and recall-biased toward catching
+    hubs: the cut sits at HALF the cap's expected sampled count, so
+    a word at exactly ``max_word_df`` occurrences is flagged w.p.
+    ≈0.96, one at HALF the cap w.p. ≈0.40 (P[Poisson(8) > 8]), and
+    one at a quarter w.p. ≈0.02 — i.e. the effective threshold is a
+    band around cap/2, deliberately: an over-drop costs only probe
+    rows (the BER verify and ``min_probe_frames`` vote tolerate
+    sparse probes), an under-drop costs the quadratic bucket.
+    Treat ``max_word_df`` as an order-of-magnitude knob (r12
+    ADVICE: "approximate within ~2x" means the half-cap drop band,
+    stated here exactly). Why sampled: an exact per-word count
     shuffles a row per distinct word — measured +38/+378 MB at
     sf0.1/sf1 for the HLL form of this guard, swamping what it
     saves on clean corpora. The vote is one groupBy; the BER join
@@ -285,42 +295,83 @@ def audio_candidates(
     return _ber_verify(best, fa, fb, ber_max, min_overlap_frames)
 
 
+def hub_sampling_params(max_word_df: int) -> tuple[int, int]:
+    """(rate_inv, cut) of the sampled heavy-hitter ``max_word_df``
+    guard — rate 1-in-(cap/16) concentrates true hubs while the
+    sampled aggregate's shuffle stays ~rate × the explode (trivial);
+    the cut sits at HALF the cap's expected sampled count (see
+    :func:`audio_candidates` for the exact drop-probability band).
+    ``rate_inv == 1`` (small caps) degenerates to the exact
+    occurrence count with an exact cut. Public because the
+    incremental ingest state (dedup_incremental.py) persists sampled
+    counts keyed by ``rate_inv`` and must reproduce the cut."""
+    rate_inv = max(1, max_word_df // 16)
+    cut = max_word_df if rate_inv == 1 else max(1, max_word_df // (2 * rate_inv))
+    return rate_inv, cut
+
+
+def _raw_words(fps: DataFrame, id_col: str) -> DataFrame:
+    """(id, idx, v) probe words with the degenerate-value drop:
+    sub-fingerprints of digital silence / constant tones (0 or -1 =
+    all-bits patterns) hub the join and carry no identity."""
+    ex = fps.select(F.col(id_col), F.posexplode("fp").alias("idx", "v"))
+    return ex.filter(~F.col("v").isin(0, -1))
+
+
+def sampled_word_counts(
+    fps: DataFrame, id_col: str, max_word_df: int
+) -> DataFrame:
+    """Per-word sampled occurrence counts ``(v, n_sampled)`` — the
+    PERSISTABLE half of the hub guard. Sampling is deterministic via
+    ``xxhash64(id, idx, 7)``, so counts taken over disjoint row sets
+    SUM to the counts over their union: the incremental ingest path
+    stores one count table per committed batch and aggregates them
+    instead of re-exploding the full state each ingest (r12
+    ADVICE)."""
+    rate_inv, _ = hub_sampling_params(max_word_df)
+    ex = _raw_words(fps, id_col)
+    sampled = ex if rate_inv == 1 else ex.filter(
+        F.pmod(F.xxhash64(id_col, "idx", F.lit(7)), F.lit(rate_inv)) == 0
+    )
+    return sampled.groupBy("v").agg(F.count("*").alias("n_sampled"))
+
+
+def hubs_from_counts(counts: DataFrame, max_word_df: int) -> DataFrame:
+    """Hub words ``(v)`` from (possibly pre-aggregated, possibly
+    multi-batch) sampled counts: sum per word, threshold at the cut.
+    ``hubs_from_counts(sampled_word_counts(fps, ...))`` is bit-equal
+    to the inline detection in :func:`_exploded_words`."""
+    _, cut = hub_sampling_params(max_word_df)
+    return (
+        counts.groupBy("v")
+        .agg(F.sum("n_sampled").alias("_n"))
+        .filter(F.col("_n") > cut)
+        .select("v")
+    )
+
+
 def _exploded_words(
-    fps: DataFrame, id_col: str, max_word_df: int | None
+    fps: DataFrame,
+    id_col: str,
+    max_word_df: int | None,
+    hubs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, idx, v) probe words from a fingerprint table, with the
     degenerate-word drop and (optionally) the sampled heavy-hitter
     ``max_word_df`` guard applied — the shared probe front end of the
     self-join (:func:`audio_candidates`) and cross-table
-    (:func:`audio_candidates_cross`) paths."""
-    ex = fps.select(
-        F.col(id_col), F.posexplode("fp").alias("idx", "v")
-    )
-    # drop degenerate values: sub-fingerprints of digital silence /
-    # constant tones (0 or -1 = all-bits patterns) hub the join
-    ex = ex.filter(~F.col("v").isin(0, -1))
+    (:func:`audio_candidates_cross`) paths. ``hubs`` short-circuits
+    detection with a precomputed hub-word table (the incremental
+    ingest path maintains one per state, so the ever-growing state
+    explode never re-aggregates)."""
+    ex = _raw_words(fps, id_col)
+    if hubs is not None:
+        return ex.join(F.broadcast(hubs), "v", "left_anti")
     if max_word_df is not None:
-        # sampled heavy-hitter detection, deterministic via xxhash64
-        # on (clip, frame): rate 1-in-(cap/16) concentrates true hubs
-        # while the sampled aggregate's shuffle is ~rate × the
-        # explode (trivial). rate_inv == 1 (small caps) degenerates
-        # to the exact occurrence count with an exact cut.
-        rate_inv = max(1, max_word_df // 16)
-        cut = (
-            max_word_df
-            if rate_inv == 1
-            else max(1, max_word_df // (2 * rate_inv))
+        detected = hubs_from_counts(
+            sampled_word_counts(fps, id_col, max_word_df), max_word_df
         )
-        sampled = ex if rate_inv == 1 else ex.filter(
-            F.pmod(F.xxhash64(id_col, "idx", F.lit(7)), F.lit(rate_inv)) == 0
-        )
-        hubs = (
-            sampled.groupBy("v")
-            .count()
-            .filter(F.col("count") > cut)
-            .select("v")
-        )
-        ex = ex.join(F.broadcast(hubs), "v", "left_anti")
+        ex = ex.join(F.broadcast(detected), "v", "left_anti")
     return ex
 
 
@@ -384,6 +435,7 @@ def audio_candidates_cross(
     min_overlap_frames: int = 10,
     max_word_df: int | None = None,
     broadcast_b: bool = True,
+    hubs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-table near-dup audio pairs: same probe-vote-verify chain
     as :func:`audio_candidates`, but between TWO fingerprint tables
@@ -400,7 +452,11 @@ def audio_candidates_cross(
     df_a(w)·df_b(w) — bounded by the SMALLER side's occurrences, not
     the corpus squared — and in decontamination a dropped word can
     only cost recall, which is the one property the pass exists
-    for."""
+    for. ``hubs_b`` (with ``max_word_df`` set) supplies a
+    PRECOMPUTED hub-word table for the b side — the incremental
+    ingest path maintains one per state so the corpus-sized state
+    explode is never re-aggregated per batch; the a side still
+    detects inline (a batch is small)."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
@@ -410,7 +466,12 @@ def audio_candidates_cross(
     ex_a = _exploded_words(fps_a, id_col, max_word_df).select(
         F.col("v"), F.col(id_col).alias("id_a"), F.col("idx").alias("idx_a")
     )
-    ex_b = _exploded_words(fps_b, id_col, max_word_df).select(
+    ex_b = _exploded_words(
+        fps_b,
+        id_col,
+        max_word_df,
+        hubs=hubs_b if max_word_df is not None else None,
+    ).select(
         F.col("v"), F.col(id_col).alias("id_b"), F.col("idx").alias("idx_b")
     )
     matched = ex_a.join(

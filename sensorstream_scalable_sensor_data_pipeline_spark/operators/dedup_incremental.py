@@ -363,6 +363,63 @@ def read_audio_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.option("basePath", root).parquet(*dirs)
 
 
+def _audio_word_count_dir(state_dir: str, rate_inv: int, bid: str) -> str:
+    """The sampled word-count table for one committed fingerprint
+    batch, keyed by the sampling rate in the PATH so a ``max_word_df``
+    change between ingests can never silently mix counts taken at
+    different rates — a stale-rate table is simply never listed."""
+    return posixpath.join(
+        state_dir, "word_counts", f"rate={rate_inv}", f"batch={bid}"
+    )
+
+
+def read_audio_hubs(
+    spark: SparkSession, state_dir: str, max_word_df: int | None
+) -> DataFrame | None:
+    """The maintained state-side hub-word table ``(v)`` for the
+    incremental audio ingest — the r12-ADVICE fix for per-ingest cost
+    that grew with total accepted history: instead of re-exploding
+    every accepted fingerprint sequence per batch, each committed
+    batch carries a tiny pre-aggregated sampled word-count table
+    (:func:`~...audio_fp.sampled_word_counts`; deterministic
+    per-(clip, frame) sampling makes per-batch counts SUM exactly to
+    the full-state counts), and hub detection reads those.
+
+    Self-healing: any committed fingerprint batch lacking its count
+    table at the CURRENT rate — a crash between the fp commit and the
+    count write, a resume short-circuit, or a ``max_word_df`` change
+    — gets its counts recomputed from the durable fingerprints and
+    rewritten here (a pure function of one batch, idempotent
+    overwrite). Returns None when state is empty or the guard is
+    off."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        hub_sampling_params,
+        hubs_from_counts,
+        sampled_word_counts,
+    )
+
+    if max_word_df is None:
+        return None
+    fp_dirs = _committed_batch_dirs(
+        spark, posixpath.join(state_dir, "audio_fps")
+    )
+    if not fp_dirs:
+        return None
+    rate_inv, _ = hub_sampling_params(max_word_df)
+    fs, _ = _fs(spark, state_dir)
+    count_dirs = []
+    for d in fp_dirs:
+        bid = d.rsplit("batch=", 1)[1]
+        wdir = _audio_word_count_dir(state_dir, rate_inv, bid)
+        wsuccess = _fs(spark, posixpath.join(wdir, "_SUCCESS"))[1]
+        if not fs.exists(wsuccess):
+            sampled_word_counts(
+                spark.read.parquet(d), "doc_id", max_word_df
+            ).write.mode("overwrite").parquet(wdir)
+        count_dirs.append(wdir)
+    return hubs_from_counts(spark.read.parquet(*count_dirs), max_word_df)
+
+
 def ingest_audio_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -404,7 +461,15 @@ def ingest_audio_batch(
     on the planted corpus), not decontamination, and the
     batch-squared within join plus an ever-growing state side carry
     exactly the hub exposure the guard exists for. Pass ``None`` to
-    disable, same knob as the one-shot.
+    disable, same knob as the one-shot. The STATE side's hub
+    detection is INCREMENTAL (r12 ADVICE): each committed batch
+    persists a tiny pre-aggregated sampled word-count table
+    (``word_counts/rate=<rate_inv>/batch=<id>``) and
+    :func:`read_audio_hubs` sums those — per-ingest guard cost is
+    O(batch + distinct sampled words), flat in accepted history,
+    instead of a groupBy over the full state explode; the hub SET is
+    bit-identical (deterministic per-(clip, frame) sampling sums
+    across batches).
 
     Same resumability contract as :func:`ingest_batch`: pass a
     stable ``batch_id`` to make a crashed run resumable; omit it for
@@ -448,6 +513,11 @@ def ingest_audio_batch(
 
         state = read_audio_state(spark, state_dir)
         if state is not None:
+            # state-side hubs come from the MAINTAINED per-batch
+            # count tables (read_audio_hubs) — identical hub set to
+            # inline detection (deterministic sampling sums across
+            # batches), without re-exploding the ever-growing state
+            # per ingest (r12 ADVICE)
             hits = audio_candidates_cross(
                 within,
                 state,
@@ -456,6 +526,7 @@ def ingest_audio_batch(
                 ber_max=ber_max,
                 max_word_df=max_word_df,
                 broadcast_b=False,
+                hubs_b=read_audio_hubs(spark, state_dir, max_word_df),
             )
             rejected = hits.select(F.col("id_a").alias("doc_id")).distinct()
             fresh = within.join(rejected, "doc_id", "left_anti")
@@ -475,6 +546,22 @@ def ingest_audio_batch(
         fps.join(
             accepted.select(F.col(id_col).alias("doc_id")), "doc_id"
         ).select("doc_id", "fp").write.mode("overwrite").parquet(fp_dir)
+        # 3) maintain the hub-guard count table for THIS batch (tiny,
+        #    pre-aggregated) so the next ingest never re-explodes the
+        #    state; crash windows self-heal — read_audio_hubs
+        #    backfills any committed fp batch missing its counts
+        if max_word_df is not None:
+            from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+                hub_sampling_params,
+                sampled_word_counts,
+            )
+
+            rate_inv, _ = hub_sampling_params(max_word_df)
+            sampled_word_counts(
+                spark.read.parquet(fp_dir), "doc_id", max_word_df
+            ).write.mode("overwrite").parquet(
+                _audio_word_count_dir(state_dir, rate_inv, bid)
+            )
         return accepted
     finally:
         fps.unpersist()

@@ -387,13 +387,31 @@ def resolve_phash_method(
     never turn a call that worked under the old pigeonhole default
     into a ValueError (review-found). Callers passing
     ``method="banded"`` explicitly still get the raise — they asked
-    for a cost envelope pigeonhole cannot honor."""
+    for a cost envelope pigeonhole cannot honor.
+
+    Resolving to banded is a BEHAVIORAL switch for default-knob
+    callers — guaranteed recall 1.0 becomes a ≥0.95 sized target —
+    so it emits a ``RuntimeWarning`` naming both the corpus size that
+    tripped the budget and the pin-out (``method="pigeonhole"``) for
+    recall-critical callers (r12 ADVICE)."""
     if choose_phash_method(n_a, max_hamming, n_b, row_budget) == "pigeonhole":
         return "pigeonhole", None, None
     try:
         bands, bits = auto_banded_params(n_a, max_hamming, n_b=n_b)
     except ValueError:
         return "pigeonhole", None, None
+    import warnings
+
+    warnings.warn(
+        f"method='auto' resolved to banded LSH (corpus {n_a:,}"
+        + (f" x {n_b:,}" if n_b is not None else "")
+        + f" exceeds the ~{row_budget:.1e} candidate-row budget at "
+        f"hamming<={max_hamming}): recall drops from the pigeonhole "
+        "guarantee of 1.0 to a sized >=0.95 target at the bound; "
+        "recall-critical callers should pin method='pigeonhole'",
+        RuntimeWarning,
+        stacklevel=3,
+    )
     return "banded", bands, bits
 
 
@@ -495,6 +513,8 @@ def banded_hamming_matches(
     state table, where the pigeonhole bilinear term n_a·n_b·(b+1)/2^w
     explodes). Precision exact, recall = the banded collision
     probability at the bound. Returns (id_a, id_b, hamming)."""
+    if not (1 <= bits_per_band <= 62):
+        raise ValueError("bits_per_band must be in [1, 62]")
     specs = _banded_block_specs(hash_col, bands, bits_per_band, seed)
 
     def blocked(df: DataFrame, side: str) -> DataFrame:

@@ -477,7 +477,16 @@ def pq_topk(
     whole chain value-for-value.
 
     Returns (query_id, nbr_id, cosine, rank); ties rank by nbr_id.
-    """
+
+    SELF-EXCLUSION contract (family-wide, shared with the IVF
+    servers and the registry oracle): a candidate whose ``vec_id``
+    NUMERICALLY equals the row's ``query_id`` is excluded — the
+    convention assumes queries are drawn from the corpus (the
+    registry shape). If your queries come from a SEPARATE table whose
+    ``query_id`` namespace happens to overlap corpus ``vec_id``
+    values, re-key one side (e.g. offset the query ids) before
+    calling, or a legitimate corpus neighbor with the colliding id is
+    silently dropped from that query's top-k (r12 ADVICE)."""
     cb_list = (
         codebook if codebook is not None else train_pq(spark, emb, m=m, ksub=ksub)
     )

@@ -394,3 +394,99 @@ def test_decontaminate_audio_empty_eval_keeps_all(spark):
         r["doc_id"] for r in decontaminate_audio(corpus, empty).collect()
     )
     assert kept == [0, 1]
+
+def test_read_audio_hubs_matches_inline_detection(spark, tmp_path):
+    """The maintained per-batch word-count state (r12 ADVICE fix)
+    yields the BIT-IDENTICAL hub set to inline detection over the
+    unioned state: deterministic per-(clip, frame) sampling makes
+    per-batch counts sum exactly to full-state counts. Checked at
+    rate_inv == 1 (exact path, planted hub word crossing the cap
+    only when batches COMBINE) and rate_inv > 1 (sampled path)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        hubs_from_counts,
+        sampled_word_counts,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        read_audio_hubs,
+    )
+
+    sdir = str(tmp_path / "hubstate")
+    # word 777 appears 6x per batch (12 total, > cap 10 only combined);
+    # word 555 appears 2x total (never a hub); fillers unique
+    rows1 = [(i, [777] * 6 + [555] + list(range(100 + i * 50, 140 + i * 50))) for i in range(3)]
+    rows2 = [(10 + i, [777] * 6 + [555] + list(range(400 + i * 50, 440 + i * 50))) for i in range(3)]
+    b1 = spark.createDataFrame(rows1[:2], "doc_id long, fp array<int>")
+    b2 = spark.createDataFrame([rows1[2], *rows2], "doc_id long, fp array<int>")
+    b1.write.parquet(f"{sdir}/audio_fps/batch=h1")
+    b2.write.parquet(f"{sdir}/audio_fps/batch=h2")
+
+    for cap in (10, 1024):  # exact path (rate_inv=1) and sampled (64)
+        state = spark.read.parquet(
+            f"{sdir}/audio_fps/batch=h1", f"{sdir}/audio_fps/batch=h2"
+        )
+        inline = {
+            r["v"]
+            for r in hubs_from_counts(
+                sampled_word_counts(state, "doc_id", cap), cap
+            ).collect()
+        }
+        maintained = {
+            r["v"] for r in read_audio_hubs(spark, sdir, cap).collect()
+        }
+        assert maintained == inline
+    # the exact path saw the cross-batch hub; 555 never flagged
+    exact_hubs = {
+        r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()
+    }
+    assert 777 in exact_hubs and 555 not in exact_hubs
+    # both rates left their own count dirs; guard off returns None
+    import os
+
+    assert os.path.isdir(f"{sdir}/word_counts/rate=1/batch=h1")
+    assert os.path.isdir(f"{sdir}/word_counts/rate=64/batch=h2")
+    assert read_audio_hubs(spark, sdir, None) is None
+
+
+def test_read_audio_hubs_backfills_after_count_loss(spark, tmp_path):
+    """Self-healing: a committed fingerprint batch whose count table
+    is missing (crash between fp commit and count write, resume
+    short-circuit, rate change) gets its counts recomputed from the
+    durable fingerprints — same hub set, dirs restored."""
+    import shutil
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        read_audio_hubs,
+    )
+
+    sdir = str(tmp_path / "healstate")
+    rows = [(i, [42] * 8 + list(range(100 + i * 30, 120 + i * 30))) for i in range(2)]
+    spark.createDataFrame(rows, "doc_id long, fp array<int>").write.parquet(
+        f"{sdir}/audio_fps/batch=only"
+    )
+    before = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert before == {42}  # 16 occurrences > cap 10, exact path
+    shutil.rmtree(f"{sdir}/word_counts")
+    after = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert after == before
+    import os
+
+    assert os.path.isdir(f"{sdir}/word_counts/rate=1/batch=only")
+
+
+def test_ingest_audio_batch_maintains_word_counts(spark, tmp_path):
+    """ingest_audio_batch commits a per-batch sampled word-count
+    table alongside the fingerprints (default cap 1024 → rate dir
+    64), so the next ingest's state-side hub detection reads tiny
+    aggregated counts instead of re-exploding accepted history."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_audio_batch,
+    )
+
+    sdir = str(tmp_path / "wcstate")
+    b1 = spark.createDataFrame(
+        [(0, encode_wav(make_clip(1), RATE))], "doc_id long, payload binary"
+    )
+    ingest_audio_batch(spark, b1, sdir, batch_id="wc1")
+    assert os.path.exists(f"{sdir}/word_counts/rate=64/batch=wc1/_SUCCESS")

@@ -626,3 +626,38 @@ def test_dedup_phash_auto_infeasible_radius_still_works(spark):
         ).collect()
     )
     assert out == [0]
+
+
+def test_resolve_auto_banded_emits_recall_warning():
+    """Resolving method='auto' to banded is a behavioral switch
+    (guaranteed recall 1.0 -> sized >=0.95 target), so it must WARN
+    with the pin-out for recall-critical callers (r12 ADVICE);
+    resolving to pigeonhole — under budget or infeasible-radius
+    fallback — stays silent."""
+    import warnings
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        resolve_phash_method,
+    )
+
+    with pytest.warns(RuntimeWarning, match="pigeonhole"):
+        resolve_phash_method(8, 10**6)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        resolve_phash_method(8, 20_000)       # under budget
+        resolve_phash_method(11, 10**6)       # infeasible fallback
+
+
+def test_banded_hamming_matches_validates_bits_per_band(spark):
+    """banded_hamming_matches gets the same 1..62 bits_per_band guard
+    as phash_candidates_banded (r12 ADVICE): 63-64 would pack a key
+    into the sign bit; >64 failed deep inside random.sample with an
+    unrelated error."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        banded_hamming_matches,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+    for bad in (0, 63, 65):
+        with pytest.raises(ValueError, match=r"\[1, 62\]"):
+            banded_hamming_matches(df, df, 4, bits_per_band=bad)
