@@ -164,6 +164,14 @@ HEADLINE = [
     "dedup_phash",
     "stream_funnel",
     "dedup_audio",
+    # Round 13 (r12 verdict task #2): the decontamination twins — the
+    # newest cross-table chains in the repo — promoted to standing
+    # heads so a plan regression is visible round-over-round; both
+    # assert their survivor count + id-sum against the planted closed
+    # form IN-HEAD. The 43 heads above are unchanged for
+    # comparability.
+    "decontaminate_audio",
+    "decontaminate_video",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -307,6 +315,18 @@ EXTRA_HEADS = {
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
         "curate_image_corpus_head",
     ),
+    # Round 13: the decontamination twins (HEADLINE; r12 verdict
+    # task #2) — cross-table audio probe-vote-verify and video
+    # frame-match-offset-vote against staged stride-50 eval sets,
+    # survivor counts asserted in-head.
+    "decontaminate_audio": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "decontaminate_audio_head",
+    ),
+    "decontaminate_video": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
+        "decontaminate_video_head",
+    ),
 }
 
 
@@ -387,6 +407,47 @@ def _stream_warmup(spark) -> None:
         shutil.rmtree(wdir, ignore_errors=True)
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (user+sys, live + reaped-dead) consumed by
+    THIS process and every descendant — the bench child's JVM and its
+    Python workers included. Deltas of this around the timed region
+    give a compute metric that is stable where wall breathes (r12
+    verdict task #3: the decode-dominated heads' warm wall varies
+    ±25-40 % across identical cold JVMs, wide enough to hide a real
+    1.3× regression; CPU-seconds is work, not wait). Python-side
+    decode work happens in Python WORKER processes, which Spark's own
+    ``executorCpuTime`` metric excludes (the task thread blocks on
+    the worker socket) — hence the process tree, not the REST API.
+    Dead-child CPU is captured via the parents' cutime/cstime (rolled
+    up at reap), live processes via their own utime/stime; a process
+    is never counted both ways."""
+    clk = os.sysconf("SC_CLK_TCK")
+    stats: dict[int, tuple[int, float]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue  # raced a process exit
+        ppid = int(rest[1])
+        cpu = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        ) / clk
+        stats[int(d)] = (ppid, cpu)
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in stats:
+            total += stats[p][1]
+            stack.extend(children.get(p, []))
+    return total
+
+
 def run_one(name: str) -> None:
     """Child mode: build a session, warm up, run the head's untimed
     setup hook (if any), time one query."""
@@ -420,6 +481,7 @@ def run_one(name: str) -> None:
     # sets are aggregate/top-k sized (≤ ~100k narrow rows), so driver
     # transfer is noise. Affected heads' r1-r8 numbers under-measure;
     # BENCH_r09 is the honest re-baseline (see COVERAGE.md).
+    cpu0 = _tree_cpu_seconds()
     df = fn(spark, SF_DIR)
     if os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE") == "count":
         # AUDIT-ONLY mode (scripts/audit_count_collect.py): reproduce
@@ -429,7 +491,8 @@ def run_one(name: str) -> None:
     else:
         rows = len(df.collect())
     dt = round(time.time() - t0, 3)
-    print(json.dumps({"query": name, "sec": dt, "rows": rows}))
+    cpu_s = round(_tree_cpu_seconds() - cpu0, 3)
+    print(json.dumps({"query": name, "sec": dt, "cpu_s": cpu_s, "rows": rows}))
     spark.stop()
 
 
@@ -502,24 +565,35 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    cpu: dict[str, float] = {}
+    cpu_samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         if _head_has_setup(name):
             _run_prepare_child(name)
-        secs, rows = [], None
+        secs, cpus, rows = [], [], None
         for _ in range(REPS):
             rec = _run_child(name)
             if rec is not None:
                 secs.append(rec["sec"])
+                cpus.append(rec.get("cpu_s"))
                 rows = rec["rows"]
         if not secs:
             continue
         med = sorted(secs)[len(secs) // 2]
         per_query[name] = med
         samples[name] = secs
+        cpus = [c for c in cpus if c is not None]
+        if cpus:
+            # CPU-seconds median: the compute metric that stays flat
+            # where wall breathes (decode-dominated heads' ±25-40 %
+            # band) — regressions in those heads are judged on THIS
+            cpu[name] = sorted(cpus)[len(cpus) // 2]
+            cpu_samples[name] = cpus
         total += med
         print(
-            f"  {name}: {med}s median of {secs} ({rows} rows)",
+            f"  {name}: {med}s median of {secs} ({rows} rows; "
+            f"cpu {cpu.get(name)}s of {cpus})",
             file=sys.stderr,
             flush=True,
         )
@@ -541,6 +615,8 @@ def main() -> None:
                 "queries": per_query,
                 "reps": REPS,
                 "samples": samples,
+                "cpu_seconds": cpu,
+                "cpu_samples": cpu_samples,
                 "sf": sf,
                 "cpus": CPUS,
                 "sf_dir": SF_DIR,

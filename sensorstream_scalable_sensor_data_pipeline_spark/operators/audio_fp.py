@@ -210,6 +210,7 @@ def audio_candidates(
     ber_max: float = 0.25,
     min_overlap_frames: int = 10,
     max_word_df: int | None = MAX_WORD_DF,
+    probe_stride: int = 1,
 ) -> DataFrame:
     """Near-dup audio pairs from (id, fp) fingerprint sequences —
     probe-then-verify, the paper's two levels as two joins.
@@ -260,15 +261,35 @@ def audio_candidates(
     shuffles a row per distinct word — measured +38/+378 MB at
     sf0.1/sf1 for the HLL form of this guard, swamping what it
     saves on clean corpora. The vote is one groupBy; the BER join
-    touches only voted candidates."""
+    touches only voted candidates.
+
+    ``probe_stride`` (r12 verdict task #4) probes only every k-th
+    frame's word on the PROBE side (``id_a``; the index side stays
+    COMPLETE, so matches at arbitrary offsets are still seen — stride
+    BOTH sides and only offsets ≡ 0 mod k could ever vote). The vote
+    for the true offset sees ~n_match/k hits instead of n_match;
+    planted variants carry tens-to-hundreds of bit-exact frames, so
+    recall holds at small strides (pinned identical at stride 2-4 on
+    the planted corpus) while the probe exchange's a-side bytes
+    divide by ~k. On the SELF-join shape both sides shuffle, so the
+    total exchange scales by (1 + 1/k)/2 — measured at sf1:
+    498 → 316 MB at stride 4, survivor set identical (the rung in
+    COVERAGE.md). The default stays 1: the exchange is linear and
+    ~40 % of one head's bytes was not worth a recall-margin trade by
+    default; raise it when the probe exchange is YOUR bottleneck."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
         raise ValueError("ber_max must be in (0, 0.5)")
     if max_word_df is not None and max_word_df < 1:
         raise ValueError("max_word_df must be positive (or None to disable)")
+    if probe_stride < 1:
+        raise ValueError("probe_stride must be >= 1")
     ex = _exploded_words(fps, id_col, max_word_df)
-    a = ex.select(
+    ex_a = ex if probe_stride == 1 else ex.filter(
+        F.col("idx") % probe_stride == 0
+    )
+    a = ex_a.select(
         F.col("v"),
         F.col(id_col).alias("id_a"),
         F.col("idx").alias("idx_a"),
@@ -436,6 +457,7 @@ def audio_candidates_cross(
     max_word_df: int | None = None,
     broadcast_b: bool = True,
     hubs_b: DataFrame | None = None,
+    probe_stride: int = 1,
 ) -> DataFrame:
     """Cross-table near-dup audio pairs: same probe-vote-verify chain
     as :func:`audio_candidates`, but between TWO fingerprint tables
@@ -456,14 +478,21 @@ def audio_candidates_cross(
     PRECOMPUTED hub-word table for the b side — the incremental
     ingest path maintains one per state so the corpus-sized state
     explode is never re-aggregated per batch; the a side still
-    detects inline (a batch is small)."""
+    detects inline (a batch is small). ``probe_stride`` strides the
+    a (probe) side's frames like :func:`audio_candidates` — the b
+    (index) side stays complete so arbitrary offsets still vote."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
         raise ValueError("ber_max must be in (0, 0.5)")
     if max_word_df is not None and max_word_df < 1:
         raise ValueError("max_word_df must be positive (or None to disable)")
-    ex_a = _exploded_words(fps_a, id_col, max_word_df).select(
+    if probe_stride < 1:
+        raise ValueError("probe_stride must be >= 1")
+    ex_a0 = _exploded_words(fps_a, id_col, max_word_df)
+    if probe_stride > 1:
+        ex_a0 = ex_a0.filter(F.col("idx") % probe_stride == 0)
+    ex_a = ex_a0.select(
         F.col("v"), F.col(id_col).alias("id_a"), F.col("idx").alias("idx_a")
     )
     ex_b = _exploded_words(
@@ -526,6 +555,13 @@ def decontaminate_audio(
 
     fps_c = with_audio_fingerprint(corpus, id_col, binary_col).persist()
     fps_e = with_audio_fingerprint(eval_clips, id_col, binary_col).persist()
+    # eager cache materialization: the probe explode and the BER
+    # verify's frame-table scan are independent map stages of one
+    # action; scheduled concurrently against an unpopulated cache
+    # they EACH run the FFT chain (the video twin measured the
+    # duplicate decode at 2-5x CPU — see decontaminate_videos)
+    fps_c.count()
+    fps_e.count()
     hits = audio_candidates_cross(
         fps_c,
         fps_e,
@@ -550,6 +586,7 @@ def dedup_audio(
     ber_max: float = 0.25,
     min_probe_frames: int = 2,
     max_word_df: int | None = MAX_WORD_DF,
+    probe_stride: int = 1,
 ) -> DataFrame:
     """End-to-end near-duplicate AUDIO dedup: fingerprint every WAV
     payload, probe-vote candidates, aligned-BER verify, transitive
@@ -561,12 +598,17 @@ def dedup_audio(
     shuffle."""
     fps = with_audio_fingerprint(clips, id_col, binary_col).persist()
     try:
+        # eager cache materialization — the probe explode's two join
+        # sides are independent map stages that race an unpopulated
+        # cache into a duplicate FFT pass (see decontaminate_audio)
+        fps.count()
         pairs = audio_candidates(
             fps,
             "doc_id",
             min_probe_frames=min_probe_frames,
             ber_max=ber_max,
             max_word_df=max_word_df,
+            probe_stride=probe_stride,
         )
         return drop_near_duplicates(
             clips, pairs, id_col=id_col, broadcast_losers=True

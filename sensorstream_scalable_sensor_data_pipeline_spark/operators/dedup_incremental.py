@@ -175,6 +175,115 @@ def ingest_batch(
     return accepted
 
 
+# ----------------------------------------------- state compaction
+
+#: State tables compact_state understands: table name → partition
+#: columns its batch dirs carry (must be preserved through the
+#: rewrite so prefix-co-located readers keep working).
+_STATE_TABLES = {
+    "fingerprints": ["fp_prefix"],
+    "phashes": ["fp_prefix"],
+    "audio_fps": [],
+    "frame_phashes": [],
+}
+
+
+def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
+    """Rewrite every committed batch dir of one state table into a
+    SINGLE batch dir and remove the superseded dirs (r12 verdict task
+    #5). ``read_*_state`` unions every committed batch, so a
+    daily-cadence deployment accumulates O(batches) parquet fragments
+    — at 1000 batches the image path's 16 B/row state becomes a
+    small-files scan problem, the reference's own X4 listing lesson
+    (main_pipeline.py:226-230) applied to state. Run this at
+    maintenance cadence (e.g. every N ingests), UNDER THE SAME RUN
+    LOCK as ingests (schedule.py) — the module contract already
+    serializes state writers.
+
+    Crash consistency, same _SUCCESS-gated reasoning as ingest:
+
+    * die mid-write: the compacted dir lacks ``_SUCCESS`` → invisible;
+      sources intact. Re-run overwrites the partial.
+    * die after the compacted dir commits, before/while deleting
+      sources: readers see DUPLICATE state rows — harmless for
+      matching (state is a set: anti-joins ignore duplicates, the
+      fuzzy paths collapse them in their pair aggregations) and never
+      a loss; the next compaction's ``distinct()`` collapses them
+      permanently (self-healing, so compaction is idempotent at any
+      crash point).
+
+    The compacted dir's name hashes its source listing, so a crashed
+    attempt that partially deleted sources produces a NEW compaction
+    id on re-run (the stale compacted dir is just another source).
+    For ``audio_fps``, count tables under ``word_counts/`` whose
+    batch no longer exists are removed too; the compacted batch's
+    counts regenerate on the next :func:`read_audio_hubs` call from
+    its durable fingerprints (the backfill path).
+
+    Returns the number of source batch dirs rewritten (0 = nothing to
+    do: fewer than two committed dirs)."""
+    import hashlib
+
+    if table not in _STATE_TABLES:
+        raise ValueError(
+            f"table must be one of {sorted(_STATE_TABLES)} (got {table!r})"
+        )
+    root = posixpath.join(state_dir, table)
+    dirs = _committed_batch_dirs(spark, root)
+    if len(dirs) < 2:
+        return 0
+    cid = "compact-" + hashlib.sha256(
+        "|".join(dirs).encode()
+    ).hexdigest()[:12]
+    out_dir = posixpath.join(root, f"batch={cid}")
+    # drop the batch= partition column the basePath read surfaces —
+    # it is dir metadata, not state, and keeping it would defeat the
+    # self-healing distinct (a row duplicated across a crashed
+    # compaction's old and new dirs differs ONLY in batch)
+    df = (
+        spark.read.option("basePath", root).parquet(*dirs)
+        .drop("batch")
+        .distinct()
+    )
+    parts = _STATE_TABLES[table]
+    writer = df.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(out_dir)
+
+    fs, _ = _fs(spark, state_dir)
+    for d in dirs:
+        if d != out_dir:  # a prior crashed compaction can be a source
+            fs.delete(_fs(spark, d)[1], True)
+    if table == "audio_fps":
+        _prune_stale_word_counts(spark, state_dir)
+    return len(dirs)
+
+
+def _prune_stale_word_counts(spark: SparkSession, state_dir: str) -> None:
+    """Remove ``word_counts/rate=*/batch=*`` dirs whose fingerprint
+    batch no longer exists (superseded by compaction) — they are
+    never read (read_audio_hubs maps FROM the fp listing), this is
+    pure small-files hygiene."""
+    live = {
+        d.rsplit("batch=", 1)[1]
+        for d in _committed_batch_dirs(
+            spark, posixpath.join(state_dir, "audio_fps")
+        )
+    }
+    wc_root = posixpath.join(state_dir, "word_counts")
+    fs, jroot = _fs(spark, wc_root)
+    if not fs.exists(jroot):
+        return
+    for rate_st in fs.listStatus(jroot):
+        if not rate_st.isDirectory():
+            continue
+        for batch_st in fs.listStatus(rate_st.getPath()):
+            name = batch_st.getPath().getName()
+            if name.startswith("batch=") and name[6:] not in live:
+                fs.delete(batch_st.getPath(), True)
+
+
 # ------------------------------------------ incremental IMAGE ingest
 
 
@@ -276,9 +385,13 @@ def ingest_image_batch(
         # call got k sized for a 2-row corpus). The batch count
         # materializes the persist it was paying for anyway; the
         # state count is a parquet-metadata count.
-        n_batch = n_state = None
+        # the batch count ALWAYS runs: auto/banded need it for
+        # sizing, and on every path it eagerly materializes the
+        # persisted hash cache before the candidate self-join's two
+        # map sides can race it into a duplicate decode (r13)
+        n_batch = hashes.count()
+        n_state = None
         if method != "pigeonhole":
-            n_batch = hashes.count()  # materializes the persist
             n_state = state.count() if state is not None else 0
 
         if method == "auto":
@@ -500,6 +613,9 @@ def ingest_audio_batch(
     # dedup_audio; dup_components' convergence actions materialize it)
     fps = with_audio_fingerprint(batch, id_col, binary_col).persist()
     try:
+        # eager cache materialization before the self-join's two map
+        # sides can race it into a duplicate FFT pass (r13)
+        fps.count()
         pairs = audio_candidates(
             fps,
             "doc_id",
@@ -641,6 +757,9 @@ def ingest_video_batch(
     # expensive stage; dup_components' convergence actions materialize)
     fh = with_frame_phashes(batch, id_col, binary_col, every_n).persist()
     try:
+        # eager cache materialization before the frame-count and
+        # frame-match branches can race it into a duplicate decode
+        fh.count()
         pairs = video_candidates(
             fh, "doc_id",
             min_match_frac=min_match_frac, max_hamming=max_hamming,

@@ -605,9 +605,14 @@ def dedup_phash(
         )
     hashes = with_phash(images, id_col, binary_col, algo=algo).persist()
     try:
+        # eager cache materialization on EVERY path (auto needs the
+        # count anyway): the candidate self-join references the hash
+        # table on both sides, and two concurrently-scheduled map
+        # stages over an unpopulated cache each run the decode+DCT
+        # scan (the race measured at 2-5x CPU on the video twin, r13)
+        n = hashes.count()
         resolved = method
         if method == "auto":
-            n = hashes.count()
             resolved, auto_bands, auto_bits = resolve_phash_method(
                 max_hamming, n, row_budget=row_budget
             )
@@ -619,9 +624,7 @@ def dedup_phash(
             cand = phash_candidates(hashes, "doc_id", max_hamming=max_hamming)
         else:
             if bands is None or bits_per_band is None:
-                auto_bands, auto_bits = auto_banded_params(
-                    hashes.count(), max_hamming
-                )
+                auto_bands, auto_bits = auto_banded_params(n, max_hamming)
                 bands = bands if bands is not None else auto_bands
                 bits_per_band = (
                     bits_per_band if bits_per_band is not None else auto_bits

@@ -311,6 +311,16 @@ def decontaminate_videos(
     fh_e = with_frame_phashes(
         eval_videos, id_col, binary_col, every_n
     ).persist()
+    # materialize the caches EAGERLY before building the consumer
+    # plan: the per-clip frame count and the match join are parallel
+    # branches of one action, and two concurrently-scheduled stages
+    # reading a not-yet-populated cache EACH recompute it — i.e. the
+    # full corpus decodes twice, nondeterministically (r13 found:
+    # warm-rep CPU on this path alternated 90 vs 450 CPU-s on
+    # identical inputs; stage-level REST attribution showed the
+    # duplicate decode). One count() per table pins one decode.
+    fh_c.count()
+    fh_e.count()
     hits = video_candidates_cross(
         fh_c,
         fh_e,
@@ -357,6 +367,10 @@ def dedup_videos(
     0; radii ≥ 8 would inherit the image family's banded doctrine."""
     fh = with_frame_phashes(videos, id_col, binary_col, every_n).persist()
     try:
+        # eager cache materialization — the frame-count and
+        # frame-match branches race an unpopulated cache into a
+        # duplicate decode otherwise (see decontaminate_videos)
+        fh.count()
         pairs = video_candidates(
             fh, "doc_id",
             min_match_frac=min_match_frac, max_hamming=max_hamming,

@@ -590,6 +590,168 @@ def dedup_video_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decontamination eval sets: one eval clip per corpus recording
+#: r ≡ 1 (mod 50). r % 5 == 1 means corpus clip r PLAYS recording r
+#: (it is not a planted variant slot) and clip r+1 (≡ 2 mod 5) is
+#: never a variant of r — so each eval clip contaminates EXACTLY one
+#: corpus clip and the expected survivor count/id-sum are closed
+#: forms of the corpus size alone.
+_EVAL_STRIDE = 50
+
+
+def _decontam_expected(n_corpus: int) -> tuple[int, int]:
+    """(expected_kept, expected_id_sum) for a decontamination pass of
+    the planted corpus against the stride-50 eval set."""
+    m = (n_corpus + _EVAL_STRIDE - 2) // _EVAL_STRIDE  # |{r<N : r≡1 mod 50}|
+    id_sum_all = n_corpus * (n_corpus - 1) // 2
+    id_sum_contam = m + _EVAL_STRIDE // 2 * m * (m - 1)  # Σ(1+50k), k<m
+    return n_corpus - m, id_sum_all - id_sum_contam
+
+
+def _audio_eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval twin of :func:`_audio_corpus`: a 0.7×-gain re-master of
+    every recording r ≡ 1 (mod 50) — a signal-level transformation
+    the corpus itself does not contain, so the pass must match
+    CONTENT, not bytes."""
+    from collections.abc import Iterator
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = n_docs * _AUDIO_CLIPS_PER_DOC
+    ids = spark.range(1, n, _EVAL_STRIDE).select(
+        F.col("id").alias("clip_id")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+            synth_clip,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    (synth_clip(int(cid), rate=_AUDIO_RATE) * 0.7).astype(
+                        np.int16
+                    ),
+                    _AUDIO_RATE,
+                )
+                for cid in pdf["clip_id"].astype("int64")
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["clip_id"].astype("int64").to_numpy(),
+                 "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def _video_eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval twin of :func:`_video_corpus`: an MJPEG-q85 re-encode of
+    every recording r ≡ 1 (mod 50) — the exact leak shape the r12
+    boundary finding quantified (codec noise flips 1-2 bits on a
+    minority of frame hashes; radius-2 matching absorbs it)."""
+    from collections.abc import Iterator
+
+    n = load_table(spark, sf_dir, "documents").count()
+    ids = spark.range(1, n, _EVAL_STRIDE).select(
+        F.col("id").alias("vid_id")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+            encode_avi,
+        )
+        from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+            synth_image,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for vid in pdf["vid_id"].astype("int64"):
+                frames = np.stack(
+                    [
+                        synth_image(int(vid) * 1000 + i, h=48, w=64)
+                        for i in range(_VIDEO_FRAMES)
+                    ]
+                )
+                payloads.append(encode_avi(frames, codec="mjpg", quality=85))
+            yield pd.DataFrame(
+                {"doc_id": pdf["vid_id"].astype("int64").to_numpy(),
+                 "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def _asserted_survivor_summary(
+    clean: DataFrame, expected_kept: int, expected_id_sum: int, head: str
+) -> DataFrame:
+    """Materialize the survivor aggregate and FAIL THE HEAD on any
+    deviation from the closed-form expectation (r12 verdict task #2:
+    a decontamination bench head must catch correctness drift in the
+    cross chains, not just time them). Returns the 1-row summary as a
+    DataFrame so the harness sees the standard head shape."""
+    row = clean.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("bytes_kept"),
+    ).collect()[0]
+    if row["n_kept"] != expected_kept or row["id_sum"] != expected_id_sum:
+        raise RuntimeError(
+            f"{head}: survivor set drifted — kept {row['n_kept']} "
+            f"(expected {expected_kept}), id_sum {row['id_sum']} "
+            f"(expected {expected_id_sum})"
+        )
+    return clean.sparkSession.createDataFrame(
+        [(row["n_kept"], row["id_sum"], row["bytes_kept"])],
+        "n_kept long, id_sum long, bytes_kept long",
+    )
+
+
+def decontaminate_audio_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head (r13, r12 verdict task #2): train/eval AUDIO
+    decontamination — the 2×|documents| WAV corpus against a
+    stride-50 gain-re-mastered eval set through the cross-table
+    probe-vote-verify chain (eval side broadcast). The survivor count
+    and id-sum are asserted against the planted closed form in-head,
+    so a plan regression OR a recall regression in the newest cross
+    code both fail loudly."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        decontaminate_audio,
+    )
+
+    corpus = _read_corpus(spark, sf_dir, "audio", _audio_corpus)
+    ev = _read_corpus(spark, sf_dir, "audio_eval", _audio_eval_corpus)
+    clean = decontaminate_audio(corpus, ev, "doc_id", "payload")
+    kept, id_sum = _decontam_expected(corpus.count())
+    return _asserted_survivor_summary(clean, kept, id_sum, "decontaminate_audio")
+
+
+def decontaminate_video_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head (r13, r12 verdict task #2): train/eval VIDEO
+    decontamination — the |documents| AVI corpus against a stride-50
+    q85-re-encoded eval set through the frame-match → offset-vote
+    cross chain at the radius-2 recall-first default. Survivor count
+    and id-sum asserted in-head against the planted closed form."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        decontaminate_videos,
+    )
+
+    corpus = _read_corpus(spark, sf_dir, "video", _video_corpus)
+    ev = _read_corpus(spark, sf_dir, "video_eval", _video_eval_corpus)
+    clean = decontaminate_videos(corpus, ev, "doc_id", "payload", every_n=2)
+    kept, id_sum = _decontam_expected(corpus.count())
+    return _asserted_survivor_summary(clean, kept, id_sum, "decontaminate_video")
+
+
 def curate_image_corpus_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-rung head (r11, EXTRA_HEADS-only): the image-curation
     capstone, summarized per split so every computed column is
@@ -691,3 +853,13 @@ def dedup_video_fuzzy_head_setup(spark: SparkSession, sf_dir: str) -> None:
 
 def curate_image_corpus_head_setup(spark: SparkSession, sf_dir: str) -> None:
     _ensure_corpus(spark, sf_dir, "images", _image_corpus)
+
+
+def decontaminate_audio_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "audio", _audio_corpus)
+    _ensure_corpus(spark, sf_dir, "audio_eval", _audio_eval_corpus)
+
+
+def decontaminate_video_head_setup(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_corpus(spark, sf_dir, "video", _video_corpus)
+    _ensure_corpus(spark, sf_dir, "video_eval", _video_eval_corpus)

@@ -55,8 +55,9 @@ def test_r2_heads_still_benched():
     # span-enabled curation capstone + r9 session 2's IVFPQ serving
     # tier + r10's HTML-extraction and EWMA-recurrence heads + r11's
     # perceptual-hash image dedup, streaming funnel, and audio
-    # fingerprint dedup.
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 43
+    # fingerprint dedup + r13's decontamination twins (survivor
+    # counts asserted in-head).
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 45
     assert {
         "curate_training_corpus",
         "asof_join",

@@ -1304,3 +1304,144 @@ def test_curation_span_stage_removes_cross_doc_passages(spark, tmp_path):
     assert spanned[2]["n_tokens"] == plain[2]["n_tokens"] - 12
     assert spanned[3]["n_tokens"] == plain[3]["n_tokens"]
     assert cm.isEmpty(), "span-stage curation leaked persisted frames"
+
+
+def test_compact_state_text_preserves_semantics(spark, tmp_path):
+    """compact_state (r12 verdict task #5) rewrites N committed
+    fingerprint batch dirs into ONE with identical content — the
+    post-compaction state anti-joins exactly like the fragmented one
+    (re-delivered content still rejects; new content still accepts) —
+    and preserves the fp_prefix partitioning."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        ingest_batch,
+        read_state,
+    )
+
+    sdir = str(tmp_path / "cstate")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"doc {i} {j} body text") for j in range(3)],
+            "doc_id long, text string",
+        )
+        ingest_batch(spark, b, sdir, batch_id=f"b{i}")
+    pre = {
+        (r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()
+    }
+    assert len(pre) == 12
+
+    n = compact_state(spark, sdir, "fingerprints")
+    assert n == 4
+    batches = [
+        d for d in os.listdir(f"{sdir}/fingerprints") if d.startswith("batch=")
+    ]
+    assert len(batches) == 1 and batches[0].startswith("batch=compact-")
+    post = {
+        (r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()
+    }
+    assert post == pre
+    # partitioning preserved: prefix subdirs exist inside the compacted dir
+    inner = os.listdir(f"{sdir}/fingerprints/{batches[0]}")
+    assert any(e.startswith("fp_prefix=") for e in inner)
+
+    # semantics: re-delivered content rejects, new content accepts
+    b5 = spark.createDataFrame(
+        [(100, "doc 0 0 body text"), (101, "genuinely new body")],
+        "doc_id long, text string",
+    )
+    a5 = sorted(r["doc_id"] for r in ingest_batch(spark, b5, sdir).collect())
+    assert a5 == [101]
+
+    # idempotent: a single committed dir is a no-op
+    assert compact_state(spark, sdir, "fingerprints") in (0, 2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="table must be one of"):
+        compact_state(spark, sdir, "nope")
+
+
+def test_compact_state_self_heals_crash_window(spark, tmp_path):
+    """Crash after the compacted dir commits but before the sources
+    delete: readers see duplicate rows (harmless for set semantics);
+    the NEXT compaction's distinct() collapses them and removes every
+    superseded dir."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        ingest_batch,
+        read_state,
+    )
+
+    sdir = str(tmp_path / "crashstate")
+    for i in range(2):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"crash doc {i} {j}") for j in range(2)],
+            "doc_id long, text string",
+        )
+        ingest_batch(spark, b, sdir, batch_id=f"b{i}")
+    pre = {(r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()}
+
+    # simulate the crash window: compact, then RESTORE one source dir
+    # (as if its delete never ran)
+    import shutil
+
+    src = f"{sdir}/fingerprints/batch=b0"
+    saved = str(tmp_path / "saved_b0")
+    shutil.copytree(src, saved)
+    compact_state(spark, sdir, "fingerprints")
+    shutil.copytree(saved, src)
+
+    # duplicate rows visible, but the SET is unchanged
+    dup_rows = read_state(spark, sdir).count()
+    assert dup_rows == len(pre) + 2
+    assert {
+        (r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()
+    } == pre
+
+    # re-compaction collapses duplicates and removes superseded dirs
+    compact_state(spark, sdir, "fingerprints")
+    assert read_state(spark, sdir).count() == len(pre)
+    assert {
+        (r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()
+    } == pre
+    assert (
+        len([d for d in os.listdir(f"{sdir}/fingerprints") if d.startswith("batch=")])
+        == 1
+    )
+
+
+def test_compact_state_audio_prunes_stale_word_counts(spark, tmp_path):
+    """Compacting audio_fps removes count tables of superseded
+    batches; the compacted batch's counts regenerate from its durable
+    fingerprints on the next read_audio_hubs call, with the SAME hub
+    set as before compaction."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        read_audio_hubs,
+    )
+
+    sdir = str(tmp_path / "astate")
+    for i, rows in enumerate(
+        [
+            [(0, [42] * 8 + list(range(100, 120)))],
+            [(1, [42] * 8 + list(range(200, 220)))],
+        ]
+    ):
+        spark.createDataFrame(rows, "doc_id long, fp array<int>").write.parquet(
+            f"{sdir}/audio_fps/batch=a{i}"
+        )
+    before = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert before == {42}
+    assert compact_state(spark, sdir, "audio_fps") == 2
+    # stale per-batch count dirs pruned with their batches
+    rate_dir = f"{sdir}/word_counts/rate=1"
+    stale = [d for d in os.listdir(rate_dir) if d in ("batch=a0", "batch=a1")]
+    assert stale == []
+    after = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert after == before
