@@ -272,11 +272,15 @@ def audio_candidates(
     recall holds at small strides (pinned identical at stride 2-4 on
     the planted corpus) while the probe exchange's a-side bytes
     divide by ~k. On the SELF-join shape both sides shuffle, so the
-    total exchange scales by (1 + 1/k)/2 — measured at sf1:
-    498 → 316 MB at stride 4, survivor set identical (the rung in
-    COVERAGE.md). The default stays 1: the exchange is linear and
-    ~40 % of one head's bytes was not worth a recall-margin trade by
-    default; raise it when the probe exchange is YOUR bottleneck."""
+    total exchange scales by ~(1 + 1/k)/2 — measured at sf1 (100 k
+    clips, scripts/probe_stride_rung.py): 501 → 401 → 350 MB at
+    stride 1/2/4 with the SURVIVOR SET identical (80 001 kept, same
+    id-sum) at every stride. The default stays 1: a ~30 % cut of one
+    linear, already-hub-guarded exchange is not worth spending the
+    vote's recall margin by default; raise it when the probe
+    exchange is YOUR cluster's bottleneck (the cross shape saves
+    ~1/k of the PROBE side alone, which is the small side in
+    ingest-vs-state anyway)."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
@@ -573,10 +577,15 @@ def decontaminate_audio(
     contaminated = materialize_and_release(
         hits.select(F.col("id_a").alias(id_col)).distinct(), fps_c, fps_e
     )
-    # plain anti-join (no forced broadcast), matching
-    # decontaminate_images: a fully-contaminated corpus makes the ID
-    # set corpus-sized, and AQE already broadcasts it when it is small
-    return corpus.join(contaminated, id_col, "left_anti")
+    # BROADCAST the contaminated-ID set (r13; same doctrine as
+    # dedup_phash/drop_near_duplicates): the r12 plain anti-join
+    # assumed AQE would broadcast the small side, but the measured
+    # plan SHUFFLED the corpus WITH its payload column — 321 MB at
+    # sf0.1, i.e. the exact byte volume this family exists to avoid.
+    # The ID set is bounded by the eval-match count (≤ corpus rows,
+    # ≪ in any sane decontamination); at a scale where it outgrows
+    # broadcast, swap to a plain join here and accept the shuffle.
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
 def dedup_audio(

@@ -699,4 +699,8 @@ def decontaminate_images(
             c_hash, e_hash, max_hamming, broadcast_b=True
         )
     contaminated = hits.select(F.col("id_a").alias(id_col)).distinct()
-    return corpus.join(contaminated, id_col, "left_anti")
+    # broadcast the ID set (r13): the audio/video twins measured the
+    # plain anti-join shuffling the corpus WITH payloads — broadcast
+    # keeps pixels on the scan side (escape at extreme contamination:
+    # plain join, accepting the shuffle)
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")

@@ -331,10 +331,10 @@ def decontaminate_videos(
     contaminated = materialize_and_release(
         hits.select(F.col("id_a").alias(id_col)).distinct(), fh_c, fh_e
     )
-    # plain anti-join (no forced broadcast) — same rationale as the
-    # audio twin: a fully-contaminated corpus makes the ID set
-    # corpus-sized; AQE broadcasts it when it is small
-    return corpus.join(contaminated, id_col, "left_anti")
+    # BROADCAST the contaminated-ID set — same r13 finding as the
+    # audio twin: the plain anti-join shuffled the corpus payloads
+    # (300 MB at sf0.1); the broadcast keeps pixels on the scan side
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
 def dedup_videos(
