@@ -565,6 +565,52 @@ def dedup_video_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: decontaminate_audio_summary's oracle (QUEUED as the r17 rotation
+#: in-candidate, written and locally pinned in r13 per queue
+#: discipline — the decontamination family's first driver slot). The
+#: planted structure is closed-form: the corpus holds clip ids
+#: 0..2N−1 (N = |documents|), the eval set is a 0.7×-gain re-master
+#: of every recording r ≡ 1 (mod 50) — ids where the corpus clip
+#: PLAYS its own recording (r % 5 = 1, never a variant slot) and
+#: whose successor (≡ 2 mod 5) is never a variant of it — so each
+#: eval clip contaminates EXACTLY one corpus clip and perfect
+#: decontamination keeps everything except the r ≡ 1 (mod 50) ids.
+#: Distinct recordings sit at BER ≈ 0.5 vs the 0.25 verify bound
+#: (zero false contaminations by fixture design); a full value-hash
+#: oracle for the cross-table fingerprint → probe-vote → BER-verify
+#: → broadcast-anti-join chain.
+DECONTAMINATE_AUDIO_SUMMARY_ORACLE = r"""
+    SELECT count(*) AS n_kept, sum(clip_id) AS id_sum
+    FROM (
+      SELECT doc_id * 2 + r.range AS clip_id
+      FROM documents CROSS JOIN range(2) r
+    )
+    WHERE clip_id % 50 <> 1
+    """
+
+
+def decontaminate_audio_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval audio decontamination, registry-shaped (r17
+    rotation-queue in-candidate): synthesize the planted corpus and
+    its stride-50 gain-re-mastered eval set, run the full cross-table
+    chain, and emit the survivor count + id-sum the closed-form
+    oracle predicts — the same derivation the r13 bench head asserts
+    in-head, here as a driver-checked value hash."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+        decontaminate_audio,
+    )
+
+    clean = decontaminate_audio(
+        _read_corpus(spark, sf_dir, "audio", _audio_corpus),
+        _read_corpus(spark, sf_dir, "audio_eval", _audio_eval_corpus),
+        "doc_id",
+        "payload",
+    )
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def dedup_video_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-rung head (r12, EXTRA_HEADS-only; r11 verdict task #7):
     video dedup in FUZZY frame-match mode — ``max_hamming=2`` routes

@@ -387,3 +387,20 @@ def test_sim_pq_adc_topk_matches_oracle(spark, duck, sf_dir):
     sdf = sim_pq_adc_topk(spark, sf_dir).toPandas()
     ddf = duck.sql(SIM_PQ_ADC_TOPK_ORACLE).df()
     assert_frames_match(sdf, ddf, "sim_pq_adc_topk")
+
+
+def test_queued_decontaminate_audio_summary_matches_oracle(spark, duck, sf_dir):
+    """r17 rotation-queue feasibility pin (decided r13): the audio
+    decontamination summary hash-matches its closed-form DuckDB
+    oracle — the planted corpus/eval structure makes perfect
+    decontamination a pure function of the documents table (each
+    stride-50 eval re-master contaminates exactly one corpus clip;
+    distinct recordings sit at BER ~0.5 vs the 0.25 bound)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        DECONTAMINATE_AUDIO_SUMMARY_ORACLE,
+        decontaminate_audio_summary,
+    )
+
+    sdf = decontaminate_audio_summary(spark, sf_dir).toPandas()
+    ddf = duck.sql(DECONTAMINATE_AUDIO_SUMMARY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "decontaminate_audio_summary")
