@@ -199,6 +199,10 @@ def minhash_lsh_candidates(
             df, id_col, text_col, num_perms, num_bands, shingle_df=shingle_df
         ).persist()
     )
+    if bands_df is None:
+        # eager (r13 race doctrine): the freshly-persisted band table
+        # feeds both self-join map sides
+        b.count()
     left = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (

@@ -153,6 +153,11 @@ def semdedup_pairs(
         )
         .persist()
     )
+    # eager cache materialization (r13 doctrine, see the modality
+    # dedup paths): the self-join's two map sides are independent
+    # stages; scheduled concurrently against an unpopulated cache
+    # they EACH run the assignment + norm lineage
+    side.count()
     a = side.select(
         "j",
         F.col("vec_id").alias("id_a"),
@@ -241,6 +246,9 @@ def semantic_dedup(
     assigned = assign_clusters(
         spark, emb, k, sample_per_mille=sample_per_mille, with_dist=True
     ).persist()
+    # eager materialization: consumed by semdedup_pairs' side build
+    # AND the ranked join — parallel branches race an empty cache
+    assigned.count()
     pairs = semdedup_pairs(
         spark, emb, k, tau=tau,
         sample_per_mille=sample_per_mille, assigned=assigned,

@@ -166,7 +166,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = with_shingles(docs, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    sh.count()  # eager: feeds bands AND the jaccard verify (r13 race doctrine)
     bands = lsh_bands(docs, "doc_id", "text", shingle_df=sh).persist()
+    bands.count()  # eager: feeds both candidate self-join sides
     cands = minhash_lsh_candidates(
         docs, "doc_id", "text", shingle_df=sh, bands_df=bands
     )
@@ -216,6 +218,7 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # feeds both self-join sides
     )
+    keyed.count()  # eager: two map sides race an unpopulated cache (r13)
     a = keyed.select(
         F.col("block"), F.col("doc_id").alias("id_a"), F.col("ds").alias("ds_a")
     )
@@ -281,6 +284,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, simhash) is 16 bytes/doc; persist so the hash pipeline
     # runs once, not once per self-join side.
     blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 44)).persist()
+    blocked.count()  # eager: two map sides race an unpopulated cache (r13)
     a = blocked.select(
         F.col("block"), F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
     )

@@ -587,6 +587,11 @@ def curate_training_corpus(
         .select("doc_id", "text", "n_tokens", "_tk")
         .persist()
     )
+    # eager materialization (r13 race doctrine): exact_unique feeds
+    # the shingle build, both LSH self-join sides (via sh/bands), the
+    # jaccard verify, and the final anti-join — parallel branches of
+    # one action would each recompute the exact-dedup lineage
+    exact_unique.count()
 
     # Near-dup: LSH candidates → verified pairs → component drop. The
     # shingle frame reuses the staged tokens (no re-tokenization);
@@ -595,7 +600,9 @@ def curate_training_corpus(
     sh = exact_unique.select(
         "doc_id", shingle_expr(F.col("_tk")).alias("ss")
     ).persist()
+    sh.count()  # eager (r13): feeds bands AND the jaccard verify
     bands = lsh_bands(exact_unique, "doc_id", "text", shingle_df=sh).persist()
+    bands.count()  # eager (r13): feeds both candidate self-join sides
     cands = minhash_lsh_candidates(
         exact_unique, "doc_id", "text", shingle_df=sh, bands_df=bands
     )
