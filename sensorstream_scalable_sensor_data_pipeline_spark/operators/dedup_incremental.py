@@ -260,6 +260,35 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
     return len(dirs)
 
 
+def maintain_state(
+    spark: SparkSession,
+    state_dir: str,
+    max_batch_dirs: int = 16,
+    tables: tuple[str, ...] | None = None,
+) -> dict[str, int]:
+    """Threshold-driven maintenance sweep over every state table
+    under ``state_dir``: compact any table whose committed batch-dir
+    count reached ``max_batch_dirs`` (the operational face of
+    :func:`compact_state` — call it after each ingest, or from the
+    daily scheduler run, and fragmentation stays bounded at
+    ``max_batch_dirs`` dirs forever while the amortized cost is one
+    state rewrite every ``max_batch_dirs − 1`` ingests).
+
+    Same locking contract as ingest: run under the schedule.py run
+    lock. Returns {table: n_source_dirs_compacted} for the tables
+    that compacted (empty dict = nothing fragmented enough)."""
+    if max_batch_dirs < 2:
+        raise ValueError("max_batch_dirs must be >= 2")
+    out: dict[str, int] = {}
+    for table in tables if tables is not None else tuple(_STATE_TABLES):
+        dirs = _committed_batch_dirs(
+            spark, posixpath.join(state_dir, table)
+        )
+        if len(dirs) >= max_batch_dirs:
+            out[table] = compact_state(spark, state_dir, table)
+    return out
+
+
 def _prune_stale_word_counts(spark: SparkSession, state_dir: str) -> None:
     """Remove ``word_counts/rate=*/batch=*`` dirs whose fingerprint
     batch no longer exists (superseded by compaction) — they are

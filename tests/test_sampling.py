@@ -1445,3 +1445,46 @@ def test_compact_state_audio_prunes_stale_word_counts(spark, tmp_path):
     assert stale == []
     after = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
     assert after == before
+
+
+def test_maintain_state_threshold_sweep(spark, tmp_path):
+    """maintain_state compacts exactly the tables at/over the
+    batch-dir threshold, leaves the rest fragmented, and preserves
+    anti-join semantics — the operational bound on state
+    fragmentation (call after each ingest; dirs never exceed the
+    threshold)."""
+    import os
+
+    import pytest
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_batch,
+        maintain_state,
+        read_state,
+    )
+
+    sdir = str(tmp_path / "mstate")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"maint doc {i} {j}") for j in range(2)],
+            "doc_id long, text string",
+        )
+        ingest_batch(spark, b, sdir, batch_id=f"m{i}")
+    pre = {(r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()}
+
+    # below threshold: no-op
+    assert maintain_state(spark, sdir, max_batch_dirs=5) == {}
+    # at threshold: fingerprints compact (other tables have no dirs)
+    assert maintain_state(spark, sdir, max_batch_dirs=4) == {
+        "fingerprints": 4
+    }
+    assert {
+        (r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()
+    } == pre
+    dirs = [
+        d for d in os.listdir(f"{sdir}/fingerprints") if d.startswith("batch=")
+    ]
+    assert len(dirs) == 1
+
+    with pytest.raises(ValueError, match="max_batch_dirs"):
+        maintain_state(spark, sdir, max_batch_dirs=1)
