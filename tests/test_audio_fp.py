@@ -565,3 +565,30 @@ def test_probe_stride_cross_matches_unstrided(spark):
             ).collect()
         }
         assert hits == {(0, 100), (1, 101)}
+
+
+def test_decontaminate_audio_plan_broadcasts_id_antijoin(spark):
+    """The final corpus-vs-contaminated anti-join must BROADCAST the
+    ID set (r13 fix): the r12 plain join measured the corpus PAYLOAD
+    column riding a 321 MB shuffle at sf0.1 — the byte volume the
+    modality family exists to keep on the scan side. Pinned: the
+    executed plan's anti-join is broadcast-hash and no exchange
+    partitions the corpus payloads."""
+    corpus = spark.createDataFrame(
+        [(i, encode_wav(make_clip(80 + i), RATE)) for i in range(3)],
+        "doc_id long, payload binary",
+    )
+    ev = spark.createDataFrame(
+        [(100, encode_wav(make_clip(80), RATE))], "doc_id long, payload binary"
+    )
+    plan = (
+        decontaminate_audio(corpus, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti, BuildRight" in plan
+    # the anti-join's left (payload) side reads straight from the
+    # scan: no hash-partitioned exchange of the payload column
+    left_anti_pos = plan.index("LeftAnti")
+    assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
+        "BroadcastExchange", 1
+    )[0]

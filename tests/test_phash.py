@@ -661,3 +661,29 @@ def test_banded_hamming_matches_validates_bits_per_band(spark):
     for bad in (0, 63, 65):
         with pytest.raises(ValueError, match=r"\[1, 62\]"):
             banded_hamming_matches(df, df, 4, bits_per_band=bad)
+
+
+def test_decontaminate_images_plan_broadcasts_id_antijoin(spark):
+    """Image twin of the r13 anti-join fix pin (see the audio/video
+    tests): the contaminated-ID set broadcasts so corpus payloads
+    never ride an exchange."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        decontaminate_images,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, encode_png(make_img(40 + i))) for i in range(3)],
+        "doc_id long, payload binary",
+    )
+    ev = spark.createDataFrame(
+        [(100, encode_png(make_img(40)))], "doc_id long, payload binary"
+    )
+    plan = (
+        decontaminate_images(corpus, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti, BuildRight" in plan
+    left_anti_pos = plan.index("LeftAnti")
+    assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
+        "BroadcastExchange", 1
+    )[0]

@@ -365,3 +365,40 @@ def test_decontaminate_videos_empty_eval_keeps_all(spark):
         for r in decontaminate_videos(corpus, empty, every_n=2).collect()
     ]
     assert kept == [0]
+
+
+def test_decontaminate_videos_plan_broadcasts_id_antijoin(spark):
+    """Video twin of the r13 anti-join fix pin: the contaminated-ID
+    set broadcasts, so pixels never ride an exchange (the r12 plain
+    join measured ~300 MB of payload shuffle at sf0.1)."""
+    import numpy as np
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_avi,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        decontaminate_videos,
+    )
+
+    def vid(seed):
+        return encode_avi(
+            np.stack([synth_image(seed * 100 + i, h=16, w=16) for i in range(4)]),
+            codec="dib",
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, vid(i)) for i in range(3)], "doc_id long, payload binary"
+    )
+    ev = spark.createDataFrame([(100, vid(0))], "doc_id long, payload binary")
+    plan = (
+        decontaminate_videos(corpus, ev, every_n=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti, BuildRight" in plan
+    left_anti_pos = plan.index("LeftAnti")
+    assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
+        "BroadcastExchange", 1
+    )[0]
