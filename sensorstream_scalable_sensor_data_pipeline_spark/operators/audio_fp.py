@@ -202,6 +202,14 @@ def with_audio_fingerprint(
 #: at sf1 for the first HLL-based cut of this guard.
 MAX_WORD_DF = 1024
 
+#: Probe-word count past which audio_candidates shuffles + caches the
+#: exploded word table once instead of letting the self-join exchange
+#: it per side: ~4M words ≈ 64 MB in-memory — safely past the regime
+#: where AQE broadcasts the explode (sf0.1's ~1.1M words measured
+#: 0.7 MB total shuffle lazily), and well before the double exchange
+#: dominates (sf1's ~11M words measured 501 MB lazily vs 315 cached).
+PROBE_CACHE_MIN_WORDS = 4_000_000
+
 
 def audio_candidates(
     fps: DataFrame,
@@ -211,6 +219,7 @@ def audio_candidates(
     min_overlap_frames: int = 10,
     max_word_df: int | None = MAX_WORD_DF,
     probe_stride: int = 1,
+    cache_probe_words: bool | None = None,
 ) -> DataFrame:
     """Near-dup audio pairs from (id, fp) fingerprint sequences —
     probe-then-verify, the paper's two levels as two joins.
@@ -270,17 +279,16 @@ def audio_candidates(
     for the true offset sees ~n_match/k hits instead of n_match;
     planted variants carry tens-to-hundreds of bit-exact frames, so
     recall holds at small strides (pinned identical at stride 2-4 on
-    the planted corpus) while the probe exchange's a-side bytes
-    divide by ~k. On the SELF-join shape both sides shuffle, so the
-    total exchange scales by ~(1 + 1/k)/2 — measured at sf1 (100 k
-    clips, scripts/probe_stride_rung.py): 501 → 401 → 350 MB at
-    stride 1/2/4 with the SURVIVOR SET identical (80 001 kept, same
-    id-sum) at every stride. The default stays 1: a ~30 % cut of one
-    linear, already-hub-guarded exchange is not worth spending the
-    vote's recall margin by default; raise it when the probe
-    exchange is YOUR cluster's bottleneck (the cross shape saves
-    ~1/k of the PROBE side alone, which is the small side in
-    ingest-vs-state anyway)."""
+    the planted corpus and at sf1). Under the LAZY plan the self-join
+    exchange scaled ~(1 + 1/k)/2 — measured 501 → 401 → 350 MB at
+    stride 1/2/4 at sf1 — but the partitioned-cache plan (see the
+    probe-cache comment below) now subsumes that: the explode
+    shuffles ONCE regardless, so stride only trims cached-read rows
+    feeding the vote (sf1 cached: 315 → 308 → 303 MB). The default
+    stays 1 — with the cache the byte argument is gone and the knob
+    would only spend the vote's recall margin; keep it for
+    vote-volume control on pathological corpora. The cross shape
+    still saves ~1/k of the probe side alone."""
     if min_probe_frames < 1:
         raise ValueError("min_probe_frames must be positive")
     if not (0.0 < ber_max < 0.5):
@@ -289,7 +297,42 @@ def audio_candidates(
         raise ValueError("max_word_df must be positive (or None to disable)")
     if probe_stride < 1:
         raise ValueError("probe_stride must be >= 1")
+    from pyspark import StorageLevel
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.caching import (
+        materialize_and_release,
+    )
+
+    # Past the broadcast regime, shuffle the exploded word table ONCE
+    # by value, cache it partitioned, and derive BOTH self-join sides
+    # from the cache (r13): a plain a.join(b, "v") plans one exchange
+    # PER SIDE of the same explode — the repo's largest shuffle,
+    # 501 MB at sf1 — because the per-side projections defeat
+    # exchange reuse. The partition-preserving cache plans ZERO join
+    # exchanges (the InMemory scan reports hashpartitioning(v)) and
+    # runs the explode + hub anti-join once instead of twice.
+    # Measured at sf1: 501 → 315 MB total shuffle, identical survivor
+    # set. Cache cost ~16 B/word (~1.8 KB/clip, MEMORY_AND_DISK so
+    # oversize corpora spill instead of evict); released before
+    # returning — the verified pair set (vote-bounded, small) is
+    # materialized so downstream consumers never re-trigger the
+    # explode. BELOW ~4M probe words the old lazy plan stays: AQE
+    # broadcasts the small explode (measured 0.7 MB total shuffle at
+    # sf0.1) and forcing the repartition there costs wall for nothing
+    # (cache_probe_words=None resolves by a one-agg word count over
+    # the callers' cached fingerprint table; pass True/False to pin).
+    if cache_probe_words is None:
+        n_words = fps.agg(F.sum(F.size("fp"))).collect()[0][0] or 0
+        cache_probe_words = n_words >= PROBE_CACHE_MIN_WORDS
     ex = _exploded_words(fps, id_col, max_word_df)
+    if cache_probe_words:
+        nparts = int(
+            fps.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        ex = ex.repartition(nparts, "v").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        ex.count()  # eager: populate before the join's map sides race
     ex_a = ex if probe_stride == 1 else ex.filter(
         F.col("idx") % probe_stride == 0
     )
@@ -317,7 +360,10 @@ def audio_candidates(
     )
     fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
     fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
-    return _ber_verify(best, fa, fb, ber_max, min_overlap_frames)
+    verified = _ber_verify(best, fa, fb, ber_max, min_overlap_frames)
+    if cache_probe_words:
+        verified = materialize_and_release(verified, ex)
+    return verified
 
 
 def hub_sampling_params(max_word_df: int) -> tuple[int, int]:

@@ -592,3 +592,34 @@ def test_decontaminate_audio_plan_broadcasts_id_antijoin(spark):
     assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
         "BroadcastExchange", 1
     )[0]
+
+
+def test_audio_candidates_cached_probe_equals_lazy(spark):
+    """The partitioned-cache probe path (past PROBE_CACHE_MIN_WORDS;
+    forced here) returns the identical verified pair set — offsets
+    and BERs included — as the lazy broadcast-regime plan."""
+    base1, base2 = make_clip(90), make_clip(91)
+    rows = [
+        (0, fingerprint_wav(encode_wav(base1, RATE)).tolist()),
+        (1, fingerprint_wav(
+            encode_wav(variants(base1)["pad10hop"], RATE)
+        ).tolist()),
+        (2, fingerprint_wav(encode_wav(base2, RATE)).tolist()),
+        (3, fingerprint_wav(
+            encode_wav(variants(base2)["gain05"], RATE)
+        ).tolist()),
+        (4, fingerprint_wav(encode_wav(make_clip(92), RATE)).tolist()),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, fp array<int>")
+
+    def pairset(cache):
+        return {
+            (r["id_a"], r["id_b"], r["offset"], round(r["ber"], 9))
+            for r in audio_candidates(
+                fps, "doc_id", cache_probe_words=cache
+            ).collect()
+        }
+
+    lazy, cached = pairset(False), pairset(True)
+    assert lazy == cached
+    assert {(a, b) for a, b, _, _ in lazy} == {(0, 1), (2, 3)}
