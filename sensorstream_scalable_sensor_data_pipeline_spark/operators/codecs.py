@@ -59,10 +59,17 @@ def sniff_format(payload: bytes) -> str | None:
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed BMP into an RGB uint8 array of shape
     (height, width, 3). Supports the BITMAPINFOHEADER family (header
-    size ≥ 40), 24-bit BI_RGB and 8-bit paletted pixels, bottom-up
-    (positive height) and top-down (negative) row order, and the
-    4-byte row padding the format mandates. Anything else —
-    compression, 1/4/16/32-bit — raises ``NotImplementedError``."""
+    size ≥ 40) at EVERY BI_RGB bit depth: 32-bit (stored BGRX, the
+    pad byte discarded per BI_RGB), 24-bit BGR, 16-bit X1R5G5B5
+    (5-bit channels scaled to 8 by the exact ``v<<3 | v>>2``
+    replication), 8-bit paletted, and the sub-byte 1/2/4-bit palette
+    forms (indices packed MSB-first within each byte per spec — r13;
+    2-bit is rare/OS2-era but costs nothing once unpacking is bit
+    -general). Bottom-up (positive height) and top-down (negative)
+    row order; rows padded to 4 bytes (computed BIT-exactly:
+    ``(w·bpp + 31) // 32 · 4`` — the old byte-first formula breaks
+    for sub-byte widths). Compressed methods (RLE/bitfields/JPEG/PNG
+    embeddings) raise ``NotImplementedError``."""
     if payload[:2] != b"BM":
         raise NotImplementedError("not a BMP payload (magic != 'BM')")
     if len(payload) < 54:
@@ -77,28 +84,49 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     (clr_used,) = struct.unpack_from("<I", payload, 46)
     if compression != _BI_RGB:
         raise NotImplementedError(f"compressed BMP (method {compression})")
-    if bitcount not in (8, 24):
-        raise NotImplementedError(f"{bitcount}-bit BMP unsupported")
+    if bitcount not in (1, 2, 4, 8, 16, 24, 32):
+        raise ValueError(f"{bitcount}-bit BMP is not a legal BI_RGB depth")
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     top_down = height < 0
     h = abs(height)
-    stride = ((width * bitcount // 8) + 3) // 4 * 4
+    stride = (width * bitcount + 31) // 32 * 4
     need = data_offset + stride * h
     if len(payload) < need:
         raise ValueError("truncated BMP: pixel array short")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
     rows = rows.reshape(h, stride)
-    if bitcount == 24:
+    if bitcount == 32:
+        px = rows[:, : width * 4].reshape(h, width, 4)
+        rgb = px[:, :, 2::-1]  # stored BGRX; X is padding under BI_RGB
+    elif bitcount == 24:
         px = rows[:, : width * 3].reshape(h, width, 3)
         rgb = px[:, :, ::-1]  # stored BGR
+    elif bitcount == 16:
+        # X1R5G5B5 little-endian words; 5-bit channels -> 8-bit by the
+        # exact replication v<<3 | v>>2 (0 -> 0, 31 -> 255)
+        words = rows[:, : width * 2].reshape(h, width, 2)
+        v = words[..., 0].astype(np.uint16) | (
+            words[..., 1].astype(np.uint16) << 8
+        )
+        five = np.stack(
+            [(v >> 10) & 0x1F, (v >> 5) & 0x1F, v & 0x1F], axis=-1
+        ).astype(np.uint8)
+        rgb = (five << 3) | (five >> 2)
     else:
-        n_colors = clr_used or 256
+        n_colors = clr_used or (1 << bitcount)
         pal_off = 14 + hdr_size
         pal = np.frombuffer(
             payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
         ).reshape(n_colors, 4)
-        idx = rows[:, :width]
+        if bitcount == 8:
+            idx = rows[:, :width]
+        else:
+            # sub-byte palette indices pack MSB-first within each byte
+            bits = np.unpackbits(rows, axis=1)[:, : width * bitcount]
+            groups = bits.reshape(h, width, bitcount)
+            weights = (1 << np.arange(bitcount - 1, -1, -1)).astype(np.uint8)
+            idx = (groups * weights[None, None, :]).sum(axis=2).astype(np.uint8)
         if n_colors < 256 and int(idx.max(initial=0)) >= n_colors:
             # malformed-payload contract: ValueError, not a bare numpy
             # IndexError surfacing from an executor (review-found)

@@ -953,3 +953,76 @@ def test_png_missing_or_corrupt_idat_raises_valueerror():
     # IEND never arrives -> truncated-stream contract
     with pytest.raises(ValueError, match="IEND"):
         decode_png(encode_png(np.zeros((2, 2, 3), np.uint8))[:-12])
+
+
+def _bmp_header(w, h, bitcount, n_colors, stride):
+    data_offset = 14 + 40 + n_colors * 4
+    pixel_bytes = stride * h
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", data_offset + pixel_bytes, 0, 0, data_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, 0, pixel_bytes,
+        2835, 2835, n_colors, 0,
+    )
+    return hdr + info
+
+
+def test_bmp_32bit_bgrx():
+    """32-bit BI_RGB (r13): BGRX words, the X byte discarded."""
+    rows = bytes(
+        [10, 20, 30, 0xAA, 40, 50, 60, 0xBB]   # bottom row (stored first)
+        + [1, 2, 3, 0xCC, 4, 5, 6, 0xDD]
+    )
+    img = decode_bmp(_bmp_header(2, 2, 32, 0, 8) + rows)
+    assert img.shape == (2, 2, 3)
+    # bottom-up: stored-first row is the IMAGE's last row
+    assert img[1, 0].tolist() == [30, 20, 10] and img[1, 1].tolist() == [60, 50, 40]
+    assert img[0, 0].tolist() == [3, 2, 1] and img[0, 1].tolist() == [6, 5, 4]
+
+
+def test_bmp_16bit_x1r5g5b5_scaling():
+    """16-bit (r13): 5-bit channels scale by the exact v<<3 | v>>2
+    replication — 0 -> 0, 31 -> 255, 10 -> 82."""
+    px = [
+        (31 << 10) | (0 << 5) | 10,   # R=31, G=0, B=10
+        (10 << 10) | (31 << 5) | 0,   # R=10, G=31, B=0
+    ]
+    rows = struct.pack("<2H", *px)  # one row, stride exactly 4
+    img = decode_bmp(_bmp_header(2, 1, 16, 0, 4) + rows)
+    assert img[0, 0].tolist() == [255, 0, 82]
+    assert img[0, 1].tolist() == [82, 255, 0]
+
+
+def test_bmp_4bit_palette_odd_width():
+    """4-bit palette (r13): MSB-first nibbles, odd width leaves
+    padding bits that must be discarded."""
+    pal = bytes(bytearray(v for i in range(16) for v in (i, i * 2 % 256, i * 3 % 256, 0)))
+    # one row, 3 px wide: indices 1, 15, 2 -> bytes 0x1F, 0x20, pad to 4
+    rows = bytes([0x1F, 0x20, 0, 0])
+    img = decode_bmp(_bmp_header(3, 1, 4, 16, 4) + pal + rows)
+    # palette entry i is BGRA (i, 2i, 3i, 0) -> RGB (3i, 2i, i)
+    assert img[0, 0].tolist() == [3, 2, 1]
+    assert img[0, 1].tolist() == [45, 30, 15]
+    assert img[0, 2].tolist() == [6, 4, 2]
+
+
+def test_bmp_1bit_stride_edge():
+    """1-bit palette at w=33 (r13): the bit-exact stride formula
+    gives 8 bytes/row where the old byte-first one computed 4."""
+    pal = bytes(bytearray([0, 0, 0, 0, 255, 255, 255, 0]))  # black, white
+    # 33 px: first byte 0b10101010..., 33rd pixel = 1 in bit 7 of byte 5
+    row = bytes([0b10000001, 0, 0, 0, 0b10000000, 0, 0, 0])
+    img = decode_bmp(_bmp_header(33, 1, 1, 2, 8) + pal + row)
+    assert img.shape == (1, 33, 3)
+    assert img[0, 0].tolist() == [255, 255, 255]   # bit 7 of byte 0
+    assert img[0, 7].tolist() == [255, 255, 255]   # bit 0 of byte 0
+    assert img[0, 1].tolist() == [0, 0, 0]
+    assert img[0, 32].tolist() == [255, 255, 255]  # first bit of byte 4
+
+
+def test_bmp_illegal_depth_is_valueerror():
+    """Depths outside the BI_RGB legal set are malformed files now,
+    not format gaps."""
+    with pytest.raises(ValueError, match="not a legal BI_RGB depth"):
+        decode_bmp(_bmp_header(2, 1, 13, 0, 4) + b"\x00" * 4)
