@@ -522,15 +522,31 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode RIFF/WAVE PCM into (samples, sample_rate): samples is
-    int16 of shape (n_frames, n_channels) (8-bit PCM is lifted to the
-    int16 grid: (x − 128) · 256, the standard unsigned→signed map).
-    Chunk walk honors the RIFF odd-size pad byte; non-PCM formats
-    raise ``NotImplementedError``."""
+    """Decode RIFF/WAVE audio into (samples, sample_rate): samples is
+    int16 of shape (n_frames, n_channels) — EVERY source width decodes
+    onto the int16 grid, the representation the fingerprint chain
+    consumes:
+
+    * 16-bit PCM passes through;
+    * 8-bit PCM lifts: (x − 128) · 256 (the standard unsigned→signed
+      map);
+    * 24-/32-bit integer PCM keep their TOP 16 bits (sign-preserving
+      arithmetic shift — the standard bit-depth reduction without
+      dither, r13);
+    * IEEE float (format 3, 32- or 64-bit) clips to [−1, 1] and
+      scales by 32767 with round-half-even (r13);
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
+      GUID's leading format code, so extensible-wrapped PCM/float —
+      the common container for >16-bit — decodes identically (r13).
+
+    Chunk walk honors the RIFF odd-size pad byte; genuinely
+    compressed formats (µ-law, ADPCM, MP3-in-WAV, ...) raise
+    ``NotImplementedError``."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos, end = 12, len(payload)
     fmt = None
+    sub_format = None
     data = None
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
@@ -540,20 +556,45 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if size < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, body_at)
+            if fmt[0] == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real code leads the
+                # 16-byte SubFormat GUID at fmt body offset 24
+                if size < 40:
+                    raise ValueError("truncated extensible fmt chunk")
+                (sub_format,) = struct.unpack_from("<H", payload, body_at + 24)
         elif cid == b"data":
             data = payload[body_at : body_at + size]
         pos = body_at + size + (size & 1)  # odd chunks carry a pad byte
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format != 1:
+    if audio_format == 0xFFFE:
+        audio_format = sub_format
+    if audio_format not in (1, 3):
         raise NotImplementedError(f"non-PCM WAV (format {audio_format})")
     if n_channels <= 0:
         raise ValueError("WAV with zero channels")
-    if bits == 16:
+    if audio_format == 3:
+        if bits == 32:
+            f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"{bits}-bit IEEE-float WAV is not legal")
+        raw = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif bits == 16:
         raw = np.frombuffer(data, dtype="<i2")
     elif bits == 8:
         raw = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    elif bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8)
+        n = b.size // 3
+        b = b[: n * 3].reshape(n, 3).astype(np.int32)
+        val = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        val = (val ^ 0x800000) - 0x800000  # sign-extend 24 bits
+        raw = (val >> 8).astype(np.int16)
+    elif bits == 32:
+        raw = (np.frombuffer(data, dtype="<i4") >> 16).astype(np.int16)
     else:
         raise NotImplementedError(f"{bits}-bit PCM unsupported")
     n_frames = raw.size // n_channels

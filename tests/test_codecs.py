@@ -125,7 +125,9 @@ def test_wav_8bit_and_odd_chunk_pad():
 
 
 def test_wav_rejects_non_pcm():
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    # format 7 = µ-law: genuinely compressed, honestly rejected
+    # (IEEE float — the old fixture here — became SUPPORTED in r13)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
@@ -1026,3 +1028,58 @@ def test_bmp_illegal_depth_is_valueerror():
     not format gaps."""
     with pytest.raises(ValueError, match="not a legal BI_RGB depth"):
         decode_bmp(_bmp_header(2, 1, 13, 0, 4) + b"\x00" * 4)
+
+
+def _wav_fixture(fmt_code, bits, data, n_channels=1, rate=8000, extensible=False):
+    if extensible:
+        ext = struct.pack("<HHI", 22, bits, 0xF) + struct.pack("<H", fmt_code) + b"\x00" * 14
+        fmt_body = struct.pack(
+            "<HHIIHH", 0xFFFE, n_channels, rate,
+            rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+        ) + ext
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", fmt_code, n_channels, rate,
+            rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+        )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_24bit_pcm_truncates_to_int16_grid():
+    """24-bit PCM (r13): top 16 bits survive, sign preserved."""
+    samples = [0x123456, -0x123456, 0x7FFFFF, -0x800000]
+    data = b"".join(
+        int(s & 0xFFFFFF).to_bytes(3, "little") for s in samples
+    )
+    out, rate = decode_wav(_wav_fixture(1, 24, data))
+    assert rate == 8000
+    assert out[:, 0].tolist() == [0x1234, -0x1235, 0x7FFF, -0x8000]
+
+
+def test_wav_32bit_int_and_float():
+    """32-bit integer PCM shifts to the int16 grid; IEEE float
+    (format 3) clips to [-1, 1] and scales by 32767."""
+    ints = np.array([0x12345678, -0x12345678], dtype="<i4")
+    out, _ = decode_wav(_wav_fixture(1, 32, ints.tobytes()))
+    assert out[:, 0].tolist() == [0x1234, -4661]  # arithmetic >> 16
+    floats = np.array([0.5, -1.0, 2.0, -3.0], dtype="<f4")
+    out, _ = decode_wav(_wav_fixture(3, 32, floats.tobytes()))
+    assert out[:, 0].tolist() == [16384, -32767, 32767, -32768]
+    floats64 = np.array([0.25], dtype="<f8")
+    out, _ = decode_wav(_wav_fixture(3, 64, floats64.tobytes()))
+    assert out[0, 0] == 8192
+
+
+def test_wav_extensible_resolves_subformat():
+    """WAVE_FORMAT_EXTENSIBLE (r13): the SubFormat GUID's leading
+    code routes to the same PCM decode; a non-PCM sub-code keeps the
+    honest rejection."""
+    ints = np.array([1000, -1000], dtype="<i2")
+    out, _ = decode_wav(_wav_fixture(1, 16, ints.tobytes(), extensible=True))
+    assert out[:, 0].tolist() == [1000, -1000]
+    with pytest.raises(NotImplementedError, match="format 2"):
+        decode_wav(_wav_fixture(2, 16, ints.tobytes(), extensible=True))
