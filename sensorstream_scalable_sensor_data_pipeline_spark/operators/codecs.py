@@ -36,8 +36,85 @@ import numpy as np
 # ----------------------------------------------------------------- BMP
 
 _BI_RGB = 0
+_BI_RLE8 = 1
+_BI_RLE4 = 2
+_BI_BITFIELDS = 3
 #: BITMAPINFOHEADER biCompression fourcc for motion-JPEG streams.
 _MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
+def _mask_extract(v: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one BI_BITFIELDS channel: shift the mask's bits down
+    and scale to 8-bit by exact bit replication (so a 5-bit channel
+    maps 0→0, 31→255 — same rule as X1R5G5B5)."""
+    if mask == 0:
+        return np.zeros(v.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    chan = ((v >> shift) & ((1 << width) - 1)).astype(np.uint32)
+    if width >= 8:
+        return (chan >> (width - 8)).astype(np.uint8)
+    # exact 0→0 / max→255 scaling; equals bit replication at width 5
+    # ((v*255)//31 ≡ v<<3|v>>2), monotone at every width
+    return ((chan * 255) // ((1 << width) - 1)).astype(np.uint8)
+
+
+def _rle_decode(
+    data: bytes, w: int, h: int, four_bit: bool
+) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 → (h, w) palette indices, bottom-up rows as
+    stored (the caller flips). Encoded runs, absolute blocks (padded
+    to 2-byte alignment), end-of-line (0,0), end-of-bitmap (0,1), and
+    delta (0,2,dx,dy) all per spec; pixels a delta/EOL skips stay
+    index 0. Malformed streams raise ValueError."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if four_bit:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                px = [pair[i & 1] for i in range(cnt)]
+            else:
+                px = [val] * cnt
+            end = min(x + cnt, w)
+            if y < h:
+                out[y, x:end] = px[: end - x]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute block of `val` pixels
+            if four_bit:
+                nbytes = (val + 1) // 2
+                need = nbytes + (nbytes & 1)  # 2-byte aligned
+                if pos + need > n:
+                    raise ValueError("truncated RLE absolute block")
+                px = []
+                for i in range(val):
+                    b = data[pos + i // 2]
+                    px.append((b >> 4) & 0xF if i % 2 == 0 else b & 0xF)
+                pos += need
+            else:
+                need = val + (val & 1)
+                if pos + need > n:
+                    raise ValueError("truncated RLE absolute block")
+                px = list(data[pos : pos + val])
+                pos += need
+            end = min(x + val, w)
+            if y < h:
+                out[y, x:end] = px[: end - x]
+            x += val
+    return out
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -68,8 +145,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     -general). Bottom-up (positive height) and top-down (negative)
     row order; rows padded to 4 bytes (computed BIT-exactly:
     ``(w·bpp + 31) // 32 · 4`` — the old byte-first formula breaks
-    for sub-byte widths). Compressed methods (RLE/bitfields/JPEG/PNG
-    embeddings) raise ``NotImplementedError``."""
+    for sub-byte widths). Also supported (r13): BI_BITFIELDS 16/32
+    with arbitrary channel masks (each channel scaled to 8-bit by
+    the exact max→255 rule — covers the ubiquitous 565 form) and
+    BI_RLE8/BI_RLE4 palette run-length streams (runs, absolute
+    blocks, EOL/EOB, deltas; skipped pixels stay index 0 per spec).
+    Embedded JPEG/PNG compression raises ``NotImplementedError``."""
     if payload[:2] != b"BM":
         raise NotImplementedError("not a BMP payload (magic != 'BM')")
     if len(payload) < 54:
@@ -82,7 +163,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     planes, bitcount = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
     (clr_used,) = struct.unpack_from("<I", payload, 46)
-    if compression != _BI_RGB:
+    if compression not in (_BI_RGB, _BI_RLE8, _BI_RLE4, _BI_BITFIELDS):
         raise NotImplementedError(f"compressed BMP (method {compression})")
     if bitcount not in (1, 2, 4, 8, 16, 24, 32):
         raise ValueError(f"{bitcount}-bit BMP is not a legal BI_RGB depth")
@@ -90,13 +171,56 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     top_down = height < 0
     h = abs(height)
+
+    if compression in (_BI_RLE8, _BI_RLE4):
+        # RLE (r13): 8-/4-bit palette runs; spec forbids top-down RLE
+        if (compression == _BI_RLE8) != (bitcount == 8):
+            raise ValueError(f"RLE method {compression} with {bitcount}-bit pixels")
+        if top_down:
+            raise ValueError("top-down RLE BMP is illegal per spec")
+        n_colors = clr_used or (1 << bitcount)
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)
+        idx = _rle_decode(
+            payload[data_offset:], width, h, four_bit=(bitcount == 4)
+        )
+        if n_colors < 256 and int(idx.max(initial=0)) >= n_colors:
+            raise ValueError(
+                f"BMP pixel index {int(idx.max())} outside the "
+                f"{n_colors}-entry palette"
+            )
+        return np.ascontiguousarray(pal[idx][:, :, 2::-1][::-1])
+
+    if compression == _BI_BITFIELDS:
+        # channel masks (r13): 3 DWORDs at file offset 54 — right
+        # after BITMAPINFOHEADER, or embedded at the same position in
+        # the V4/V5 headers
+        if bitcount not in (16, 32):
+            raise ValueError(f"BI_BITFIELDS with {bitcount}-bit pixels is illegal")
+        if len(payload) < 66:
+            raise ValueError("truncated BMP: missing bitfield masks")
+        rmask, gmask, bmask = struct.unpack_from("<III", payload, 54)
+
     stride = (width * bitcount + 31) // 32 * 4
     need = data_offset + stride * h
     if len(payload) < need:
         raise ValueError("truncated BMP: pixel array short")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
     rows = rows.reshape(h, stride)
-    if bitcount == 32:
+    if compression == _BI_BITFIELDS:
+        dt = "<u2" if bitcount == 16 else "<u4"
+        v = (
+            rows[:, : width * bitcount // 8]
+            .copy()
+            .view(dt)
+            .reshape(h, width)
+            .astype(np.uint32)
+        )
+        rgb = np.stack(
+            [_mask_extract(v, m) for m in (rmask, gmask, bmask)], axis=-1
+        )
+    elif bitcount == 32:
         px = rows[:, : width * 4].reshape(h, width, 4)
         rgb = px[:, :, 2::-1]  # stored BGRX; X is padding under BI_RGB
     elif bitcount == 24:

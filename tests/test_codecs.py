@@ -77,7 +77,12 @@ def test_bmp_rejects_unsupported():
         decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     img = _rgb(2, 2)
     payload = bytearray(encode_bmp(img))
-    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8 compression
+    # RLE8 became SUPPORTED in r13 — but only with 8-bit pixels;
+    # method 4 (embedded JPEG) keeps the honest rejection
+    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8 on 24-bit pixels
+    with pytest.raises(ValueError, match="RLE method"):
+        decode_bmp(bytes(payload))
+    struct.pack_into("<I", payload, 30, 4)  # BI_JPEG
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(payload))
     with pytest.raises(ValueError):
@@ -1083,3 +1088,79 @@ def test_wav_extensible_resolves_subformat():
     assert out[:, 0].tolist() == [1000, -1000]
     with pytest.raises(NotImplementedError, match="format 2"):
         decode_wav(_wav_fixture(2, 16, ints.tobytes(), extensible=True))
+
+
+def _bmp_bitfields(w, h, bitcount, masks, rows):
+    data_offset = 14 + 40 + 12
+    hdr = struct.pack("<2sIHHI", b"BM", data_offset + len(rows), 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, 3, len(rows), 2835, 2835, 0, 0
+    )
+    return hdr + info + struct.pack("<III", *masks) + rows
+
+
+def test_bmp_bitfields_565_and_32bit():
+    """BI_BITFIELDS (r13): 565 16-bit (the common Windows form) and a
+    32-bit 8-8-8 mask layout, channels scaled by the exact max->255
+    rule."""
+    # one row, two px: R=31,G=0,B=16 and R=0,G=63,B=0
+    px = [(31 << 11) | (0 << 5) | 16, (0 << 11) | (63 << 5) | 0]
+    rows = struct.pack("<2H", *px)
+    img = decode_bmp(
+        _bmp_bitfields(2, 1, 16, (0xF800, 0x07E0, 0x001F), rows)
+    )
+    assert img[0, 0].tolist() == [255, 0, (16 * 255) // 31]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    # 32-bit masks in non-BGRX order: R in byte 0, G byte 1, B byte 2
+    rows32 = struct.pack("<2I", 0x00302010, 0x00605040)
+    img = decode_bmp(
+        _bmp_bitfields(2, 1, 32, (0x000000FF, 0x0000FF00, 0x00FF0000), rows32)
+    )
+    assert img[0, 0].tolist() == [0x10, 0x20, 0x30]
+    assert img[0, 1].tolist() == [0x40, 0x50, 0x60]
+
+
+def _bmp_rle(w, h, bitcount, n_colors, pal, stream):
+    data_offset = 14 + 40 + n_colors * 4
+    hdr = struct.pack("<2sIHHI", b"BM", data_offset + len(stream), 0, 0, data_offset)
+    comp = 1 if bitcount == 8 else 2
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, comp, len(stream),
+        2835, 2835, n_colors, 0,
+    )
+    return hdr + info + pal + stream
+
+
+def test_bmp_rle8_runs_absolute_delta():
+    """BI_RLE8 (r13): encoded runs, an absolute block (2-byte
+    aligned), a delta skip (skipped pixels stay index 0), EOL and
+    EOB."""
+    pal = bytes(bytearray(v for i in range(4) for v in (i * 10, i * 20, i * 30, 0)))
+    stream = bytes(
+        [3, 1]                 # run: 3 x idx1
+        + [0, 3, 2, 3, 0, 0]   # absolute: idx2, idx3, idx0 + PAD byte
+        + [0, 0]               # EOL
+        + [0, 2, 2, 0]         # delta: skip 2 px on row 1
+        + [2, 2]               # run: 2 x idx2
+        + [0, 1]               # EOB
+    )
+    img = decode_bmp(_bmp_rle(6, 2, 8, 4, pal, stream))
+    # stored row 0 is the image BOTTOM row
+    bottom, top = img[1], img[0]
+    # palette entry i = BGRA (10i, 20i, 30i) -> RGB (30i, 20i, 10i)
+    assert [list(p) for p in bottom] == [
+        [30, 20, 10], [30, 20, 10], [30, 20, 10],
+        [60, 40, 20], [90, 60, 30], [0, 0, 0],
+    ]
+    assert [list(p) for p in top] == [
+        [0, 0, 0], [0, 0, 0], [60, 40, 20], [60, 40, 20],
+        [0, 0, 0], [0, 0, 0],
+    ]
+
+
+def test_bmp_rle4_nibble_runs():
+    """BI_RLE4 (r13): a run alternates the byte's two nibbles."""
+    pal = bytes(bytearray(v for i in range(16) for v in (i, i, i, 0)))
+    stream = bytes([5, 0x12, 0, 1])  # run of 5 alternating 1,2,1,2,1 + EOB
+    img = decode_bmp(_bmp_rle(5, 1, 4, 16, pal, stream))
+    assert [p[0] for p in img[0]] == [1, 2, 1, 2, 1]
