@@ -80,7 +80,7 @@ def _rle_decode(
             else:
                 px = [val] * cnt
             end = min(x + cnt, w)
-            if y < h:
+            if y < h and end > x:  # a run starting past w writes nothing
                 out[y, x:end] = px[: end - x]
             x += cnt
         elif val == 0:  # end of line
@@ -111,7 +111,7 @@ def _rle_decode(
                 px = list(data[pos : pos + val])
                 pos += need
             end = min(x + val, w)
-            if y < h:
+            if y < h and end > x:
                 out[y, x:end] = px[: end - x]
             x += val
     return out

@@ -1164,3 +1164,13 @@ def test_bmp_rle4_nibble_runs():
     stream = bytes([5, 0x12, 0, 1])  # run of 5 alternating 1,2,1,2,1 + EOB
     img = decode_bmp(_bmp_rle(5, 1, 4, 16, pal, stream))
     assert [p[0] for p in img[0]] == [1, 2, 1, 2, 1]
+
+
+def test_bmp_rle8_overflow_run_is_clipped_not_crash():
+    """A malformed RLE run starting past the row width writes nothing
+    (review-found: the first cut assigned a negative-length slice and
+    raised a numpy broadcast error instead of decoding tolerantly)."""
+    pal = bytes(bytearray(v for i in range(2) for v in (i * 9, i * 9, i * 9, 0)))
+    stream = bytes([3, 1, 4, 1, 0, 0, 0, 1])  # 3+4 px into a 2-px row
+    img = decode_bmp(_bmp_rle(2, 1, 8, 2, pal, stream))
+    assert [p[0] for p in img[0]] == [9, 9]
