@@ -332,37 +332,51 @@ def audio_candidates(
         ex = ex.repartition(nparts, "v").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        ex.count()  # eager: populate before the join's map sides race
-    ex_a = ex if probe_stride == 1 else ex.filter(
-        F.col("idx") % probe_stride == 0
-    )
-    a = ex_a.select(
-        F.col("v"),
-        F.col(id_col).alias("id_a"),
-        F.col("idx").alias("idx_a"),
-    )
-    b = ex.select(
-        F.col("v"),
-        F.col(id_col).alias("id_b"),
-        F.col("idx").alias("idx_b"),
-    )
-    matched = (
-        a.join(b, "v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
+    # Any failure between persist() and materialize_and_release —
+    # the eager count, the vote/verify plan build — must still
+    # release the ~hundreds-of-MB cache (r13 ADVICE); hence the
+    # whole consumer-plan construction sits in one try/except.
+    try:
+        if cache_probe_words:
+            ex.count()  # eager: populate before the join's map sides race
+        ex_a = ex if probe_stride == 1 else ex.filter(
+            F.col("idx") % probe_stride == 0
         )
-    )
-    # best offset per pair: max probe hits, ties to the smallest
-    # offset (shared vote, operators/dedup_fuzzy.py)
-    best = vote_best_offset(matched).filter(
-        F.col("n_match") >= min_probe_frames
-    )
-    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
-    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
-    verified = _ber_verify(best, fa, fb, ber_max, min_overlap_frames)
-    if cache_probe_words:
-        verified = materialize_and_release(verified, ex)
+        a = ex_a.select(
+            F.col("v"),
+            F.col(id_col).alias("id_a"),
+            F.col("idx").alias("idx_a"),
+        )
+        b = ex.select(
+            F.col("v"),
+            F.col(id_col).alias("id_b"),
+            F.col("idx").alias("idx_b"),
+        )
+        matched = (
+            a.join(b, "v")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", (F.col("idx_a") - F.col("idx_b")).alias("off")
+            )
+        )
+        # best offset per pair: max probe hits, ties to the smallest
+        # offset (shared vote, operators/dedup_fuzzy.py)
+        best = vote_best_offset(matched).filter(
+            F.col("n_match") >= min_probe_frames
+        )
+        fa = fps.select(
+            F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a")
+        )
+        fb = fps.select(
+            F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b")
+        )
+        verified = _ber_verify(best, fa, fb, ber_max, min_overlap_frames)
+        if cache_probe_words:
+            verified = materialize_and_release(verified, ex)
+    except BaseException:
+        if cache_probe_words:
+            ex.unpersist()
+        raise
     return verified
 
 
@@ -576,6 +590,7 @@ def decontaminate_audio(
     min_probe_frames: int = 2,
     ber_max: float = 0.25,
     max_word_df: int | None = None,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """Drop corpus clips that are near-duplicates of any EVAL-set
     clip — the audio twin of phash.decontaminate_images: training on
@@ -630,8 +645,10 @@ def decontaminate_audio(
     # sf0.1, i.e. the exact byte volume this family exists to avoid.
     # The ID set is bounded by the eval-match count (≤ corpus rows,
     # ≪ in any sane decontamination); at a scale where it outgrows
-    # broadcast, swap to a plain join here and accept the shuffle.
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # broadcast, pass ``broadcast_ids=False`` — the plain anti-join
+    # accepts the AQE-planned shuffle instead of a driver OOM (r14).
+    ids = F.broadcast(contaminated) if broadcast_ids else contaminated
+    return corpus.join(ids, id_col, "left_anti")
 
 
 def dedup_audio(

@@ -705,6 +705,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             f = np.frombuffer(data, dtype="<f8")
         else:
             raise ValueError(f"{bits}-bit IEEE-float WAV is not legal")
+        # np.clip bounds +/-Inf but NaN survives it and the
+        # float->int16 cast of NaN is platform-dependent — reject
+        # non-finite samples like any other malformed payload so
+        # fingerprints stay deterministic (r13 ADVICE).
+        if not np.isfinite(f).all():
+            raise ValueError("IEEE-float WAV contains non-finite samples")
         raw = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
     elif bits == 16:
         raw = np.frombuffer(data, dtype="<i2")

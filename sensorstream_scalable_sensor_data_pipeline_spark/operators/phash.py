@@ -648,6 +648,7 @@ def decontaminate_images(
     binary_col: str = "payload",
     max_hamming: int = 8,
     method: str = "pigeonhole",
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """Drop corpus images that are near-duplicates of any EVAL-set
     image — the image twin of the n-gram text decontaminator
@@ -701,6 +702,9 @@ def decontaminate_images(
     contaminated = hits.select(F.col("id_a").alias(id_col)).distinct()
     # broadcast the ID set (r13): the audio/video twins measured the
     # plain anti-join shuffling the corpus WITH payloads — broadcast
-    # keeps pixels on the scan side (escape at extreme contamination:
-    # plain join, accepting the shuffle)
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # keeps pixels on the scan side. ``broadcast_ids=False`` is the
+    # escape for pathological contamination (a corpus-sized ID set
+    # would hit the broadcast/driver limit): the plain anti-join
+    # degrades to an AQE-planned shuffle instead of an OOM (r14).
+    ids = F.broadcast(contaminated) if broadcast_ids else contaminated
+    return corpus.join(ids, id_col, "left_anti")

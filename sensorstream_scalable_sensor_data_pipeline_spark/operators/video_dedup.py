@@ -280,6 +280,7 @@ def decontaminate_videos(
     every_n: int = 4,
     min_match_frac: float = 0.5,
     max_hamming: int = 2,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """Drop corpus clips that are near-duplicates of any EVAL-set
     video — the video twin of phash.decontaminate_images /
@@ -333,8 +334,12 @@ def decontaminate_videos(
     )
     # BROADCAST the contaminated-ID set — same r13 finding as the
     # audio twin: the plain anti-join shuffled the corpus payloads
-    # (300 MB at sf0.1); the broadcast keeps pixels on the scan side
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # (300 MB at sf0.1); the broadcast keeps pixels on the scan
+    # side. ``broadcast_ids=False`` escapes to a plain anti-join for
+    # contamination so extreme the ID set outgrows the broadcast /
+    # driver limits (r14).
+    ids = F.broadcast(contaminated) if broadcast_ids else contaminated
+    return corpus.join(ids, id_col, "left_anti")
 
 
 def dedup_videos(

@@ -592,6 +592,11 @@ def test_decontaminate_audio_plan_broadcasts_id_antijoin(spark):
     assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
         "BroadcastExchange", 1
     )[0]
+    # broadcast_ids=False (r14): the extreme-contamination escape —
+    # no forced hint, the planner may shuffle; survivors identical
+    plain = decontaminate_audio(corpus, ev, broadcast_ids=False)
+    assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+    assert {r["doc_id"] for r in plain.collect()} == {1, 2}
 
 
 def test_audio_candidates_cached_probe_equals_lazy(spark):

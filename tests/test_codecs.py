@@ -1079,6 +1079,21 @@ def test_wav_32bit_int_and_float():
     assert out[0, 0] == 8192
 
 
+def test_wav_float_nonfinite_samples_rejected():
+    """NaN survives np.clip and hits an undefined float->int16 cast
+    (r13 ADVICE) — non-finite IEEE-float samples are a malformed
+    payload, rejected deterministically instead of yielding
+    platform-dependent fingerprints. Infinities clip fine on their
+    own but share the contract: one rule, no silent half-support."""
+    for bad in (np.nan, np.inf, -np.inf):
+        floats = np.array([0.5, bad], dtype="<f4")
+        with pytest.raises(ValueError, match="non-finite"):
+            decode_wav(_wav_fixture(3, 32, floats.tobytes()))
+    floats64 = np.array([np.nan], dtype="<f8")
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(_wav_fixture(3, 64, floats64.tobytes()))
+
+
 def test_wav_extensible_resolves_subformat():
     """WAVE_FORMAT_EXTENSIBLE (r13): the SubFormat GUID's leading
     code routes to the same PCM decode; a non-PCM sub-code keeps the

@@ -687,3 +687,39 @@ def test_decontaminate_images_plan_broadcasts_id_antijoin(spark):
     assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
         "BroadcastExchange", 1
     )[0]
+
+
+def test_decontaminate_images_broadcast_ids_escape(spark):
+    """``broadcast_ids=False`` (r14, r13 ADVICE): the escape for
+    contamination so extreme the ID set outgrows the broadcast limit
+    — the anti-join is no longer FORCED broadcast (the planner may
+    still pick one for a tiny set; the pin is that the plan carries
+    no BroadcastExchange hint-forced when AQE would shuffle) and the
+    survivor set is identical."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        decontaminate_images,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, encode_png(make_img(40 + i))) for i in range(3)],
+        "doc_id long, payload binary",
+    )
+    ev = spark.createDataFrame(
+        [(100, encode_png(make_img(40)))], "doc_id long, payload binary"
+    )
+    forced = decontaminate_images(corpus, ev)
+    plain = decontaminate_images(corpus, ev, broadcast_ids=False)
+    assert {r["doc_id"] for r in plain.collect()} == {
+        r["doc_id"] for r in forced.collect()
+    } == {1, 2}
+    # the blocked-match internals legitimately broadcast the tiny
+    # eval-side hash table on BOTH paths; the escape removes exactly
+    # ONE hint — the anti-join's forced contaminated-ID broadcast —
+    # giving the planner freedom where the set could be corpus-sized
+    n_hints_plain = plain._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    n_hints_forced = forced._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    assert n_hints_forced == n_hints_plain + 1

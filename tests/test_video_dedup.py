@@ -402,3 +402,11 @@ def test_decontaminate_videos_plan_broadcasts_id_antijoin(spark):
     assert "hashpartitioning(doc_id" not in plan[left_anti_pos:].split(
         "BroadcastExchange", 1
     )[0]
+    # broadcast_ids=False (r14): the extreme-contamination escape
+    # drops the forced hint so the planner can shuffle instead of
+    # OOMing the driver on a corpus-sized ID set
+    plain = decontaminate_videos(
+        corpus, ev, every_n=1, broadcast_ids=False
+    )
+    assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+    assert {r["doc_id"] for r in plain.collect()} == {1, 2}
