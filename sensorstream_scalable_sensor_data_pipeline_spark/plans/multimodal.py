@@ -427,8 +427,8 @@ def curate_image_corpus(
     )
 
 
-#: dedup_phash_recovery's oracle (QUEUED for the r14 registry rotation
-#: — written and locally pinned in r12 per the r11 verdict task #5).
+#: dedup_phash_recovery's oracle (registered at r14 — rotation #6;
+#: written and locally pinned in r12 per the r11 verdict task #5).
 #: The planted corpus structure is closed-form: _image_corpus emits
 #: img_id = doc_id·4 + rep, and every img_id ≡ 0 (mod 5), id > 0 is a
 #: format-level VARIANT of img_id−1, so perfect near-dup recovery
@@ -440,7 +440,7 @@ def curate_image_corpus(
 #: value-hash oracle for an end-to-end perceptual dedup: any missed
 #: variant (recall) or accidental merge (precision) breaks the match.
 DEDUP_PHASH_RECOVERY_ORACLE = r"""
-    SELECT count(*) AS n_kept, sum(img_id) AS id_sum
+    SELECT count(*) AS n_kept, CAST(sum(img_id) AS BIGINT) AS id_sum
     FROM (
       SELECT doc_id * 4 + r.range AS img_id
       FROM documents CROSS JOIN range(4) r
@@ -449,9 +449,11 @@ DEDUP_PHASH_RECOVERY_ORACLE = r"""
     """
 
 
+@query("dedup_phash_recovery", oracle=DEDUP_PHASH_RECOVERY_ORACLE)
 def dedup_phash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-variant recovery for perceptual image dedup — the
-    registry-shaped form of the pHash family (r14 rotation queue):
+    registry-shaped form of the pHash family (ROTATED IN at r14,
+    rotation #6 — the slot freed by o1_global_sort):
     synthesize the deterministic planted corpus, run the full
     hash → candidates → verify → closure → anti-join chain, and emit
     the survivor count + id-sum that the closed-form oracle predicts.
@@ -488,7 +490,7 @@ def dedup_phash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fingerprint → probe-vote → BER-verify → closure chain: any recall
 #: miss or accidental merge breaks the match.
 DEDUP_AUDIO_RECOVERY_ORACLE = r"""
-    SELECT count(*) AS n_kept, sum(clip_id) AS id_sum
+    SELECT count(*) AS n_kept, CAST(sum(clip_id) AS BIGINT) AS id_sum
     FROM (
       SELECT doc_id * 2 + r.range AS clip_id
       FROM documents CROSS JOIN range(2) r
@@ -538,7 +540,7 @@ def dedup_audio_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: while exact equality is only ~83 % per frame ON AVERAGE with
 #: per-seed tails below the vote threshold.
 DEDUP_VIDEO_RECOVERY_ORACLE = r"""
-    SELECT count(*) AS n_kept, sum(doc_id) AS id_sum
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM documents
     WHERE NOT (doc_id % 5 = 0 AND doc_id > 0)
     """
@@ -580,7 +582,7 @@ def dedup_video_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle for the cross-table fingerprint → probe-vote → BER-verify
 #: → broadcast-anti-join chain.
 DECONTAMINATE_AUDIO_SUMMARY_ORACLE = r"""
-    SELECT count(*) AS n_kept, sum(clip_id) AS id_sum
+    SELECT count(*) AS n_kept, CAST(sum(clip_id) AS BIGINT) AS id_sum
     FROM (
       SELECT doc_id * 2 + r.range AS clip_id
       FROM documents CROSS JOIN range(2) r
@@ -605,6 +607,49 @@ def decontaminate_audio_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_corpus(spark, sf_dir, "audio_eval", _audio_eval_corpus),
         "doc_id",
         "payload",
+    )
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+#: decontaminate_video_summary's oracle (QUEUED as the r18 rotation
+#: in-candidate, written and locally pinned in r14 per queue
+#: discipline — the decontamination family's second modality slot).
+#: The video corpus holds ONE clip per documents row (doc_id =
+#: vid_id), the eval set is an MJPEG-q85 re-encode of every recording
+#: r ≡ 1 (mod 50) — never a variant slot, never copied by a variant
+#: (see test_decontam_fixture_contract for the invariant derivation)
+#: — so each eval clip contaminates exactly one corpus clip and
+#: perfect decontamination keeps everything except the r ≡ 1 (mod
+#: 50) ids. A full value-hash oracle for the cross-table frame-match
+#: → offset-vote → broadcast-anti-join chain at the radius-2
+#: recall-first default.
+DECONTAMINATE_VIDEO_SUMMARY_ORACLE = r"""
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id % 50 <> 1
+    """
+
+
+def decontaminate_video_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval video decontamination, registry-shaped (r18
+    rotation-queue in-candidate): synthesize the planted AVI corpus
+    and its stride-50 q85-re-encoded eval set, run the full
+    cross-table frame chain, and emit the survivor count + id-sum
+    the closed-form oracle predicts — the same derivation the r13
+    bench head asserts in-head, here as a driver-checked value
+    hash."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        decontaminate_videos,
+    )
+
+    clean = decontaminate_videos(
+        _read_corpus(spark, sf_dir, "video", _video_corpus),
+        _read_corpus(spark, sf_dir, "video_eval", _video_eval_corpus),
+        "doc_id",
+        "payload",
+        every_n=2,
     )
     return clean.agg(
         F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")

@@ -353,11 +353,19 @@ def d1_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- sort
 
 
-@query("o1_global_sort", oracle="SELECT event_id, ts FROM events ORDER BY ts")
+#: o1_global_sort's oracle, kept importable for the rotated-slot
+#: suite (rotated out in round 14 — rotation #6; its slot now carries
+#: dedup_phash_recovery; global-sort mechanics stay driver-visible in
+#: every ORDER-BY-consuming registry row and plan-pinned locally).
+O1_GLOBAL_SORT_ORACLE = "SELECT event_id, ts FROM events ORDER BY ts"
+
+
 def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: global ascending sort before write (main_pipeline.py:328) —
     a range-partitioned sort, the only all-to-all in the reference's
-    emit path."""
+    emit path. Local-oracle since the r14 rotation
+    (tests/test_queries_vs_oracle.py::test_rotated_o1_global_sort_
+    matches_oracle)."""
     return load_table(spark, sf_dir, "events").select("event_id", "ts").orderBy("ts")
 
 

@@ -225,6 +225,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "html_extract_corpus",
         "w3_session_window",
         "sim_pq_adc_topk",
+        "dedup_phash_recovery",
     } <= names
     assert not {
         "d1_dedup_deterministic",
@@ -236,6 +237,7 @@ def test_registry_is_exactly_50_with_temporal_family():
         "mm_binary_metadata",
         "u1_u2_union_suite",
         "p9_p10_project_rename",
+        "o1_global_sort",
     } & names
 
 
@@ -312,6 +314,21 @@ def test_rotated_p9_p10_project_rename_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "p9_p10_project_rename")
 
 
+def test_rotated_o1_global_sort_matches_oracle(spark, duck, sf_dir):
+    """Rotated out in round 14 (rotation #6 — slot now carries
+    dedup_phash_recovery); the global range-partitioned sort stays
+    locally oracle-pinned here, and ORDER-BY mechanics remain
+    driver-visible in every sorted registry row."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        O1_GLOBAL_SORT_ORACLE,
+        o1_global_sort,
+    )
+
+    sdf = o1_global_sort(spark, sf_dir).toPandas()
+    ddf = duck.sql(O1_GLOBAL_SORT_ORACLE).df()
+    assert_frames_match(sdf, ddf, "o1_global_sort")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
@@ -321,9 +338,9 @@ def test_entry_smoke(spark):
 
 
 def test_queued_dedup_phash_recovery_matches_oracle(spark, duck, sf_dir):
-    """r14 rotation-queue feasibility pin (r11 verdict task #5): the
-    perceptual image-dedup recovery query hash-matches its closed-form
-    DuckDB oracle BEFORE taking a registry slot — the planted corpus
+    """Was the r14 rotation-queue feasibility pin (r11 verdict task
+    #5); the query took its registry slot at rotation #6 and this
+    stays as the local twin of the driver row — the planted corpus
     structure (every img_id ≡ 0 mod 5 is a variant of img_id−1, no
     accidental merges by fixture design) makes perfect recovery a
     pure function of the documents table."""
@@ -404,3 +421,76 @@ def test_queued_decontaminate_audio_summary_matches_oracle(spark, duck, sf_dir):
     sdf = decontaminate_audio_summary(spark, sf_dir).toPandas()
     ddf = duck.sql(DECONTAMINATE_AUDIO_SUMMARY_ORACLE).df()
     assert_frames_match(sdf, ddf, "decontaminate_audio_summary")
+
+
+def test_queued_decontaminate_video_summary_matches_oracle(spark, duck, sf_dir):
+    """r18 rotation-queue feasibility pin (written r14 per queue
+    discipline): the video decontamination summary hash-matches its
+    closed-form DuckDB oracle — each stride-50 q85 re-encode
+    contaminates exactly one corpus clip, so perfect decontamination
+    is a pure function of the documents table (see
+    test_decontam_fixture_contract for the shared invariant
+    derivation)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        DECONTAMINATE_VIDEO_SUMMARY_ORACLE,
+        decontaminate_video_summary,
+    )
+
+    sdf = decontaminate_video_summary(spark, sf_dir).toPandas()
+    ddf = duck.sql(DECONTAMINATE_VIDEO_SUMMARY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "decontaminate_video_summary")
+
+
+def test_decontam_fixture_contract(spark, duck, sf_dir):
+    """ONE derivation for the three `_decontam_expected` assertion
+    sites (both bench heads + the queued r17 registry oracle — r13
+    verdict task #6): every structural invariant the closed form
+    relies on is asserted HERE from the fixture constants, so a
+    fixture drift (changing _EVAL_STRIDE, the clips-per-doc ratio, or
+    the variant slotting) fails THIS test with a named invariant
+    instead of three confusing survivor-count mismatches.
+
+    Invariants:
+    * eval ids r ≡ 1 (mod _EVAL_STRIDE) are never variant slots
+      (r % 5 ≠ 0) and their successors are never variants of them
+      ((r+1) % 5 ≠ 0 ⇒ nothing copies r) — requires 5 | _EVAL_STRIDE;
+    * the audio oracle's `doc_id * 2 + range(2)` literal matches
+      _AUDIO_CLIPS_PER_DOC;
+    * _decontam_expected's (kept, id_sum) equal the direct
+      set-difference computation from the eval id list;
+    * the queued DuckDB oracle reproduces the same pair at sf0.01
+      for both the audio (2N) and video (N) corpus sizes.
+    """
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        _AUDIO_CLIPS_PER_DOC,
+        _EVAL_STRIDE,
+        _decontam_expected,
+        DECONTAMINATE_AUDIO_SUMMARY_ORACLE,
+    )
+
+    # slotting: variant slots are ids ≡ 0 (mod 5) copying id−1; eval
+    # ids 1+k·S avoid them for ALL k iff 5 divides the stride
+    assert _EVAL_STRIDE % 5 == 0 and _EVAL_STRIDE > 5, (
+        f"_EVAL_STRIDE={_EVAL_STRIDE} breaks the never-a-variant-slot "
+        "invariant: eval ids 1+k*stride must stay ≢ 0 (mod 5), and so "
+        "must their successors"
+    )
+    assert _AUDIO_CLIPS_PER_DOC == 2, (
+        "the queued DECONTAMINATE_AUDIO_SUMMARY_ORACLE hardcodes "
+        "doc_id * 2 + range(2); regenerate it if the ratio changes"
+    )
+    assert "doc_id * 2" in DECONTAMINATE_AUDIO_SUMMARY_ORACLE
+    assert "range(2)" in DECONTAMINATE_AUDIO_SUMMARY_ORACLE
+
+    n_docs = duck.sql("SELECT count(*) AS n FROM documents").df()["n"][0]
+    for n_corpus in (int(n_docs) * _AUDIO_CLIPS_PER_DOC, int(n_docs)):
+        eval_ids = list(range(1, n_corpus, _EVAL_STRIDE))
+        for r in eval_ids:
+            assert r % 5 != 0 and (r + 1) % 5 != 0, r
+        kept, id_sum = _decontam_expected(n_corpus)
+        assert kept == n_corpus - len(eval_ids)
+        assert id_sum == n_corpus * (n_corpus - 1) // 2 - sum(eval_ids)
+    # the queued oracle reproduces the audio pair end-to-end
+    row = duck.sql(DECONTAMINATE_AUDIO_SUMMARY_ORACLE).df().iloc[0]
+    kept, id_sum = _decontam_expected(int(n_docs) * _AUDIO_CLIPS_PER_DOC)
+    assert (int(row["n_kept"]), int(row["id_sum"])) == (kept, id_sum)
