@@ -108,6 +108,80 @@ def _committed_batch_dirs(spark: SparkSession, root: str) -> list[str]:
     return sorted(out)
 
 
+#: Name of the provenance file a compacted batch dir carries: a JSON
+#: list of every ORIGINAL batch id folded into it (transitively —
+#: re-compacting a compact dir unions its provenance). Written after
+#: the parquet commit and before source deletion, so at every crash
+#: point a folded batch id is discoverable either by its own
+#: ``_SUCCESS`` (sources not yet deleted) or here.
+_PROVENANCE_FILE = "_sources.json"
+
+
+def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None:
+    import json
+
+    fs, jpath = _fs(spark, posixpath.join(out_dir, _PROVENANCE_FILE))
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(sorted(ids)).encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_provenance(spark: SparkSession, batch_dir: str) -> list[str]:
+    """Folded batch ids recorded in ``batch_dir``'s provenance file
+    (empty for ordinary ingest dirs and pre-provenance compact dirs)."""
+    import json
+
+    path = posixpath.join(batch_dir, _PROVENANCE_FILE)
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _folded_batch_ids(spark: SparkSession, root: str) -> set[str]:
+    """Every original batch id that a COMMITTED compacted dir under
+    ``root`` has folded — the resume-check complement to a batch's
+    own ``_SUCCESS`` marker: after compaction deletes the source dir,
+    this is the only durable record that the batch committed. Without
+    it, re-running a compacted-away ``batch_id`` would recompute,
+    anti-join everything against state, and OVERWRITE the staged
+    survivors with empty rows (r14 review-found; the hazard predates
+    in-ingest maintenance but automatic compaction widens it)."""
+    out: set[str] = set()
+    for d in _committed_batch_dirs(spark, root):
+        name = d.rsplit("batch=", 1)[1]
+        if name.startswith("compact-"):
+            out.update(_read_provenance(spark, d))
+    return out
+
+
+def _batch_committed(
+    spark: SparkSession, state_dir: str, table: str, bid: str
+) -> bool:
+    """Has batch ``bid``'s state for ``table`` committed durably —
+    either its own ``batch=<bid>/_SUCCESS`` still exists, or a
+    committed compacted dir's provenance records it (the dir itself
+    was folded and deleted by :func:`compact_state`). The resume
+    check every ingest uses; the provenance half is what makes
+    resume-by-``batch_id`` safe under automatic state maintenance."""
+    root = posixpath.join(state_dir, table)
+    fs, marker = _fs(
+        spark, posixpath.join(root, f"batch={bid}", "_SUCCESS")
+    )
+    if fs.exists(marker):
+        return True
+    return bid in _folded_batch_ids(spark, root)
+
+
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The accepted-fingerprint table (committed batches only), or
     None before the first successful ingest."""
@@ -118,6 +192,18 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.option("basePath", root).parquet(*dirs)
 
 
+#: Default state-maintenance threshold: an ingest that leaves this
+#: many committed batch dirs in its state table triggers an inline
+#: :func:`compact_state` — bounded fragmentation BY DEFAULT (r13
+#: verdict task #5: "bounded state should be the default, not a
+#: docstring instruction"), at one amortized rewrite per
+#: ``MAINTAIN_MAX_BATCH_DIRS − 1`` ingests. The maintenance runs
+#: inside the ingest call, so it inherits whatever writer
+#: serialization the ingest already has (the schedule.py run lock in
+#: the operational path — same contract, no new locking).
+MAINTAIN_MAX_BATCH_DIRS = 16
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -125,6 +211,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: str | None = None,
+    maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
 ) -> DataFrame:
     """Deduplicate ``batch`` within itself and against all previously
     accepted content, durably stage the survivors, commit their
@@ -137,6 +224,14 @@ def ingest_batch(
     recomputing (and without double-appending state). Omitted, a
     fresh id is generated and the call has pure content semantics —
     re-ingesting accepted content under a new id accepts nothing.
+
+    ``maintain_max_batch_dirs`` (default 16) keeps state
+    fragmentation bounded WITHOUT a separate scheduler hook: after
+    the commit, :func:`maintain_state` compacts this ingest's state
+    table iff its committed-dir count reached the threshold — a
+    no-op 15 of 16 ingests, one amortized O(state) rewrite
+    otherwise. ``None`` disables (callers running their own
+    maintenance cadence).
     """
     bid = batch_id if batch_id is not None else uuid.uuid4().hex
     staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
@@ -148,8 +243,9 @@ def ingest_batch(
         return spark.read.schema(schema).parquet(staged_dir)
 
     fs, _ = _fs(spark, state_dir)
-    fp_success = _fs(spark, posixpath.join(fp_dir, "_SUCCESS"))[1]
-    if batch_id is not None and fs.exists(fp_success):
+    if batch_id is not None and _batch_committed(
+        spark, state_dir, "fingerprints", bid
+    ):
         return _staged(batch.schema)  # fully committed — resume
 
     fps = fingerprint_docs(batch, id_col, text_col)
@@ -172,6 +268,10 @@ def ingest_batch(
     fingerprint_docs(accepted, id_col, text_col).select(
         "fp", "fp_prefix", F.col(id_col)
     ).write.mode("overwrite").partitionBy("fp_prefix").parquet(fp_dir)
+    if maintain_max_batch_dirs is not None:
+        maintain_state(
+            spark, state_dir, maintain_max_batch_dirs, ("fingerprints",)
+        )
     return accepted
 
 
@@ -210,7 +310,17 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
       fuzzy paths collapse them in their pair aggregations) and never
       a loss; the next compaction's ``distinct()`` collapses them
       permanently (self-healing, so compaction is idempotent at any
-      crash point).
+      crash point). One audio-path caveat in this window (r13
+      ADVICE): with both copies visible, sampled word counts would
+      double and the hub guard's effective cut would halve —
+      transiently over-dropping probe words (recall-only: a dropped
+      probe word can only miss a candidate, never invent one). Since
+      r14 the provenance file closes this exactly —
+      :func:`read_audio_hubs` skips source dirs a committed
+      compact dir's ``_sources.json`` already folds — leaving the
+      transient only for pre-provenance compact dirs; the
+      "duplicates are harmless" claim above is about MATCH
+      correctness, not hub-cut calibration.
 
     The compacted dir's name hashes its source listing, so a crashed
     attempt that partially deleted sources produces a NEW compaction
@@ -251,6 +361,24 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
         writer = writer.partitionBy(*parts)
     writer.parquet(out_dir)
 
+    # Provenance BEFORE deletion (r14): record every original batch
+    # id this dir folds (transitively, through re-compacted compact
+    # dirs) so a crashed ingest whose fp dir was compacted away can
+    # still resume by id instead of recomputing-to-empty and
+    # destroying its staged survivors. Crash between the parquet
+    # commit and this write: sources still exist, so every id is
+    # still discoverable via its own _SUCCESS — no window.
+    folded: list[str] = []
+    for d in dirs:
+        if d == out_dir:
+            continue
+        name = d.rsplit("batch=", 1)[1]
+        if name.startswith("compact-"):
+            folded.extend(_read_provenance(spark, d))
+        else:
+            folded.append(name)
+    _write_provenance(spark, out_dir, sorted(set(folded)))
+
     fs, _ = _fs(spark, state_dir)
     for d in dirs:
         if d != out_dir:  # a prior crashed compaction can be a source
@@ -269,10 +397,13 @@ def maintain_state(
     """Threshold-driven maintenance sweep over every state table
     under ``state_dir``: compact any table whose committed batch-dir
     count reached ``max_batch_dirs`` (the operational face of
-    :func:`compact_state` — call it after each ingest, or from the
-    daily scheduler run, and fragmentation stays bounded at
-    ``max_batch_dirs`` dirs forever while the amortized cost is one
-    state rewrite every ``max_batch_dirs − 1`` ingests).
+    :func:`compact_state`). Since r14 every ``ingest_*`` calls this
+    INLINE on its own table after each commit (r13 verdict task #5 —
+    bounded state is the default, not a docstring instruction), so
+    fragmentation stays ≤ ``max_batch_dirs`` dirs forever at one
+    amortized state rewrite every ``max_batch_dirs − 1`` ingests;
+    call it directly only for cross-table sweeps or when ingests ran
+    with ``maintain_max_batch_dirs=None``.
 
     Same locking contract as ingest: run under the schedule.py run
     lock. Returns {table: n_source_dirs_compacted} for the tables
@@ -335,6 +466,7 @@ def ingest_image_batch(
     max_hamming: int = 8,
     batch_id: str | None = None,
     method: str = "auto",
+    maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
 ) -> DataFrame:
     """Incremental near-duplicate IMAGE ingest — the pHash
     generalization of :func:`ingest_batch`, under the SAME
@@ -397,8 +529,9 @@ def ingest_image_batch(
         return spark.read.schema(schema).parquet(staged_dir)
 
     fs, _ = _fs(spark, state_dir)
-    ph_success = _fs(spark, posixpath.join(ph_dir, "_SUCCESS"))[1]
-    if batch_id is not None and fs.exists(ph_success):
+    if batch_id is not None and _batch_committed(
+        spark, state_dir, "phashes", bid
+    ):
         return _staged(batch.schema)  # fully committed — resume
 
     # hash once, persist: the within-batch self-join reads both sides
@@ -486,6 +619,10 @@ def ingest_image_batch(
             .alias("fp_prefix"),
             F.col("doc_id"),
         ).write.mode("overwrite").partitionBy("fp_prefix").parquet(ph_dir)
+        if maintain_max_batch_dirs is not None:
+            maintain_state(
+                spark, state_dir, maintain_max_batch_dirs, ("phashes",)
+            )
         return accepted
     finally:
         hashes.unpersist()
@@ -542,11 +679,23 @@ def read_audio_hubs(
 
     if max_word_df is None:
         return None
-    fp_dirs = _committed_batch_dirs(
-        spark, posixpath.join(state_dir, "audio_fps")
-    )
+    root = posixpath.join(state_dir, "audio_fps")
+    fp_dirs = _committed_batch_dirs(spark, root)
     if not fp_dirs:
         return None
+    # Compaction crash window (compacted dir committed, sources not
+    # yet deleted): counting BOTH copies would double every folded
+    # word and halve the hub cut (transient recall-only over-drop —
+    # r13 ADVICE). Provenance (r14) closes it exactly: skip source
+    # dirs a committed compact dir already folds. Pre-provenance
+    # compact dirs (r13-era state) keep the documented transient
+    # behavior until their next compaction.
+    folded = _folded_batch_ids(spark, root)
+    if folded:
+        fp_dirs = [
+            d for d in fp_dirs
+            if d.rsplit("batch=", 1)[1] not in folded
+        ]
     rate_inv, _ = hub_sampling_params(max_word_df)
     fs, _ = _fs(spark, state_dir)
     count_dirs = []
@@ -572,6 +721,7 @@ def ingest_audio_batch(
     min_probe_frames: int = 2,
     batch_id: str | None = None,
     max_word_df: int | None = _AUDIO_MAX_WORD_DF,
+    maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
 ) -> DataFrame:
     """Incremental near-duplicate AUDIO ingest — the Haitsma–Kalker
     generalization of :func:`ingest_batch` / :func:`ingest_image_batch`,
@@ -633,8 +783,9 @@ def ingest_audio_batch(
         return spark.read.schema(schema).parquet(staged_dir)
 
     fs, _ = _fs(spark, state_dir)
-    fp_success = _fs(spark, posixpath.join(fp_dir, "_SUCCESS"))[1]
-    if batch_id is not None and fs.exists(fp_success):
+    if batch_id is not None and _batch_committed(
+        spark, state_dir, "audio_fps", bid
+    ):
         return _staged(batch.schema)  # fully committed — resume
 
     # fingerprint once, persist: the within-batch self-join reads both
@@ -707,6 +858,10 @@ def ingest_audio_batch(
             ).write.mode("overwrite").parquet(
                 _audio_word_count_dir(state_dir, rate_inv, bid)
             )
+        if maintain_max_batch_dirs is not None:
+            maintain_state(
+                spark, state_dir, maintain_max_batch_dirs, ("audio_fps",)
+            )
         return accepted
     finally:
         fps.unpersist()
@@ -739,6 +894,7 @@ def ingest_video_batch(
     min_match_frac: float = 0.5,
     max_hamming: int = 0,
     batch_id: str | None = None,
+    maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
 ) -> DataFrame:
     """Incremental near-duplicate VIDEO ingest — the frame-sampled
     generalization of :func:`ingest_batch`, completing the
@@ -777,8 +933,9 @@ def ingest_video_batch(
         return spark.read.schema(schema).parquet(staged_dir)
 
     fs, _ = _fs(spark, state_dir)
-    fh_success = _fs(spark, posixpath.join(fh_dir, "_SUCCESS"))[1]
-    if batch_id is not None and fs.exists(fh_success):
+    if batch_id is not None and _batch_committed(
+        spark, state_dir, "frame_phashes", bid
+    ):
         return _staged(batch.schema)  # fully committed — resume
 
     # hash frames once, persist: the within-batch self-join reads both
@@ -830,6 +987,10 @@ def ingest_video_batch(
         ).select("doc_id", "frame_idx", "phash").write.mode(
             "overwrite"
         ).parquet(fh_dir)
+        if maintain_max_batch_dirs is not None:
+            maintain_state(
+                spark, state_dir, maintain_max_batch_dirs, ("frame_phashes",)
+            )
         return accepted
     finally:
         fh.unpersist()

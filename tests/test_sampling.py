@@ -318,10 +318,12 @@ def test_pack_fixed_windows_matches_oracle(spark, duck, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
       FROM d
     )
-    SELECT doc_id, shard, "offset",
-           "offset" // 512 AS start_window,
-           ("offset" + n - 1) // 512 AS end_window,
-           ("offset" + n - 1) // 512 - "offset" // 512 + 1 AS n_windows
+    SELECT doc_id, shard,
+           CAST("offset" AS BIGINT) AS "offset",
+           CAST("offset" // 512 AS BIGINT) AS start_window,
+           CAST(("offset" + n - 1) // 512 AS BIGINT) AS end_window,
+           CAST(("offset" + n - 1) // 512 - "offset" // 512 + 1 AS BIGINT)
+             AS n_windows
     FROM o
     """
     assert_frames_match(got.toPandas(), duck.sql(oracle).df(), "pack_fixed_windows")
@@ -1488,3 +1490,152 @@ def test_maintain_state_threshold_sweep(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_batch_dirs"):
         maintain_state(spark, sdir, max_batch_dirs=1)
+
+
+def test_ingest_auto_maintains_bounded_state(spark, tmp_path):
+    """r13 verdict task #5: bounded state is the DEFAULT — every
+    ingest sweeps its own table, so a long ingest sequence never
+    exceeds the threshold dirs, with semantics identical to the
+    unmaintained path (re-delivered content rejects, new accepts)."""
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_batch,
+        read_state,
+    )
+
+    sdir = str(tmp_path / "autostate")
+    for i in range(9):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"auto doc {i} {j}") for j in range(2)],
+            "doc_id long, text string",
+        )
+        ingest_batch(spark, b, sdir, batch_id=f"a{i}", maintain_max_batch_dirs=4)
+        dirs = [
+            d
+            for d in os.listdir(f"{sdir}/fingerprints")
+            if d.startswith("batch=")
+        ]
+        assert len(dirs) <= 4, f"after ingest {i}: {dirs}"
+    # 9 batches × 2 docs all present exactly once
+    assert read_state(spark, sdir).count() == 18
+    # semantics preserved across the automatic compactions
+    b = spark.createDataFrame(
+        [(900, "auto doc 0 0"), (901, "auto fresh body")],
+        "doc_id long, text string",
+    )
+    acc = sorted(
+        r["doc_id"]
+        for r in ingest_batch(
+            spark, b, sdir, maintain_max_batch_dirs=4
+        ).collect()
+    )
+    assert acc == [901]
+
+
+def test_ingest_resume_survives_compaction(spark, tmp_path):
+    """Provenance resume (r14 review-found): a crashed ingest whose
+    fingerprint dir was FOLDED AWAY by compaction must still resume
+    by batch_id — without _sources.json the re-run would recompute,
+    anti-join everything against state, and OVERWRITE the staged
+    survivors with empty rows (silent data loss)."""
+    import json
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        ingest_batch,
+    )
+
+    sdir = str(tmp_path / "resumestate")
+    batches = {}
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"resume doc {i} {j}") for j in range(2)],
+            "doc_id long, text string",
+        )
+        batches[f"r{i}"] = b
+        acc = ingest_batch(
+            spark, b, sdir, batch_id=f"r{i}", maintain_max_batch_dirs=None
+        )
+        assert acc.count() == 2
+    assert compact_state(spark, sdir, "fingerprints") == 3
+    # provenance file names every folded id
+    cdirs = [
+        d
+        for d in os.listdir(f"{sdir}/fingerprints")
+        if d.startswith("batch=compact-")
+    ]
+    assert len(cdirs) == 1
+    with open(f"{sdir}/fingerprints/{cdirs[0]}/_sources.json") as fh:
+        assert json.load(fh) == ["r0", "r1", "r2"]
+    # the original fp dirs are gone, yet a same-id re-run RESUMES —
+    # returning the staged survivors, not recomputing to empty
+    for bid, b in batches.items():
+        assert not os.path.exists(f"{sdir}/fingerprints/batch={bid}")
+        resumed = ingest_batch(spark, b, sdir, batch_id=bid)
+        assert resumed.count() == 2, f"batch {bid} lost its staged rows"
+    # transitive provenance: more ingests + re-compaction unions ids
+    for i in (3, 4):
+        b = spark.createDataFrame(
+            [(i * 10, f"resume doc {i} 0")], "doc_id long, text string"
+        )
+        ingest_batch(
+            spark, b, sdir, batch_id=f"r{i}", maintain_max_batch_dirs=None
+        )
+    assert compact_state(spark, sdir, "fingerprints") == 3
+    cdirs = [
+        d
+        for d in os.listdir(f"{sdir}/fingerprints")
+        if d.startswith("batch=compact-")
+    ]
+    assert len(cdirs) == 1
+    with open(f"{sdir}/fingerprints/{cdirs[0]}/_sources.json") as fh:
+        assert json.load(fh) == ["r0", "r1", "r2", "r3", "r4"]
+
+
+def test_read_audio_hubs_crash_window_no_double_count(spark, tmp_path):
+    """r13 ADVICE #4, closed by provenance: in the compaction crash
+    window (compacted dir committed, source dirs not yet deleted)
+    read_audio_hubs skips folded sources, so word counts do NOT
+    double and the hub cut does not transiently halve. Word 99 sits
+    at 8 occurrences (≤ cap 10): double-counted it would read 16 and
+    be falsely dropped as a hub; word 42 at 12 is a true hub either
+    way."""
+    import shutil
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        read_audio_hubs,
+    )
+
+    sdir = str(tmp_path / "hubcrash")
+    for i in range(2):
+        rows = [
+            (
+                i * 10,
+                [42] * 6 + [99] * 4 + list(range(1000 + i * 50, 1030 + i * 50)),
+            )
+        ]
+        spark.createDataFrame(rows, "doc_id long, fp array<int>").write.parquet(
+            f"{sdir}/audio_fps/batch=c{i}"
+        )
+    before = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert before == {42}
+
+    # crash window: compact, then restore both source dirs
+    saved = []
+    for i in range(2):
+        src = f"{sdir}/audio_fps/batch=c{i}"
+        dst = str(tmp_path / f"saved_c{i}")
+        shutil.copytree(src, dst)
+        saved.append((src, dst))
+    assert compact_state(spark, sdir, "audio_fps") == 2
+    for src, dst in saved:
+        shutil.copytree(dst, src)
+
+    during = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert during == {42}, (
+        "crash-window double count halved the hub cut "
+        f"(hubs={during})"
+    )
