@@ -621,7 +621,35 @@ def main() -> None:
                 "cpus": CPUS,
                 "sf_dir": SF_DIR,
             }
-        )
+        ),
+        flush=True,
+    )
+    # The driver archives only the LAST 2000 chars of stdout and
+    # json-parses the final line; the full record above outgrew that
+    # window when per-rep samples landed (parsed=null since r6;
+    # BENCH_r13's tail lost even the wall medians — r13 verdict task
+    # #1). This SECOND, compact line is printed LAST so the archived
+    # tail always carries the hard perf signal and parses again:
+    # "queries" keeps the original scalar-medians contract; "cpu" is
+    # the per-head CPU-seconds medians in the SAME key order as
+    # "queries" (an aligned array so head names aren't paid twice —
+    # ~1.5k chars at 45 heads, inside the window).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 1),
+                "unit": "sec",
+                "queries": {k: round(v, 1) for k, v in per_query.items()},
+                "cpu": [
+                    round(cpu[k], 1) if k in cpu else None for k in per_query
+                ],
+                "sf": sf,
+                "cpus": CPUS,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 
