@@ -115,6 +115,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Python-worker allocator pin (r14, r13 verdict task #4): the
+        # decode/FFT workers allocate several >128 KB numpy
+        # temporaries PER PAYLOAD (window frames, spectra); glibc
+        # serves those via mmap and returns them via munmap, and 32
+        # concurrent workers unmapping storms the TLB (kernel IPIs) —
+        # measured OUTSIDE Spark (scripts/audio_warmband_ab.py): the
+        # fingerprint loop runs 1.38× slower at 32 procs than at 1,
+        # and raising the threshold so the temporaries come from the
+        # (per-process, reused) heap erases the penalty exactly
+        # (0.479 s vs the 0.494 s single-proc control; capping BLAS
+        # threads changed nothing — pocketfft is single-threaded).
+        # glibc-specific; other allocators ignore the vars. Static
+        # conf, so externally-built sessions (the correctness driver)
+        # run without it — a wall-clock term only, never semantics.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "134217728")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "134217728")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

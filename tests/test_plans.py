@@ -340,3 +340,35 @@ def test_pq_adc_topk_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the intended broadcast BNL
+
+
+def test_python_workers_get_allocator_pins(spark):
+    """get_spark ships the glibc mmap/trim thresholds to every python
+    worker via spark.executorEnv (r13 verdict task #4): the
+    decode/FFT workers' >128 KB numpy temporaries otherwise ride
+    mmap/munmap, and 32 concurrent workers unmapping storms the TLB —
+    measured 1.38× on the fingerprint loop, erased by this pin
+    (scripts/audio_warmband_ab.py). The session fixture builds
+    through get_spark, so propagation is asserted on the real
+    worker path."""
+
+    def probe(batches):
+        import os
+
+        import pandas as pd
+
+        for _ in batches:
+            yield pd.DataFrame(
+                {
+                    "mmap": [os.environ.get("MALLOC_MMAP_THRESHOLD_", "")],
+                    "trim": [os.environ.get("MALLOC_TRIM_THRESHOLD_", "")],
+                }
+            )
+
+    row = (
+        spark.range(1, 2)
+        .mapInPandas(probe, "mmap string, trim string")
+        .collect()[0]
+    )
+    assert row["mmap"] == "134217728"
+    assert row["trim"] == "134217728"
