@@ -494,6 +494,11 @@ def ingest_image_batch(
     ``batch_id`` to make a crashed run resumable; omit it for pure
     content semantics.
 
+    ``maintain_max_batch_dirs`` (default 16): same inline state
+    maintenance as :func:`ingest_batch` — after the commit,
+    :func:`maintain_state` compacts THIS table iff its committed-dir
+    count reached the threshold; ``None`` disables.
+
     ``method`` routes the candidate joins through the image-dedup
     method doctrine (operators/phash.py): ``"auto"`` (default)
     measures the batch and state counts once and picks pigeonhole
@@ -765,7 +770,12 @@ def ingest_audio_batch(
 
     Same resumability contract as :func:`ingest_batch`: pass a
     stable ``batch_id`` to make a crashed run resumable; omit it for
-    pure content semantics."""
+    pure content semantics.
+
+    ``maintain_max_batch_dirs`` (default 16): same inline state
+    maintenance as :func:`ingest_batch` — after the commit,
+    :func:`maintain_state` compacts THIS table iff its committed-dir
+    count reached the threshold; ``None`` disables."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
         audio_candidates,
         audio_candidates_cross,
@@ -915,7 +925,12 @@ def ingest_video_batch(
     State stores the SAMPLED frame hashes per accepted clip —
     ~8 bytes per sampled frame plus the NULL degenerate rows, linear
     in footage; pixels never enter state and never shuffle. Same
-    resumability contract as :func:`ingest_batch`."""
+    resumability contract as :func:`ingest_batch`.
+
+    ``maintain_max_batch_dirs`` (default 16): same inline state
+    maintenance as :func:`ingest_batch` — after the commit,
+    :func:`maintain_state` compacts THIS table iff its committed-dir
+    count reached the threshold; ``None`` disables."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
         dup_components,
     )
