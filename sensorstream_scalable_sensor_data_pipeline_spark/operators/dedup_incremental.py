@@ -118,14 +118,27 @@ _PROVENANCE_FILE = "_sources.json"
 
 
 def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None:
+    """Write the provenance file ATOMICALLY (temp + rename): a crash
+    mid-write must not leave a committed compact dir with truncated
+    JSON — that would make every later state operation raise out of
+    :func:`_read_provenance` with no self-heal path (review-found
+    r14). With the rename, the final path either does not exist
+    (crash before rename → sources still exist, every id still
+    discoverable by its own ``_SUCCESS``) or is complete."""
     import json
 
-    fs, jpath = _fs(spark, posixpath.join(out_dir, _PROVENANCE_FILE))
-    stream = fs.create(jpath, True)
+    final = posixpath.join(out_dir, _PROVENANCE_FILE)
+    tmp = final + ".tmp"
+    fs, jtmp = _fs(spark, tmp)
+    stream = fs.create(jtmp, True)
     try:
         stream.write(bytearray(json.dumps(sorted(ids)).encode("utf-8")))
     finally:
         stream.close()
+    jfinal = _fs(spark, final)[1]
+    fs.delete(jfinal, False)  # overwrite-idempotent re-runs
+    if not fs.rename(jtmp, jfinal):
+        raise IOError(f"provenance rename failed: {tmp} -> {final}")
 
 
 def _read_provenance(spark: SparkSession, batch_dir: str) -> list[str]:
@@ -242,7 +255,6 @@ def ingest_batch(
         # part-file-less dir that schema inference cannot read.
         return spark.read.schema(schema).parquet(staged_dir)
 
-    fs, _ = _fs(spark, state_dir)
     if batch_id is not None and _batch_committed(
         spark, state_dir, "fingerprints", bid
     ):
@@ -375,9 +387,41 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
         name = d.rsplit("batch=", 1)[1]
         if name.startswith("compact-"):
             folded.extend(_read_provenance(spark, d))
+            # record the compact source's OWN name too (review-found
+            # r14): read_audio_hubs filters visible dirs by this set,
+            # and in a RE-compaction crash window (new compact dir
+            # committed, old compact source not yet deleted) the old
+            # dir must be skippable or every historical word counts
+            # twice. Harmless to _batch_committed — compact names are
+            # never ingest batch_ids.
+            folded.append(name)
         else:
             folded.append(name)
     _write_provenance(spark, out_dir, sorted(set(folded)))
+
+    if table == "audio_fps":
+        # Roll the sources' sampled word-count tables up into the
+        # compact dir's table BEFORE deleting anything (review-found
+        # r14): without it, the next read_audio_hubs backfill
+        # re-explodes the ENTIRE accepted state (O(history) — the
+        # exact cost the r12 incremental-count design exists to
+        # avoid) every time maintenance compacts. Summing the tiny
+        # per-batch tables is O(distinct sampled words) and exact.
+        per_dir_prov = {
+            d: set(_read_provenance(spark, d))
+            for d in dirs
+            if d != out_dir
+        }
+        all_folded: set[str] = set().union(*per_dir_prov.values()) if per_dir_prov else set()
+        contributing = [
+            d.rsplit("batch=", 1)[1]
+            for d in per_dir_prov
+            # exclude sources another source already folds (the
+            # re-compaction crash window) — their rows are duplicates
+            # of the folding compact dir's and would double the sum
+            if d.rsplit("batch=", 1)[1] not in all_folded
+        ]
+        _roll_up_word_counts(spark, state_dir, contributing, cid)
 
     fs, _ = _fs(spark, state_dir)
     for d in dirs:
@@ -418,6 +462,51 @@ def maintain_state(
         if len(dirs) >= max_batch_dirs:
             out[table] = compact_state(spark, state_dir, table)
     return out
+
+
+def _roll_up_word_counts(
+    spark: SparkSession,
+    state_dir: str,
+    contributing_bids: list[str],
+    cid: str,
+) -> None:
+    """Derive the compacted batch's per-rate sampled word-count
+    tables by SUMMING its sources' tables — O(distinct sampled words)
+    instead of the O(state) full re-explode the read_audio_hubs
+    backfill would otherwise pay after every compaction (review-found
+    r14). Exact because deterministic per-(clip, frame) sampling
+    makes counts over DISJOINT row sets sum to the union's counts;
+    the caller excludes crash-window duplicate sources via
+    provenance. A rate where any contributing source lacks a
+    committed table is skipped entirely — the backfill regenerates
+    that rate exactly from the durable fingerprints (the correctness
+    path is never the sum, only the cheapness)."""
+    wc_root = posixpath.join(state_dir, "word_counts")
+    fs, jroot = _fs(spark, wc_root)
+    if not fs.exists(jroot):
+        return
+    for rate_st in fs.listStatus(jroot):
+        name = rate_st.getPath().getName()
+        if not rate_st.isDirectory() or not name.startswith("rate="):
+            continue
+        rate_dir = rate_st.getPath().toString()
+        srcs = []
+        for bid in contributing_bids:
+            d = posixpath.join(rate_dir, f"batch={bid}")
+            if fs.exists(_fs(spark, posixpath.join(d, "_SUCCESS"))[1]):
+                srcs.append(d)
+            else:
+                srcs = None
+                break
+        if not srcs:
+            continue
+        (
+            spark.read.parquet(*srcs)
+            .groupBy("v")
+            .agg(F.sum("n_sampled").alias("n_sampled"))
+            .write.mode("overwrite")
+            .parquet(posixpath.join(rate_dir, f"batch={cid}"))
+        )
 
 
 def _prune_stale_word_counts(spark: SparkSession, state_dir: str) -> None:
@@ -533,7 +622,6 @@ def ingest_image_batch(
     def _staged(schema: StructType) -> DataFrame:
         return spark.read.schema(schema).parquet(staged_dir)
 
-    fs, _ = _fs(spark, state_dir)
     if batch_id is not None and _batch_committed(
         spark, state_dir, "phashes", bid
     ):
@@ -792,7 +880,6 @@ def ingest_audio_batch(
     def _staged(schema: StructType) -> DataFrame:
         return spark.read.schema(schema).parquet(staged_dir)
 
-    fs, _ = _fs(spark, state_dir)
     if batch_id is not None and _batch_committed(
         spark, state_dir, "audio_fps", bid
     ):
@@ -947,7 +1034,6 @@ def ingest_video_batch(
     def _staged(schema: StructType) -> DataFrame:
         return spark.read.schema(schema).parquet(staged_dir)
 
-    fs, _ = _fs(spark, state_dir)
     if batch_id is not None and _batch_committed(
         spark, state_dir, "frame_phashes", bid
     ):

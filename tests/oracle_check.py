@@ -46,13 +46,16 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        # the driver hashes RAW BYTES, so an int64-vs-float64 kind
+        # the driver hashes RAW BYTES, so an int64-vs-float64
         # mismatch is driver-red even when numpy's == says equal
         # (found r14: DuckDB sum(BIGINT) → HUGEINT → float64 while
         # Spark returns long — the local suite passed, the driver
-        # MISMATCHed). Faithful twin = same dtype KIND required.
-        assert av.dtype.kind == bv.dtype.kind, (
-            f"{name}: column {c!r} dtype kind differs (driver hashes "
+        # MISMATCHed). Faithful twin = identical post-normalization
+        # dtype required (_normalize coerces widths to int64/float64,
+        # so this is a kind check in practice — full equality shuts
+        # the door on any future width-preserving normalization).
+        assert av.dtype == bv.dtype, (
+            f"{name}: column {c!r} dtype differs (driver hashes "
             f"bytes): spark={av.dtype} duck={bv.dtype} — cast the "
             f"oracle (e.g. CAST(sum(x) AS BIGINT)) or the query"
         )

@@ -1576,6 +1576,10 @@ def test_ingest_resume_survives_compaction(spark, tmp_path):
         resumed = ingest_batch(spark, b, sdir, batch_id=bid)
         assert resumed.count() == 2, f"batch {bid} lost its staged rows"
     # transitive provenance: more ingests + re-compaction unions ids
+    # AND records the folded compact source's own name (review-found
+    # r14 — read_audio_hubs needs it to skip a crash-surviving old
+    # compact dir)
+    c0_name = cdirs[0].split("batch=", 1)[1]
     for i in (3, 4):
         b = spark.createDataFrame(
             [(i * 10, f"resume doc {i} 0")], "doc_id long, text string"
@@ -1591,7 +1595,9 @@ def test_ingest_resume_survives_compaction(spark, tmp_path):
     ]
     assert len(cdirs) == 1
     with open(f"{sdir}/fingerprints/{cdirs[0]}/_sources.json") as fh:
-        assert json.load(fh) == ["r0", "r1", "r2", "r3", "r4"]
+        assert json.load(fh) == sorted(
+            ["r0", "r1", "r2", "r3", "r4", c0_name]
+        )
 
 
 def test_read_audio_hubs_crash_window_no_double_count(spark, tmp_path):
@@ -1639,3 +1645,75 @@ def test_read_audio_hubs_crash_window_no_double_count(spark, tmp_path):
         "crash-window double count halved the hub cut "
         f"(hubs={during})"
     )
+
+
+def test_recompaction_crash_window_skips_old_compact_dir(spark, tmp_path):
+    """Review-found r14: provenance must record a compact SOURCE's own
+    name too — in a re-compaction crash window (new compact dir
+    committed, old compact source not yet deleted) read_audio_hubs
+    would otherwise count the old compact dir's rows twice (they are
+    a subset of the new dir's) and halve the hub cut. Word 99 sits at
+    8 ≤ cap 10; doubled it would falsely hub."""
+    import shutil
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        read_audio_hubs,
+    )
+
+    sdir = str(tmp_path / "rehubcrash")
+    for i in range(2):
+        rows = [(i * 10, [42] * 6 + [99] * 4 + list(range(2000 + i * 50, 2030 + i * 50)))]
+        spark.createDataFrame(rows, "doc_id long, fp array<int>").write.parquet(
+            f"{sdir}/audio_fps/batch=d{i}"
+        )
+    assert compact_state(spark, sdir, "audio_fps") == 2
+    import os
+
+    c0 = [d for d in os.listdir(f"{sdir}/audio_fps") if d.startswith("batch=compact-")][0]
+    # a third batch arrives, then a RE-compaction crashes mid-delete:
+    # the old compact dir survives beside the new one
+    rows = [(100, [42] * 6 + list(range(3000, 3030)))]
+    spark.createDataFrame(rows, "doc_id long, fp array<int>").write.parquet(
+        f"{sdir}/audio_fps/batch=d2"
+    )
+    saved = str(tmp_path / "saved_compact")
+    shutil.copytree(f"{sdir}/audio_fps/{c0}", saved)
+    assert compact_state(spark, sdir, "audio_fps") == 2
+    shutil.copytree(saved, f"{sdir}/audio_fps/{c0}")
+
+    hubs = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert hubs == {42}, f"old compact dir double-counted: {hubs}"
+
+
+def test_compact_state_rolls_up_word_counts(spark, tmp_path):
+    """Review-found r14: compaction derives the compact dir's sampled
+    word-count table by SUMMING the sources' tables (O(words)) instead
+    of leaving the next read_audio_hubs to re-explode the full state
+    (O(history)). Pinned: the rolled-up table exists per rate right
+    after compaction, and the hub set is identical to both the
+    pre-compaction read and a from-scratch backfill."""
+    import os
+    import shutil
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        read_audio_hubs,
+    )
+
+    sdir = str(tmp_path / "rollup")
+    for i in range(3):
+        rows = [(i * 10, [7] * 4 + list(range(4000 + i * 50, 4030 + i * 50)))]
+        spark.createDataFrame(rows, "doc_id long, fp array<int>").write.parquet(
+            f"{sdir}/audio_fps/batch=r{i}"
+        )
+    before = {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()}
+    assert before == {7}  # 12 occurrences > cap 10, cross-batch only
+    assert compact_state(spark, sdir, "audio_fps") == 3
+    cid = [d for d in os.listdir(f"{sdir}/audio_fps") if d.startswith("batch=")][0]
+    # rolled-up table committed for the compact batch at rate=1
+    assert os.path.exists(f"{sdir}/word_counts/rate=1/{cid}/_SUCCESS")
+    assert {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()} == {7}
+    # and it matches a from-scratch backfill exactly
+    shutil.rmtree(f"{sdir}/word_counts")
+    assert {r["v"] for r in read_audio_hubs(spark, sdir, 10).collect()} == {7}
