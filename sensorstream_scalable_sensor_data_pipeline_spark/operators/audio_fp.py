@@ -158,24 +158,44 @@ FP_SCHEMA = StructType(
 
 
 def with_audio_fingerprint(
-    df: DataFrame, id_col: str, binary_col: str
+    df: DataFrame, id_col: str, binary_col: str, on_error: str = "raise"
 ) -> DataFrame:
     """(id, wav payload) → (doc_id, fp: array<int>) via Arrow-batched
     ``mapInPandas`` — same scale shape as the image/audio feature
     extractors (whole record batches per worker; the FFT is the only
     per-payload Python work, and it is numpy-vectorized across the
-    clip's frames)."""
+    clip's frames).
+
+    ``on_error="quarantine"`` (r14) emits a NULL fingerprint for any
+    payload whose decode throws instead of failing the task: a NULL
+    sequence explodes to zero probe words and never reaches the BER
+    verify, so the clip flows through dedup/decontamination as a
+    can't-match-anything survivor and ``WHERE fp IS NULL`` recovers
+    the quarantine set. Default ``"raise"`` keeps exact-pipeline
+    semantics (see :func:`~...phash.with_phash` for the doctrine)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine' (got {on_error!r})"
+        )
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
+            fps = []
+            for p in pdf[binary_col]:
+                if quarantine:
+                    try:
+                        fps.append(fingerprint_wav(p).tolist())
+                    except Exception:
+                        fps.append(None)
+                else:
+                    fps.append(fingerprint_wav(p).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
-                    "fp": [
-                        fingerprint_wav(p).tolist() for p in pdf[binary_col]
-                    ],
+                    "fp": fps,
                 }
             )
 
@@ -591,6 +611,7 @@ def decontaminate_audio(
     ber_max: float = 0.25,
     max_word_df: int | None = None,
     broadcast_ids: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Drop corpus clips that are near-duplicates of any EVAL-set
     clip — the audio twin of phash.decontaminate_images: training on
@@ -618,8 +639,12 @@ def decontaminate_audio(
         materialize_and_release,
     )
 
-    fps_c = with_audio_fingerprint(corpus, id_col, binary_col).persist()
-    fps_e = with_audio_fingerprint(eval_clips, id_col, binary_col).persist()
+    fps_c = with_audio_fingerprint(
+        corpus, id_col, binary_col, on_error=on_error
+    ).persist()
+    fps_e = with_audio_fingerprint(
+        eval_clips, id_col, binary_col, on_error=on_error
+    ).persist()
     # eager cache materialization: the probe explode and the BER
     # verify's frame-table scan are independent map stages of one
     # action; scheduled concurrently against an unpopulated cache
@@ -659,6 +684,7 @@ def dedup_audio(
     min_probe_frames: int = 2,
     max_word_df: int | None = MAX_WORD_DF,
     probe_stride: int = 1,
+    on_error: str = "raise",
 ) -> DataFrame:
     """End-to-end near-duplicate AUDIO dedup: fingerprint every WAV
     payload, probe-vote candidates, aligned-BER verify, transitive
@@ -668,7 +694,9 @@ def dedup_audio(
     expensive stage and the joins reference it repeatedly) and the
     loser-ID anti-join broadcasts so the wide audio payloads never
     shuffle."""
-    fps = with_audio_fingerprint(clips, id_col, binary_col).persist()
+    fps = with_audio_fingerprint(
+        clips, id_col, binary_col, on_error=on_error
+    ).persist()
     try:
         # eager cache materialization — the probe explode's two join
         # sides are independent map stages that race an unpopulated

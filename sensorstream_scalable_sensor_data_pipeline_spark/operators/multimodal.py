@@ -118,22 +118,48 @@ FEATURE_SCHEMA = StructType(
 
 
 def extract_features(
-    df: DataFrame, id_col: str, binary_col: str, fake_decoder: bool = True
+    df: DataFrame, id_col: str, binary_col: str, fake_decoder: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Feature-extract binary payloads via Arrow-batched
     ``mapInPandas``. Each python worker receives whole Arrow record
     batches; the per-payload decode is the only Python loop, which is
     exactly the part that is genuinely non-vectorizable (codec calls).
+
+    ``on_error="quarantine"`` (r14) emits NULL feature columns for a
+    payload whose decode throws instead of failing the task —
+    ``WHERE byte_sum IS NULL`` recovers the quarantine set. Default
+    ``"raise"`` keeps exact semantics (doctrine in
+    :func:`~...phash.with_phash`).
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine' (got {on_error!r})"
+        )
+    quarantine = on_error == "quarantine"
+    _NULL_FEATS = {
+        "n_bytes": None, "byte_sum": None, "byte_mean": None, "n_frames": None
+    }
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                decode_image(p, fake=fake_decoder) for p in pdf[binary_col]
-            ]
+            feats = []
+            for p in pdf[binary_col]:
+                if quarantine:
+                    try:
+                        feats.append(decode_image(p, fake=fake_decoder))
+                    except Exception:
+                        feats.append(dict(_NULL_FEATS))
+                else:
+                    feats.append(decode_image(p, fake=fake_decoder))
             out = pd.DataFrame(feats)
+            # nullable integer columns: plain int64 cannot hold the
+            # quarantined Nones (pandas would silently float them and
+            # Arrow would reject NaN -> long)
+            for c in ("n_bytes", "byte_sum", "n_frames"):
+                out[c] = pd.array(out[c], dtype="Int64")
             out.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
             yield out
 

@@ -204,24 +204,51 @@ def with_phash(
     id_col: str,
     binary_col: str,
     algo: str = "phash",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, payload) → (doc_id, phash) via Arrow-batched
     ``mapInPandas`` — whole record batches per python worker, the
     per-payload decode is the only Python loop (same scale shape as
     operators/multimodal.py::extract_features). ``algo`` picks
-    ``"phash"`` (DCT) or ``"dhash"`` (gradient)."""
+    ``"phash"`` (DCT) or ``"dhash"`` (gradient).
+
+    ``on_error`` (r14): at corpus scale corrupt payloads are a
+    CERTAINTY, and one undecodable image under the default
+    ``"raise"`` fails its task 4 times and kills the whole job.
+    ``"quarantine"`` emits a NULL hash for any payload whose decode
+    throws — NULL never equi-joins, so the row flows through every
+    downstream candidate join / dedup / anti-join as a
+    can't-match-anything survivor, and ``WHERE phash IS NULL``
+    recovers the quarantine set for inspection. The catch is
+    deliberately broad (any ``Exception``): quarantine's contract is
+    that payload CONTENT can never fail the job — code bugs still
+    surface in ``"raise"`` runs and the test suite."""
     if algo not in ("phash", "dhash"):
         raise ValueError(f"algo must be 'phash' or 'dhash' (got {algo!r})")
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine' (got {on_error!r})"
+        )
     fn = phash64_bytes if algo == "phash" else dhash64_bytes
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
+            hs = []
+            for p in pdf[binary_col]:
+                if quarantine:
+                    try:
+                        hs.append(fn(p))
+                    except Exception:
+                        hs.append(None)
+                else:
+                    hs.append(fn(p))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
-                    "phash": [fn(p) for p in pdf[binary_col]],
+                    "phash": pd.array(hs, dtype="Int64"),
                 }
             )
 
@@ -551,6 +578,7 @@ def dedup_phash(
     bits_per_band: int | None = None,
     band_seed: int = 7,
     row_budget: float = AUTO_CANDIDATE_ROW_BUDGET,
+    on_error: str = "raise",
 ) -> DataFrame:
     """End-to-end near-duplicate IMAGE dedup: hash every payload,
     generate blocked candidates, verify exact Hamming ≤ bound, resolve
@@ -603,7 +631,9 @@ def dedup_phash(
         raise ValueError(
             f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
         )
-    hashes = with_phash(images, id_col, binary_col, algo=algo).persist()
+    hashes = with_phash(
+        images, id_col, binary_col, algo=algo, on_error=on_error
+    ).persist()
     try:
         # eager cache materialization on EVERY path (auto needs the
         # count anyway): the candidate self-join references the hash
@@ -649,6 +679,7 @@ def decontaminate_images(
     max_hamming: int = 8,
     method: str = "pigeonhole",
     broadcast_ids: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Drop corpus images that are near-duplicates of any EVAL-set
     image — the image twin of the n-gram text decontaminator
@@ -681,8 +712,8 @@ def decontaminate_images(
         raise ValueError(
             f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
         )
-    c_hash = with_phash(corpus, id_col, binary_col)
-    e_hash = with_phash(eval_images, id_col, binary_col)
+    c_hash = with_phash(corpus, id_col, binary_col, on_error=on_error)
+    e_hash = with_phash(eval_images, id_col, binary_col, on_error=on_error)
     if method == "banded":
         # size from BOTH sides (the candidate row term is bilinear,
         # n_corpus·n_eval·L/2^k — k picked from the eval count alone

@@ -71,7 +71,8 @@ FRAME_HASH_SCHEMA = "doc_id long, frame_idx long, phash long"
 
 
 def with_frame_phashes(
-    df: DataFrame, id_col: str, binary_col: str, every_n: int = 4
+    df: DataFrame, id_col: str, binary_col: str, every_n: int = 4,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, avi payload) → (doc_id, frame_idx, phash): decode every
     ``every_n``-th frame and pHash it, all inside one Arrow
@@ -79,9 +80,22 @@ def with_frame_phashes(
     Degenerate (near-constant) frames emit a NULL hash: the row still
     counts toward the clip's frame total (the match_frac denominator
     must stay the FULL sampled count so mostly-constant clips can't
-    qualify on their few live frames), but NULL never joins."""
+    qualify on their few live frames), but NULL never joins.
+
+    ``on_error="quarantine"`` (r14) emits NO frame rows for a clip
+    whose container decode throws instead of failing the task: absent
+    from the frame table, the clip can never vote or match and flows
+    through dedup/decontamination as a survivor; recover the
+    quarantine set by anti-joining clip ids against the frame table.
+    Default ``"raise"`` keeps exact-pipeline semantics (doctrine in
+    :func:`~...phash.with_phash`)."""
     if every_n <= 0:
         raise ValueError("every_n must be positive")
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine' (got {on_error!r})"
+        )
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -100,7 +114,13 @@ def with_frame_phashes(
             for doc_id, payload in zip(
                 pdf[id_col].astype("int64"), pdf[binary_col]
             ):
-                frames, _fps = decode_avi_frames(payload)
+                if quarantine:
+                    try:
+                        frames, _fps = decode_avi_frames(payload)
+                    except Exception:
+                        continue  # quarantined: no frame rows
+                else:
+                    frames, _fps = decode_avi_frames(payload)
                 for fi in range(0, frames.shape[0], every_n):
                     ids.append(int(doc_id))
                     idxs.append(fi)
@@ -281,6 +301,7 @@ def decontaminate_videos(
     min_match_frac: float = 0.5,
     max_hamming: int = 2,
     broadcast_ids: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Drop corpus clips that are near-duplicates of any EVAL-set
     video — the video twin of phash.decontaminate_images /
@@ -308,9 +329,11 @@ def decontaminate_videos(
         materialize_and_release,
     )
 
-    fh_c = with_frame_phashes(corpus, id_col, binary_col, every_n).persist()
+    fh_c = with_frame_phashes(
+        corpus, id_col, binary_col, every_n, on_error=on_error
+    ).persist()
     fh_e = with_frame_phashes(
-        eval_videos, id_col, binary_col, every_n
+        eval_videos, id_col, binary_col, every_n, on_error=on_error
     ).persist()
     # materialize the caches EAGERLY before building the consumer
     # plan: the per-clip frame count and the match join are parallel
@@ -349,6 +372,7 @@ def dedup_videos(
     every_n: int = 4,
     min_match_frac: float = 0.5,
     max_hamming: int = 0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """End-to-end near-duplicate VIDEO dedup: sample+hash frames,
     offset-consistent vote, transitive closure, keep the min-id
@@ -370,7 +394,9 @@ def dedup_videos(
     keys, measured 1.6× at 10× data — no quadratic term at this
     radius). Rule: re-encoded inputs → 2; byte-preserving inputs →
     0; radii ≥ 8 would inherit the image family's banded doctrine."""
-    fh = with_frame_phashes(videos, id_col, binary_col, every_n).persist()
+    fh = with_frame_phashes(
+        videos, id_col, binary_col, every_n, on_error=on_error
+    ).persist()
     try:
         # eager cache materialization — the frame-count and
         # frame-match branches race an unpopulated cache into a

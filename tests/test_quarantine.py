@@ -1,0 +1,186 @@
+"""Corrupt-payload quarantine (r14): at 100 TB corrupt payloads are a
+certainty, and one undecodable blob under the default on_error="raise"
+fails its task four times and kills the whole job. Every decode entry
+point (image hash, audio fingerprint, video frame hash, feature
+extraction) gains on_error="quarantine": the corrupt row degrades to a
+NULL/absent signature that can never match, the job completes, the
+good rows' results are bit-identical to a clean run, and the
+quarantine set is recoverable with one filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
+    dedup_audio,
+    synth_clip,
+    with_audio_fingerprint,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    encode_avi,
+    encode_png,
+    encode_wav,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+    dedup_phash,
+    synth_image,
+    with_phash,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+    dedup_videos,
+    with_frame_phashes,
+)
+
+RATE = 8000
+
+#: A payload with a valid PNG magic but garbage body (decode throws
+#: mid-parse) and one with no recognizable magic at all.
+CORRUPT_PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 40
+GARBAGE = b"not a media file at all, definitely not"
+
+
+def _images(spark, with_corrupt: bool):
+    rows = [(i, encode_png(synth_image(i, h=48, w=48))) for i in range(3)]
+    # planted variant: 100 is a re-encode of image 0's picture
+    rows.append((100, encode_png(synth_image(0, h=48, w=48))))
+    if with_corrupt:
+        rows += [(900, CORRUPT_PNG), (901, GARBAGE)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_with_phash_quarantine_nulls_and_exact_good_rows(spark):
+    clean = {
+        r["doc_id"]: r["phash"]
+        for r in with_phash(_images(spark, False), "doc_id", "payload").collect()
+    }
+    rows = with_phash(
+        _images(spark, True), "doc_id", "payload", on_error="quarantine"
+    ).collect()
+    got = {r["doc_id"]: r["phash"] for r in rows}
+    assert got[900] is None and got[901] is None
+    assert {k: v for k, v in got.items() if k < 900} == clean
+    # default mode still raises — corrupt content is loud
+    with pytest.raises(Exception):
+        with_phash(_images(spark, True), "doc_id", "payload").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        with_phash(_images(spark, True), "doc_id", "payload", on_error="skip")
+
+
+def test_dedup_phash_quarantine_end_to_end(spark):
+    clean = {
+        r["doc_id"]
+        for r in dedup_phash(
+            _images(spark, False), "doc_id", "payload", max_hamming=8
+        ).collect()
+    }
+    assert clean == {0, 1, 2}  # 100 collapses into 0
+    surv = {
+        r["doc_id"]
+        for r in dedup_phash(
+            _images(spark, True), "doc_id", "payload", max_hamming=8,
+            on_error="quarantine",
+        ).collect()
+    }
+    # corrupt rows can't match anything: they survive, flagged by a
+    # NULL hash upstream; the good rows dedup exactly as before
+    assert surv == clean | {900, 901}
+
+
+def _clips(spark, with_corrupt: bool):
+    rows = [(i, encode_wav(synth_clip(50 + i), RATE)) for i in range(3)]
+    # planted variant: 100 is a 0.5x-gain re-master of clip 50
+    rows.append(
+        (100, encode_wav((synth_clip(50) * 0.5).astype(np.int16), RATE))
+    )
+    if with_corrupt:
+        bad_wav = b"RIFF" + b"\x00" * 30  # RIFF magic, truncated body
+        rows += [(900, bad_wav), (901, GARBAGE)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_audio_quarantine_end_to_end(spark):
+    fps = with_audio_fingerprint(
+        _clips(spark, True), "doc_id", "payload", on_error="quarantine"
+    )
+    nulls = {r["doc_id"] for r in fps.filter("fp IS NULL").collect()}
+    assert nulls == {900, 901}
+    clean = {
+        r["doc_id"]
+        for r in dedup_audio(_clips(spark, False), "doc_id", "payload").collect()
+    }
+    assert clean == {0, 1, 2}
+    surv = {
+        r["doc_id"]
+        for r in dedup_audio(
+            _clips(spark, True), "doc_id", "payload", on_error="quarantine"
+        ).collect()
+    }
+    assert surv == clean | {900, 901}
+    with pytest.raises(Exception):
+        with_audio_fingerprint(_clips(spark, True), "doc_id", "payload").collect()
+
+
+def _vids(spark, with_corrupt: bool):
+    def vid(seed):
+        return encode_avi(
+            np.stack([synth_image(seed * 10 + i, h=16, w=16) for i in range(4)]),
+            codec="dib",
+        )
+
+    rows = [(i, vid(i)) for i in range(3)]
+    rows.append((100, vid(0)))  # byte-level re-wrap duplicate of clip 0
+    if with_corrupt:
+        rows += [(900, b"RIFF" + b"\x00" * 20), (901, GARBAGE)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_video_quarantine_end_to_end(spark):
+    fh = with_frame_phashes(
+        _vids(spark, True), "doc_id", "payload", every_n=1,
+        on_error="quarantine",
+    )
+    present = {r["doc_id"] for r in fh.select("doc_id").distinct().collect()}
+    assert present == {0, 1, 2, 100}  # corrupt clips emit NO frame rows
+    clean = {
+        r["doc_id"]
+        for r in dedup_videos(
+            _vids(spark, False), "doc_id", "payload", every_n=1
+        ).collect()
+    }
+    assert clean == {0, 1, 2}
+    surv = {
+        r["doc_id"]
+        for r in dedup_videos(
+            _vids(spark, True), "doc_id", "payload", every_n=1,
+            on_error="quarantine",
+        ).collect()
+    }
+    assert surv == clean | {900, 901}
+    with pytest.raises(Exception):
+        with_frame_phashes(
+            _vids(spark, True), "doc_id", "payload", every_n=1
+        ).collect()
+
+
+def test_extract_features_quarantine(spark):
+    df = _images(spark, True)
+    rows = extract_features(
+        df, "doc_id", "payload", fake_decoder=False, on_error="quarantine"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[900]["byte_sum"] is None and by_id[901]["n_bytes"] is None
+    assert by_id[0]["byte_sum"] is not None
+    # the quarantine set is one filter away
+    quarantined = {
+        r["doc_id"]
+        for r in extract_features(
+            df, "doc_id", "payload", fake_decoder=False, on_error="quarantine"
+        ).filter("byte_sum IS NULL").collect()
+    }
+    assert quarantined == {900, 901}
+    with pytest.raises(Exception):
+        extract_features(df, "doc_id", "payload", fake_decoder=False).collect()
