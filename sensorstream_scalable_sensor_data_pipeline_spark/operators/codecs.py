@@ -35,6 +35,15 @@ import numpy as np
 
 # ----------------------------------------------------------------- BMP
 
+#: Decode pixel cap (per frame): a crafted header can declare
+#: dimensions whose output allocation alone kills the executor (JPEG
+#: SOF is 16-bit/side -> 12.8 GB RGB at 65535x65535; BMP/PNG/AVI carry
+#: 32-bit dims). 2^28 px (a 16384x16384 image, ~0.8 GB decoded RGB)
+#: is far beyond any sane training payload and fails FAST as a
+#: malformed-payload ValueError instead of an allocation bomb (r14
+#: fuzz finding).
+MAX_DECODE_PIXELS = 1 << 28
+
 _BI_RGB = 0
 _BI_RLE8 = 1
 _BI_RLE4 = 2
@@ -134,6 +143,22 @@ def sniff_format(payload: bytes) -> str | None:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a BMP into RGB uint8 — the public entry point; same
+    untrusted-bytes exception normalization as
+    :func:`decode_avi_frames` (uniform malformed-payload contract
+    across every codec, r14). Format envelope in
+    :func:`_decode_bmp_impl`."""
+    try:
+        return _decode_bmp_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
+        raise ValueError(
+            f"malformed BMP payload ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_bmp_impl(payload: bytes) -> np.ndarray:
     """Decode an uncompressed BMP into an RGB uint8 array of shape
     (height, width, 3). Supports the BITMAPINFOHEADER family (header
     size ≥ 40) at EVERY BI_RGB bit depth: 32-bit (stored BGRX, the
@@ -169,6 +194,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"{bitcount}-bit BMP is not a legal BI_RGB depth")
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
+    if width * abs(height) > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"BMP dimensions {width}x{height} exceed the decode pixel cap"
+        )
     top_down = height < 0
     h = abs(height)
 
@@ -429,6 +458,27 @@ def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.nd
 
 
 def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG — the public entry point; same untrusted-bytes
+    exception normalization as :func:`decode_avi_frames` (uniform
+    malformed-payload contract, r14; ``zlib.error`` included — the
+    DEFLATE stream is payload content too). Format envelope in
+    :func:`_decode_png_impl`."""
+    import zlib
+
+    try:
+        return _decode_png_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        IndexError, KeyError, OverflowError, TypeError, struct.error,
+        zlib.error,
+    ) as e:
+        raise ValueError(
+            f"malformed PNG payload ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     """Decode a PNG (stdlib ``zlib`` DEFLATE — the first COMPRESSED
     format this module closed, r8 verdict task #4) into an array:
     gray → (h, w), gray+alpha → (h, w, 2), RGB / paletted → (h, w, 3),
@@ -466,6 +516,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the decode pixel cap"
+        )
     if comp != 0 or filt != 0:
         raise ValueError(f"PNG compression/filter method {comp}/{filt} invalid")
     if interlace not in (0, 1):
@@ -646,6 +700,22 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE audio into (samples, sample_rate) — the public
+    entry point; same untrusted-bytes exception normalization as
+    :func:`decode_avi_frames` (r14 fuzzing measured rare
+    ``struct.error`` leaks from truncated chunk headers). Format
+    envelope in :func:`_decode_wav_impl`."""
+    try:
+        return _decode_wav_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
+        raise ValueError(
+            f"malformed WAV payload ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_wav_impl(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/WAVE audio into (samples, sample_rate): samples is
     int16 of shape (n_frames, n_channels) — EVERY source width decodes
     onto the int16 grid, the representation the fingerprint chain
@@ -746,6 +816,23 @@ def _riff_chunks(payload: bytes, start: int, end: int):
 
 
 def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode an AVI into (frames, fps) — the public entry point.
+    Wraps the RIFF walker so untrusted bytes can only fail with the
+    malformed-payload contract (``ValueError`` /
+    ``NotImplementedError``): r14 fuzzing measured mutations leaking
+    raw ``struct.error`` out of the chunk-header unpacks. Format
+    envelope in :func:`_decode_avi_frames_impl`."""
+    try:
+        return _decode_avi_frames_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
+        raise ValueError(
+            f"malformed AVI payload ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
     """Decode an AVI into (frames, fps): frames is uint8
     (n, height, width, 3) RGB. Supported: RIFF 'AVI ' with one
     'vids' stream whose strf is a 40-byte BITMAPINFOHEADER, and either
@@ -790,6 +877,11 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
     walk(12, len(payload))
     if width is None or not frames:
         raise ValueError("AVI missing video stream header or frames")
+    if width <= 0 or height <= 0 or width * height > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"AVI frame dimensions {width}x{height} exceed the decode "
+            f"pixel cap"
+        )
     fps = (rate / scale) if (rate and scale) else 0.0
     if compression == _MJPG:
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (

@@ -46,6 +46,10 @@ import struct
 
 import numpy as np
 
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    MAX_DECODE_PIXELS,
+)
+
 # --------------------------------------------------------------- tables
 
 #: Annex K.1 — luminance quantization, natural (row-major) order.
@@ -220,6 +224,26 @@ def _unstuff(data: bytes) -> bytes:
 
 
 def decode_jpeg(payload: bytes, default_huffman: bool = False) -> np.ndarray:
+    """Decode a JFIF payload (baseline or progressive) — the public
+    entry point. Wraps the parser so UNTRUSTED BYTES can only fail
+    with the malformed-payload contract (``ValueError`` /
+    ``NotImplementedError``): r14 fuzzing measured truncation/bit-flip
+    mutations leaking raw ``IndexError``/``OverflowError`` out of the
+    Huffman and coefficient paths — at corpus scale a stray exception
+    class breaks callers that filter on the contract (and the
+    quarantine mode's honest accounting). See
+    :func:`_decode_jpeg_impl` for the format envelope."""
+    try:
+        return _decode_jpeg_impl(payload, default_huffman)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG payload ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarray:
     """Decode a baseline JFIF payload into uint8 (h, w) grayscale or
     (h, w, 3) RGB (BT.601 full-range, the JFIF convention). See the
     module docstring for the supported/rejected envelope.
@@ -279,6 +303,10 @@ def decode_jpeg(payload: bytes, default_huffman: bool = False) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if h <= 0 or w <= 0 or h * w > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the decode pixel cap"
+                )
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             comps = []
