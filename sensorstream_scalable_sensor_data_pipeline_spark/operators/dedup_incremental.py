@@ -556,6 +556,7 @@ def ingest_image_batch(
     batch_id: str | None = None,
     method: str = "auto",
     maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Incremental near-duplicate IMAGE ingest — the pHash
     generalization of :func:`ingest_batch`, under the SAME
@@ -587,6 +588,14 @@ def ingest_image_batch(
     maintenance as :func:`ingest_batch` — after the commit,
     :func:`maintain_state` compacts THIS table iff its committed-dir
     count reached the threshold; ``None`` disables.
+
+    ``on_error="quarantine"`` (r14, all three modality ingests): a
+    corrupt payload in a daily batch must not kill the nightly
+    ingest. Quarantined rows are ACCEPTED with a NULL signature —
+    they can never match anything, so re-delivering the same corrupt
+    bytes accepts them again (content identity needs a signature;
+    pre-filter on an exact ``content_md5`` if corrupt re-delivery
+    dedup matters). Default ``"raise"`` keeps the exact contract.
 
     ``method`` routes the candidate joins through the image-dedup
     method doctrine (operators/phash.py): ``"auto"`` (default)
@@ -630,7 +639,9 @@ def ingest_image_batch(
     # hash once, persist: the within-batch self-join reads both sides
     # and the cross-state join reads it again (same rationale as
     # dedup_phash)
-    hashes = with_phash(batch, id_col, binary_col).persist()
+    hashes = with_phash(
+        batch, id_col, binary_col, on_error=on_error
+    ).persist()
     try:
         state = read_image_state(spark, state_dir)
         # counts feed BOTH auto's method choice and banded's LSH
@@ -815,6 +826,7 @@ def ingest_audio_batch(
     batch_id: str | None = None,
     max_word_df: int | None = _AUDIO_MAX_WORD_DF,
     maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Incremental near-duplicate AUDIO ingest — the Haitsma–Kalker
     generalization of :func:`ingest_batch` / :func:`ingest_image_batch`,
@@ -888,7 +900,9 @@ def ingest_audio_batch(
     # fingerprint once, persist: the within-batch self-join reads both
     # sides and the cross-state join reads it again (same rationale as
     # dedup_audio; dup_components' convergence actions materialize it)
-    fps = with_audio_fingerprint(batch, id_col, binary_col).persist()
+    fps = with_audio_fingerprint(
+        batch, id_col, binary_col, on_error=on_error
+    ).persist()
     try:
         # eager cache materialization before the self-join's two map
         # sides can race it into a duplicate FFT pass (r13)
@@ -992,6 +1006,7 @@ def ingest_video_batch(
     max_hamming: int = 0,
     batch_id: str | None = None,
     maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Incremental near-duplicate VIDEO ingest — the frame-sampled
     generalization of :func:`ingest_batch`, completing the
@@ -1042,7 +1057,9 @@ def ingest_video_batch(
     # hash frames once, persist: the within-batch self-join reads both
     # sides and the cross-state join reads it again (decode is the
     # expensive stage; dup_components' convergence actions materialize)
-    fh = with_frame_phashes(batch, id_col, binary_col, every_n).persist()
+    fh = with_frame_phashes(
+        batch, id_col, binary_col, every_n, on_error=on_error
+    ).persist()
     try:
         # eager cache materialization before the frame-count and
         # frame-match branches can race it into a duplicate decode

@@ -184,3 +184,54 @@ def test_extract_features_quarantine(spark):
     assert quarantined == {900, 901}
     with pytest.raises(Exception):
         extract_features(df, "doc_id", "payload", fake_decoder=False).collect()
+
+
+def test_ingest_image_batch_quarantine(spark, tmp_path):
+    """A corrupt payload in a daily batch must not kill the nightly
+    ingest (the operational path): under quarantine the batch
+    commits, the corrupt row is accepted with a NULL state signature,
+    and re-delivered GOOD content still rejects against state."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "qstate")
+    b1 = spark.createDataFrame(
+        [(i, encode_png(synth_image(i, h=32, w=32))) for i in range(2)]
+        + [(900, CORRUPT_PNG)],
+        "doc_id long, payload binary",
+    )
+    acc1 = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b1, sdir, batch_id="q1", on_error="quarantine"
+        ).collect()
+    }
+    assert acc1 == {0, 1, 900}
+    # re-delivered good content rejects; new good content accepts;
+    # the same corrupt bytes accept again (NULL never matches —
+    # documented: content identity needs a signature)
+    b2 = spark.createDataFrame(
+        [
+            (10, encode_png(synth_image(0, h=32, w=32))),
+            (11, encode_png(synth_image(7, h=32, w=32))),
+            (901, CORRUPT_PNG),
+        ],
+        "doc_id long, payload binary",
+    )
+    acc2 = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b2, sdir, batch_id="q2", on_error="quarantine"
+        ).collect()
+    }
+    assert acc2 == {11, 901}
+    # default mode still raises on the corrupt batch
+    with pytest.raises(Exception):
+        ingest_image_batch(spark, b1, sdir + "_raise", batch_id="qr").collect()
