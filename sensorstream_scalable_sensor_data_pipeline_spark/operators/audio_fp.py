@@ -639,12 +639,15 @@ def decontaminate_audio(
         materialize_and_release,
     )
 
+    # corpus-side quarantine only — a quarantined EVAL clip would
+    # silently disable its own protection (NULL fp probes nothing;
+    # every corpus near-dup of it leaks); eval sets are curated, so
+    # a corrupt one raises (review-found r14, same rule as the image
+    # twin)
     fps_c = with_audio_fingerprint(
         corpus, id_col, binary_col, on_error=on_error
     ).persist()
-    fps_e = with_audio_fingerprint(
-        eval_clips, id_col, binary_col, on_error=on_error
-    ).persist()
+    fps_e = with_audio_fingerprint(eval_clips, id_col, binary_col).persist()
     # eager cache materialization: the probe explode and the BER
     # verify's frame-table scan are independent map stages of one
     # action; scheduled concurrently against an unpopulated cache

@@ -30,6 +30,7 @@ without a session.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -43,6 +44,36 @@ import numpy as np
 #: malformed-payload ValueError instead of an allocation bomb (r14
 #: fuzz finding).
 MAX_DECODE_PIXELS = 1 << 28
+
+
+def _normalizes_malformed(fmt: str, extra: tuple = ()):
+    """Decorator: the untrusted-bytes exception contract, in ONE
+    place (review-found r14 — five byte-identical wrappers had
+    already drifted once). Parse-time ``IndexError`` / ``KeyError`` /
+    ``OverflowError`` / ``TypeError`` / ``struct.error`` (plus
+    ``extra``, e.g. ``zlib.error`` for PNG) become the documented
+    malformed-payload ``ValueError``; ``ValueError`` /
+    ``NotImplementedError`` pass through; anything else (a code bug,
+    real memory pressure) propagates untouched."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(payload, *a, **k):
+            try:
+                return fn(payload, *a, **k)
+            except (ValueError, NotImplementedError):
+                raise
+            except (
+                IndexError, KeyError, OverflowError, TypeError,
+                struct.error, *extra,
+            ) as e:
+                raise ValueError(
+                    f"malformed {fmt} payload ({type(e).__name__}: {e})"
+                ) from e
+        return wrapper
+    return deco
+
 
 _BI_RGB = 0
 _BI_RLE8 = 1
@@ -142,20 +173,12 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
+@_normalizes_malformed("BMP")
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode a BMP into RGB uint8 — the public entry point; same
-    untrusted-bytes exception normalization as
-    :func:`decode_avi_frames` (uniform malformed-payload contract
-    across every codec, r14). Format envelope in
-    :func:`_decode_bmp_impl`."""
-    try:
-        return _decode_bmp_impl(payload)
-    except (ValueError, NotImplementedError):
-        raise
-    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
-        raise ValueError(
-            f"malformed BMP payload ({type(e).__name__}: {e})"
-        ) from e
+    """Decode a BMP into RGB uint8 — the public entry point
+    (malformed-payload contract via :func:`_normalizes_malformed`,
+    r14). Format envelope in :func:`_decode_bmp_impl`."""
+    return _decode_bmp_impl(payload)
 
 
 def _decode_bmp_impl(payload: bytes) -> np.ndarray:
@@ -457,25 +480,13 @@ def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.nd
     ]
 
 
+@_normalizes_malformed("PNG", extra=(zlib.error,))
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG — the public entry point; same untrusted-bytes
-    exception normalization as :func:`decode_avi_frames` (uniform
-    malformed-payload contract, r14; ``zlib.error`` included — the
-    DEFLATE stream is payload content too). Format envelope in
-    :func:`_decode_png_impl`."""
-    import zlib
-
-    try:
-        return _decode_png_impl(payload)
-    except (ValueError, NotImplementedError):
-        raise
-    except (
-        IndexError, KeyError, OverflowError, TypeError, struct.error,
-        zlib.error,
-    ) as e:
-        raise ValueError(
-            f"malformed PNG payload ({type(e).__name__}: {e})"
-        ) from e
+    """Decode a PNG — the public entry point (malformed-payload
+    contract via :func:`_normalizes_malformed`; ``zlib.error``
+    included — the DEFLATE stream is payload content too). Format
+    envelope in :func:`_decode_png_impl`."""
+    return _decode_png_impl(payload)
 
 
 def _decode_png_impl(payload: bytes) -> np.ndarray:
@@ -516,7 +527,9 @@ def _decode_png_impl(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
             f"PNG dimensions {w}x{h} exceed the decode pixel cap"
         )
@@ -533,20 +546,43 @@ def _decode_png_impl(payload: bytes) -> np.ndarray:
         )
     if trns is not None and color_type in (4, 6):
         raise ValueError("PNG tRNS is invalid with an alpha channel per spec")
-    if w == 0 or h == 0:
-        raise ValueError(f"bad PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
     bpp = max(1, ch * depth // 8)  # the filter unit, bytes
+
+    def rowbytes(npix: int) -> int:
+        return (npix * ch * depth + 7) // 8
+
+    # exact raw size the declared geometry can legally inflate to —
+    # the decompression BOUND (review-found r14): an unbounded
+    # zlib.decompress lets a DEFLATE bomb inflate ~1000x regardless
+    # of the cap-checked dims (a 10 MB IDAT under an 8x8 header could
+    # demand ~10 GB before the length check ran)
+    if interlace == 0:
+        expected = h * (1 + rowbytes(w))
+    else:
+        expected = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + rowbytes(pw))
     try:
-        inflated = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        inflated = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         # malformed-payload contract: ValueError, not a raw zlib.error
         # surfacing from an executor (same rule as the BMP palette check)
         raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
+    if len(inflated) > expected:
+        raise ValueError(
+            "PNG IDAT inflates beyond the declared dimensions"
+        )
+    if not d.eof:
+        # missing/truncated DEFLATE stream — the unbounded
+        # zlib.decompress used to raise zlib.error here; the bounded
+        # object reports it via eof instead
+        raise ValueError("PNG IDAT stream corrupt: incomplete DEFLATE stream")
     raw = np.frombuffer(inflated, dtype=np.uint8)
-
-    def rowbytes(npix: int) -> int:
-        return (npix * ch * depth + 7) // 8
 
     if interlace == 0:
         rb = rowbytes(w)
@@ -699,20 +735,14 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
 # ----------------------------------------------------------------- WAV
 
 
+@_normalizes_malformed("WAV")
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode RIFF/WAVE audio into (samples, sample_rate) — the public
-    entry point; same untrusted-bytes exception normalization as
-    :func:`decode_avi_frames` (r14 fuzzing measured rare
+    """Decode RIFF/WAVE audio into (samples, sample_rate) — the
+    public entry point (malformed-payload contract via
+    :func:`_normalizes_malformed`; r14 fuzzing measured rare
     ``struct.error`` leaks from truncated chunk headers). Format
     envelope in :func:`_decode_wav_impl`."""
-    try:
-        return _decode_wav_impl(payload)
-    except (ValueError, NotImplementedError):
-        raise
-    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
-        raise ValueError(
-            f"malformed WAV payload ({type(e).__name__}: {e})"
-        ) from e
+    return _decode_wav_impl(payload)
 
 
 def _decode_wav_impl(payload: bytes) -> tuple[np.ndarray, int]:
@@ -815,21 +845,14 @@ def _riff_chunks(payload: bytes, start: int, end: int):
 # ----------------------------------------------------------------- AVI
 
 
+@_normalizes_malformed("AVI")
 def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
-    """Decode an AVI into (frames, fps) — the public entry point.
-    Wraps the RIFF walker so untrusted bytes can only fail with the
-    malformed-payload contract (``ValueError`` /
-    ``NotImplementedError``): r14 fuzzing measured mutations leaking
-    raw ``struct.error`` out of the chunk-header unpacks. Format
-    envelope in :func:`_decode_avi_frames_impl`."""
-    try:
-        return _decode_avi_frames_impl(payload)
-    except (ValueError, NotImplementedError):
-        raise
-    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
-        raise ValueError(
-            f"malformed AVI payload ({type(e).__name__}: {e})"
-        ) from e
+    """Decode an AVI into (frames, fps) — the public entry point
+    (malformed-payload contract via :func:`_normalizes_malformed`;
+    r14 fuzzing measured mutations leaking raw ``struct.error`` out
+    of the chunk-header unpacks). Format envelope in
+    :func:`_decode_avi_frames_impl`."""
+    return _decode_avi_frames_impl(payload)
 
 
 def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
@@ -877,10 +900,17 @@ def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
     walk(12, len(payload))
     if width is None or not frames:
         raise ValueError("AVI missing video stream header or frames")
-    if width <= 0 or height <= 0 or width * height > MAX_DECODE_PIXELS:
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad AVI frame dimensions {width}x{height}")
+    if len(frames) * width * height > MAX_DECODE_PIXELS:
+        # TOTAL output pixels, not per-frame (review-found r14): the
+        # (n, h, w, 3) allocation runs before any per-frame data
+        # validation, so a crafted header plus empty chunks could
+        # otherwise demand n x frame bytes — longer legitimate clips
+        # should be frame-sampled upstream, not bulk-decoded
         raise ValueError(
-            f"AVI frame dimensions {width}x{height} exceed the decode "
-            f"pixel cap"
+            f"AVI output {len(frames)}x{width}x{height} exceeds the "
+            f"decode pixel cap"
         )
     fps = (rate / scale) if (rate and scale) else 0.0
     if compression == _MJPG:

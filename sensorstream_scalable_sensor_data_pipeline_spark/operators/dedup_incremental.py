@@ -1090,6 +1090,22 @@ def ingest_video_batch(
         else:
             fresh_ids = within.select("doc_id").distinct()
 
+        if on_error == "quarantine":
+            # corrupt clips emit NO frame rows (the video quarantine
+            # shape), so deriving acceptance from the frame table
+            # would silently DROP them — contract divergence vs the
+            # image/audio ingests, whose NULL-signature rows survive
+            # (review-found r14). Accept every batch id absent from
+            # the frame table; a valid clip always has >= 1 sampled
+            # frame (frameless AVIs raise in decode), so absence is
+            # exactly the quarantine set.
+            decoded = fh.select("doc_id").distinct()
+            corrupt = (
+                batch.select(F.col(id_col).alias("doc_id")).distinct()
+                .join(decoded, "doc_id", "left_anti")
+            )
+            fresh_ids = fresh_ids.unionByName(corrupt)
+
         # 1) stage survivors BEFORE any state mutation
         batch.join(
             fresh_ids.select(F.col("doc_id").alias(id_col)), id_col

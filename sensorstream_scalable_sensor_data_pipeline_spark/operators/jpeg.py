@@ -48,6 +48,7 @@ import numpy as np
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
     MAX_DECODE_PIXELS,
+    _normalizes_malformed,
 )
 
 # --------------------------------------------------------------- tables
@@ -223,24 +224,16 @@ def _unstuff(data: bytes) -> bytes:
 # --------------------------------------------------------------- decode
 
 
+@_normalizes_malformed("JPEG")
 def decode_jpeg(payload: bytes, default_huffman: bool = False) -> np.ndarray:
     """Decode a JFIF payload (baseline or progressive) — the public
-    entry point. Wraps the parser so UNTRUSTED BYTES can only fail
-    with the malformed-payload contract (``ValueError`` /
-    ``NotImplementedError``): r14 fuzzing measured truncation/bit-flip
-    mutations leaking raw ``IndexError``/``OverflowError`` out of the
-    Huffman and coefficient paths — at corpus scale a stray exception
-    class breaks callers that filter on the contract (and the
-    quarantine mode's honest accounting). See
-    :func:`_decode_jpeg_impl` for the format envelope."""
-    try:
-        return _decode_jpeg_impl(payload, default_huffman)
-    except (ValueError, NotImplementedError):
-        raise
-    except (IndexError, KeyError, OverflowError, TypeError, struct.error) as e:
-        raise ValueError(
-            f"malformed JPEG payload ({type(e).__name__}: {e})"
-        ) from e
+    entry point (malformed-payload contract via the shared
+    :func:`~...codecs._normalizes_malformed`: r14 fuzzing measured
+    truncation/bit-flip mutations leaking raw
+    ``IndexError``/``OverflowError`` out of the Huffman and
+    coefficient paths). Format envelope in
+    :func:`_decode_jpeg_impl`."""
+    return _decode_jpeg_impl(payload, default_huffman)
 
 
 def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarray:

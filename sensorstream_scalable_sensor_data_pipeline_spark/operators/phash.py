@@ -712,8 +712,15 @@ def decontaminate_images(
         raise ValueError(
             f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
         )
+    # quarantine applies to the CORPUS side only (review-found r14):
+    # a corrupt EVAL payload under quarantine would get a NULL hash,
+    # NULL never joins, and every corpus near-duplicate of that eval
+    # item would silently LEAK into the training set — the exact
+    # failure this operator exists to prevent, with no recoverable
+    # signal (the eval hash table is internal). Eval sets are small
+    # and curated; a corrupt one is a configuration error and raises.
     c_hash = with_phash(corpus, id_col, binary_col, on_error=on_error)
-    e_hash = with_phash(eval_images, id_col, binary_col, on_error=on_error)
+    e_hash = with_phash(eval_images, id_col, binary_col)
     if method == "banded":
         # size from BOTH sides (the candidate row term is bilinear,
         # n_corpus·n_eval·L/2^k — k picked from the eval count alone

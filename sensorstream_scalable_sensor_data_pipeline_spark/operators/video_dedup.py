@@ -329,11 +329,15 @@ def decontaminate_videos(
         materialize_and_release,
     )
 
+    # corpus-side quarantine only — a quarantined EVAL clip emits no
+    # frame rows and can protect nothing (every corpus near-dup of it
+    # leaks silently); eval sets are curated, so a corrupt one raises
+    # (review-found r14, same rule as the image/audio twins)
     fh_c = with_frame_phashes(
         corpus, id_col, binary_col, every_n, on_error=on_error
     ).persist()
     fh_e = with_frame_phashes(
-        eval_videos, id_col, binary_col, every_n, on_error=on_error
+        eval_videos, id_col, binary_col, every_n
     ).persist()
     # materialize the caches EAGERLY before building the consumer
     # plan: the per-clip frame count and the match join are parallel

@@ -129,3 +129,43 @@ def test_dimension_bombs_rejected_fast():
     png = b"\x89PNG\r\n\x1a\n" + chunk + iend
     with pytest.raises(ValueError, match="pixel cap"):
         decode_png(png)
+
+
+def test_avi_total_output_and_png_inflate_bounds():
+    """Review-found r14 follow-ups: the AVI cap bounds TOTAL output
+    (frames x dims — the (n,h,w,3) allocation runs before per-frame
+    validation), and PNG decompression is BOUNDED (a DEFLATE bomb
+    under a tiny cap-passing header cannot inflate past the declared
+    geometry)."""
+    import struct
+    import zlib as _z
+
+    # AVI: 4096x4096 frames (passes per-frame math) x 32 chunks
+    # -> 512M total px > 2^28 cap
+    strh_body = b"vids" + b"\x00" * 16 + struct.pack("<II", 1, 10)
+    strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    strf_body = struct.pack("<Iii", 40, 4096, 4096) + struct.pack("<HH", 1, 24) + struct.pack("<I", 0) + b"\x00" * 20
+    strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
+    chunks = strh + strf
+    for _ in range(32):
+        chunks += b"00db" + struct.pack("<I", 0)
+    avi = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"AVI " + chunks
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_avi_frames(avi)
+
+    # PNG: 8x8 grayscale header, IDAT inflating to ~64 MB
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+    bomb = _z.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates beyond"):
+        decode_png(png)

@@ -235,3 +235,115 @@ def test_ingest_image_batch_quarantine(spark, tmp_path):
     # default mode still raises on the corrupt batch
     with pytest.raises(Exception):
         ingest_image_batch(spark, b1, sdir + "_raise", batch_id="qr").collect()
+
+
+def test_ingest_video_batch_quarantine_accepts_corrupt(spark, tmp_path):
+    """Review-found r14: the video ingest derives acceptance from the
+    FRAME table, which quarantine empties for corrupt clips — without
+    the fix they were silently dropped, diverging from the image and
+    audio ingests' accepted-with-NULL-signature contract."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_video_batch,
+    )
+
+    def vid(seed):
+        return encode_avi(
+            np.stack([synth_image(seed * 10 + i, h=16, w=16) for i in range(4)]),
+            codec="dib",
+        )
+
+    sdir = str(tmp_path / "vqstate")
+    b = spark.createDataFrame(
+        [(0, vid(0)), (1, vid(1)), (900, b"RIFF" + b"\x00" * 20)],
+        "doc_id long, payload binary",
+    )
+    acc = {
+        r["doc_id"]
+        for r in ingest_video_batch(
+            spark, b, sdir, batch_id="v1", every_n=1, on_error="quarantine"
+        ).collect()
+    }
+    assert acc == {0, 1, 900}
+    # re-delivered good clip rejects against state; corrupt has no
+    # signature and re-accepts (documented)
+    b2 = spark.createDataFrame(
+        [(10, vid(0)), (11, vid(5))], "doc_id long, payload binary"
+    )
+    acc2 = {
+        r["doc_id"]
+        for r in ingest_video_batch(
+            spark, b2, sdir, batch_id="v2", every_n=1, on_error="quarantine"
+        ).collect()
+    }
+    assert acc2 == {11}
+
+
+def test_ingest_audio_batch_quarantine(spark, tmp_path):
+    """Audio ingest parity: corrupt clips accept with a NULL
+    fingerprint; good content semantics unchanged."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_audio_batch,
+    )
+
+    sdir = str(tmp_path / "aqstate")
+    b = spark.createDataFrame(
+        [
+            (0, encode_wav(synth_clip(70), RATE)),
+            (1, encode_wav(synth_clip(71), RATE)),
+            (900, b"RIFF" + b"\x00" * 30),
+        ],
+        "doc_id long, payload binary",
+    )
+    acc = {
+        r["doc_id"]
+        for r in ingest_audio_batch(
+            spark, b, sdir, batch_id="a1", on_error="quarantine"
+        ).collect()
+    }
+    assert acc == {0, 1, 900}
+    b2 = spark.createDataFrame(
+        [(10, encode_wav(synth_clip(70), RATE)),
+         (11, encode_wav(synth_clip(77), RATE))],
+        "doc_id long, payload binary",
+    )
+    acc2 = {
+        r["doc_id"]
+        for r in ingest_audio_batch(
+            spark, b2, sdir, batch_id="a2", on_error="quarantine"
+        ).collect()
+    }
+    assert acc2 == {11}
+
+
+def test_decontaminate_eval_side_always_raises(spark):
+    """Review-found r14: a quarantined EVAL payload would silently
+    disable its own decontamination protection (NULL hash matches
+    nothing -> every corpus near-dup of it LEAKS, with no recoverable
+    signal). Quarantine therefore applies to the corpus side only —
+    a corrupt eval payload raises even under on_error='quarantine'."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        decontaminate_images,
+    )
+
+    corpus = _images(spark, True)  # corrupt CORPUS rows: fine
+    ev_bad = spark.createDataFrame(
+        [(500, encode_png(synth_image(0, h=48, w=48))), (501, CORRUPT_PNG)],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        decontaminate_images(
+            corpus, ev_bad, on_error="quarantine"
+        ).collect()
+    # corpus-side corruption quarantines; clean eval still protects
+    ev = spark.createDataFrame(
+        [(500, encode_png(synth_image(0, h=48, w=48)))],
+        "doc_id long, payload binary",
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_images(
+            corpus, ev, on_error="quarantine"
+        ).collect()
+    }
+    # 0 and its re-encode 100 are contaminated; corrupt rows survive
+    assert kept == {1, 2, 900, 901}
