@@ -476,8 +476,8 @@ def dedup_phash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: dedup_audio_recovery's oracle (QUEUED for the r15 registry rotation
-#: — written and locally pinned in r12, extending the r14 image entry
+#: dedup_audio_recovery's oracle (registered at r15 — rotation #7;
+#: written and locally pinned in r12, extending the r14 image entry
 #: to the audio modality). The planted corpus structure is closed-form:
 #: _audio_corpus emits clip_id = doc_id·2 + rep, and every clip_id ≡ 0
 #: (mod 5), id > 0 is a signal-level VARIANT (0.5× gain or 10-hop pad)
@@ -499,10 +499,12 @@ DEDUP_AUDIO_RECOVERY_ORACLE = r"""
     """
 
 
+@query("dedup_audio_recovery", oracle=DEDUP_AUDIO_RECOVERY_ORACLE)
 def dedup_audio_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-variant recovery for near-duplicate audio dedup — the
-    registry-shaped form of the Haitsma–Kalker family (r15 rotation
-    queue): synthesize the deterministic planted WAV corpus, run the
+    registry-shaped form of the Haitsma–Kalker family (ROTATED IN at
+    r15, rotation #7 — the slot freed by p7_in_list):
+    synthesize the deterministic planted WAV corpus, run the
     full fingerprint → exact-probe vote → aligned-BER verify →
     closure → anti-join chain, and emit the survivor count + id-sum
     the closed-form oracle predicts. Defaults throughout — including

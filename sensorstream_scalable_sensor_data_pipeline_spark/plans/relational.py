@@ -132,13 +132,22 @@ def p6_range_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "ts")
 
 
-@query(
-    "p7_in_list",
-    oracle="SELECT event_id, user_id FROM events WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34)",
+#: p7_in_list's oracle, kept importable for the rotated-slot suite
+#: (rotated out in round 15 — rotation #7; its slot now carries
+#: dedup_audio_recovery; Catalyst `In` predicate mechanics stay
+#: driver-visible via the p4_p5_filters row and the semi-join row
+#: j3_semi_join, which expresses the same collect+IN idiom).
+P7_IN_LIST_ORACLE = (
+    "SELECT event_id, user_id FROM events "
+    "WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34)"
 )
+
+
 def p7_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: small driver-known IN-list (tagid IN (...),
-    main_pipeline.py:296-298)."""
+    main_pipeline.py:296-298). Local-oracle since the r15 rotation
+    (tests/test_queries_vs_oracle.py::test_rotated_p7_in_list_
+    matches_oracle)."""
     ev = load_table(spark, sf_dir, "events")
     return in_list_filter(ev, "user_id", [1, 2, 3, 5, 8, 13, 21, 34]).select(
         "event_id", "user_id"

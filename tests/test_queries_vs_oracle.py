@@ -314,6 +314,21 @@ def test_rotated_p9_p10_project_rename_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "p9_p10_project_rename")
 
 
+def test_rotated_p7_in_list_matches_oracle(spark, duck, sf_dir):
+    """Rotated out in round 15 (rotation #7 — slot now carries
+    dedup_audio_recovery); Catalyst `In` predicate mechanics stay
+    locally oracle-pinned here and driver-carried by p4_p5_filters
+    plus the semi-join row j3_semi_join (the collect+IN idiom)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        P7_IN_LIST_ORACLE,
+        p7_in_list,
+    )
+
+    sdf = p7_in_list(spark, sf_dir).toPandas()
+    ddf = duck.sql(P7_IN_LIST_ORACLE).df()
+    assert_frames_match(sdf, ddf, "p7_in_list")
+
+
 def test_rotated_o1_global_sort_matches_oracle(spark, duck, sf_dir):
     """Rotated out in round 14 (rotation #6 — slot now carries
     dedup_phash_recovery); the global range-partitioned sort stays
@@ -355,9 +370,9 @@ def test_queued_dedup_phash_recovery_matches_oracle(spark, duck, sf_dir):
 
 
 def test_queued_dedup_audio_recovery_matches_oracle(spark, duck, sf_dir):
-    """r15 rotation-queue feasibility pin: the audio near-dup recovery
-    query hash-matches its closed-form DuckDB oracle BEFORE taking a
-    registry slot — the planted WAV corpus structure (every clip_id ≡
+    """Was the r15 rotation-queue feasibility pin; the query took its
+    registry slot at rotation #7 and this stays as the local twin of
+    the driver row — the planted WAV corpus structure (every clip_id ≡
     0 mod 5 is a gain/pad variant of clip_id−1, distinct seeds at
     BER ≈ 0.5 vs the 0.25 bound) makes perfect recovery a pure
     function of the documents table."""
