@@ -59,6 +59,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    MALFORMED_PAYLOAD_ERRORS,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
     drop_near_duplicates,
     vote_best_offset,
@@ -188,7 +191,7 @@ def with_audio_fingerprint(
                 if quarantine:
                     try:
                         fps.append(fingerprint_wav(p).tolist())
-                    except Exception:
+                    except MALFORMED_PAYLOAD_ERRORS:
                         fps.append(None)
                 else:
                     fps.append(fingerprint_wav(p).tolist())

@@ -29,10 +29,14 @@ without a session.
 
 from __future__ import annotations
 
+import logging
 import struct
+import traceback
 import zlib
 
 import numpy as np
+
+_LOG = logging.getLogger(__name__)
 
 # ----------------------------------------------------------------- BMP
 
@@ -45,6 +49,16 @@ import numpy as np
 #: fuzz finding).
 MAX_DECODE_PIXELS = 1 << 28
 
+#: The untrusted-bytes exception contract every public decoder
+#: guarantees via :func:`_normalizes_malformed`: an unsupported or
+#: malformed payload raises exactly one of these. Quarantine mode
+#: (``on_error="quarantine"`` across phash/audio_fp/video_dedup/
+#: multimodal) swallows ONLY this tuple — a MemoryError, executor
+#: kill, or genuine code bug still fails the task instead of
+#: silently degrading a good row to a NULL signature (r14 ADVICE:
+#: a transient OOM must not become a can't-match-anything survivor).
+MALFORMED_PAYLOAD_ERRORS = (ValueError, NotImplementedError)
+
 
 def _normalizes_malformed(fmt: str, extra: tuple = ()):
     """Decorator: the untrusted-bytes exception contract, in ONE
@@ -54,7 +68,15 @@ def _normalizes_malformed(fmt: str, extra: tuple = ()):
     ``extra``, e.g. ``zlib.error`` for PNG) become the documented
     malformed-payload ``ValueError``; ``ValueError`` /
     ``NotImplementedError`` pass through; anything else (a code bug,
-    real memory pressure) propagates untouched."""
+    real memory pressure) propagates untouched.
+
+    Documented tradeoff (r14 ADVICE): an IndexError raised by a
+    genuine decoder BUG is indistinguishable here from one raised by
+    corrupt bytes, and under quarantine mode it degrades the row
+    instead of surfacing. Raise-mode keeps the full story via
+    exception chaining (``from e``); for quarantine runs the wrapper
+    DEBUG-logs the original traceback so a decoder regression leaves
+    an executor-log trail instead of vanishing into NULL rows."""
     import functools
 
     def deco(fn):
@@ -68,6 +90,12 @@ def _normalizes_malformed(fmt: str, extra: tuple = ()):
                 IndexError, KeyError, OverflowError, TypeError,
                 struct.error, *extra,
             ) as e:
+                if _LOG.isEnabledFor(logging.DEBUG):
+                    _LOG.debug(
+                        "malformed %s payload normalized to ValueError:\n%s",
+                        fmt,
+                        traceback.format_exc(),
+                    )
                 raise ValueError(
                     f"malformed {fmt} payload ({type(e).__name__}: {e})"
                 ) from e

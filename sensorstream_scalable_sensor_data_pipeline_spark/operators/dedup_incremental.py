@@ -118,13 +118,20 @@ _PROVENANCE_FILE = "_sources.json"
 
 
 def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None:
-    """Write the provenance file ATOMICALLY (temp + rename): a crash
-    mid-write must not leave a committed compact dir with truncated
-    JSON — that would make every later state operation raise out of
-    :func:`_read_provenance` with no self-heal path (review-found
-    r14). With the rename, the final path either does not exist
-    (crash before rename → sources still exist, every id still
-    discoverable by its own ``_SUCCESS``) or is complete."""
+    """Write the provenance file ATOMICALLY (temp + overwrite-rename):
+    a crash mid-write must not leave a committed compact dir with
+    truncated JSON — that would make every later state operation raise
+    out of :func:`_read_provenance` with no self-heal path
+    (review-found r14). The rename is ``FileContext.rename(...,
+    Options.Rename.OVERWRITE)`` — a single atomic step even when the
+    destination exists — because the earlier delete-then-rename pair
+    left a window on idempotent re-runs where a crash between the two
+    stranded a committed compact dir with NO provenance, silently
+    reopening the hub double-count transient until the next compaction
+    (r14 ADVICE). With it, the final path either holds the previous
+    complete JSON, the new complete JSON, or does not exist (crash
+    before any rename → sources still exist, every id still
+    discoverable by its own ``_SUCCESS``)."""
     import json
 
     final = posixpath.join(out_dir, _PROVENANCE_FILE)
@@ -136,9 +143,16 @@ def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None
     finally:
         stream.close()
     jfinal = _fs(spark, final)[1]
-    fs.delete(jfinal, False)  # overwrite-idempotent re-runs
-    if not fs.rename(jtmp, jfinal):
-        raise IOError(f"provenance rename failed: {tmp} -> {final}")
+    jvm = spark._jvm
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jfinal.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    # void + atomic: raises on failure instead of returning False
+    fc.rename(jtmp, jfinal, overwrite)
 
 
 def _read_provenance(spark: SparkSession, batch_dir: str) -> list[str]:

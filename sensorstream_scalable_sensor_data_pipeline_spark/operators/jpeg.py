@@ -47,9 +47,21 @@ import struct
 import numpy as np
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
-    MAX_DECODE_PIXELS,
     _normalizes_malformed,
 )
+
+#: JPEG decodes through full-resolution float64 MCU planes
+#: (8 B/px/component) plus progressive int32 coefficient buffers —
+#: ~28 B/px for a 3-component image, an order of magnitude above the
+#: 3 B/px RGB-output assumption behind the generic
+#: ``codecs.MAX_DECODE_PIXELS`` rationale (r15, ADVICE r14: a
+#: cap-passing 16384x16384 SOF would still demand several GB of
+#: intermediates). Cap JPEG dimensions so the decoder's
+#: *intermediates* stay inside a ~1 GiB envelope: 2^30 / 28 ≈ 38 M px
+#: (a ~6100x6100 photo passes; the crafted 16384x16384 bomb fails
+#: fast, before any allocation).
+_JPEG_INTERMEDIATE_BYTES_PER_PX = 28
+MAX_JPEG_DECODE_PIXELS = (1 << 30) // _JPEG_INTERMEDIATE_BYTES_PER_PX
 
 # --------------------------------------------------------------- tables
 
@@ -296,7 +308,7 @@ def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarr
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
-            if h <= 0 or w <= 0 or h * w > MAX_DECODE_PIXELS:
+            if h <= 0 or w <= 0 or h * w > MAX_JPEG_DECODE_PIXELS:
                 raise ValueError(
                     f"JPEG dimensions {w}x{h} exceed the decode pixel cap"
                 )

@@ -38,6 +38,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    MALFORMED_PAYLOAD_ERRORS,
+)
+
 #: Bytes-per-frame for the deterministic fake video framer.
 _FAKE_FRAME_BYTES = 256
 
@@ -150,7 +154,7 @@ def extract_features(
                 if quarantine:
                     try:
                         feats.append(decode_image(p, fake=fake_decoder))
-                    except Exception:
+                    except MALFORMED_PAYLOAD_ERRORS:
                         feats.append(dict(_NULL_FEATS))
                 else:
                     feats.append(decode_image(p, fake=fake_decoder))

@@ -48,6 +48,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    MALFORMED_PAYLOAD_ERRORS,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
     drop_near_duplicates,
     simhash_candidates,
@@ -241,7 +244,7 @@ def with_phash(
                 if quarantine:
                     try:
                         hs.append(fn(p))
-                    except Exception:
+                    except MALFORMED_PAYLOAD_ERRORS:
                         hs.append(None)
                 else:
                     hs.append(fn(p))

@@ -47,6 +47,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    MALFORMED_PAYLOAD_ERRORS,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
     blocked_hamming_matches,
     drop_near_duplicates,
@@ -117,7 +120,7 @@ def with_frame_phashes(
                 if quarantine:
                     try:
                         frames, _fps = decode_avi_frames(payload)
-                    except Exception:
+                    except MALFORMED_PAYLOAD_ERRORS:
                         continue  # quarantined: no frame rows
                 else:
                     frames, _fps = decode_avi_frames(payload)

@@ -169,3 +169,28 @@ def test_avi_total_output_and_png_inflate_bounds():
     )
     with pytest.raises(ValueError, match="inflates beyond"):
         decode_png(png)
+
+
+def test_jpeg_intermediate_aware_cap():
+    """r15 (r14 ADVICE): JPEG decodes through ~28 B/px of float64 MCU
+    planes and coefficient buffers, so its cap is tighter than the
+    generic 3 B/px output cap — a 16384x16384 3-component SOF (exactly
+    2^28 px, which PASSED the generic cap) must fail fast as a
+    malformed-payload ValueError before any allocation."""
+    import struct
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
+        MAX_JPEG_DECODE_PIXELS,
+    )
+
+    assert 16384 * 16384 > MAX_JPEG_DECODE_PIXELS
+    sof_body = struct.pack(">BHHB", 8, 16384, 16384, 3) + (
+        b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_jpeg(jpg)

@@ -347,3 +347,32 @@ def test_decontaminate_eval_side_always_raises(spark):
     }
     # 0 and its re-encode 100 are contaminated; corrupt rows survive
     assert kept == {1, 2, 900, 901}
+
+
+def test_quarantine_contract_excludes_runtime_failures():
+    """r15 (r14 ADVICE, medium): quarantine mode swallows ONLY the
+    malformed-payload contract the decoders guarantee — a transient
+    MemoryError / executor failure must still fail the task, not
+    silently degrade a good row to a can't-match-anything NULL
+    signature. All four decode loops (phash, audio_fp, video_dedup,
+    multimodal) catch exactly this tuple."""
+    import inspect
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators import (
+        audio_fp,
+        multimodal,
+        phash,
+        video_dedup,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        MALFORMED_PAYLOAD_ERRORS,
+    )
+
+    assert MALFORMED_PAYLOAD_ERRORS == (ValueError, NotImplementedError)
+    for exc in (MemoryError, RuntimeError, OSError, KeyboardInterrupt):
+        assert not issubclass(exc, MALFORMED_PAYLOAD_ERRORS)
+    # no decode loop regresses to a bare `except Exception`
+    for mod in (audio_fp, multimodal, phash, video_dedup):
+        src = inspect.getsource(mod)
+        assert "except Exception" not in src, mod.__name__
+        assert "except MALFORMED_PAYLOAD_ERRORS" in src, mod.__name__
