@@ -311,6 +311,10 @@ _STATE_TABLES = {
     "phashes": ["fp_prefix"],
     "audio_fps": [],
     "frame_phashes": [],
+    # exact content_md5 of ACCEPTED quarantined payloads (r15): the
+    # corrupt rows' identity table — tiny (corrupt rows are the
+    # exception), unpartitioned
+    "quarantine_md5s": [],
 }
 
 
@@ -547,6 +551,117 @@ def _prune_stale_word_counts(spark: SparkSession, state_dir: str) -> None:
                 fs.delete(batch_st.getPath(), True)
 
 
+# -------------------------------------- quarantine content identity
+
+
+def read_quarantine_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The accepted-quarantine identity table (committed batches
+    only), or None before any quarantined acceptance: one
+    (content_md5, doc_id) row per ACCEPTED corrupt payload. This is
+    what lets quarantine mode reject re-delivered corrupt bytes —
+    a NULL decode signature has no content identity, so without it a
+    firehose of the same corrupt blob would grow the accepted set
+    without bound (r14 documented hole, closed r15)."""
+    root = posixpath.join(state_dir, "quarantine_md5s")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", root)
+        .parquet(*dirs)
+        .select("content_md5", "doc_id")
+    )
+
+
+def _quarantine_identity(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    binary_col: str,
+    corrupt_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact content identity for this batch's quarantined rows: a
+    corrupt payload is fingerprinted by ``md5(raw bytes)`` —
+    decode-free, one built-in hash — because its decode signature is
+    NULL by definition. Returns ``(accepted_md5s, rejected_ids)``:
+
+    * ``accepted_md5s`` — (content_md5, doc_id), the min-id
+      representative per DISTINCT corrupt payload that is not already
+      recorded in quarantine state (within-batch exact dedup + the
+      same history-always-wins anti-join the clean rows get);
+    * ``rejected_ids`` — every other corrupt id: a within-batch
+      duplicate of a representative, or a re-delivery of
+      already-quarantined bytes.
+
+    Both joins are keyed equi-joins on the 16-byte md5 — corrupt rows
+    are the rare case, so the state side stays tiny at any corpus
+    scale."""
+    bad = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(binary_col)).alias("content_md5"),
+    ).join(corrupt_ids, "doc_id")
+    reps = bad.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    state = read_quarantine_state(spark, state_dir)
+    if state is not None:
+        reps = reps.join(
+            state.select("content_md5"), "content_md5", "left_anti"
+        )
+    rejected = corrupt_ids.join(
+        reps.select("doc_id"), "doc_id", "left_anti"
+    )
+    return reps.select("content_md5", "doc_id"), rejected
+
+
+def _commit_quarantine(
+    spark: SparkSession,
+    state_dir: str,
+    bid: str,
+    accepted_md5s: DataFrame,
+    accepted: DataFrame,
+    id_col: str,
+) -> None:
+    """Commit the batch's accepted-quarantine identity rows, keyed by
+    the STAGED doc ids (state records only durable docs — the same
+    doctrine as the signature commits). Runs AFTER the signature
+    commit so the signature ``_SUCCESS`` stays the single commit
+    point: a crash in between leaves the batch committed with its
+    quarantine rows missing, which the resume path backfills
+    (:func:`_backfill_quarantine`)."""
+    accepted_md5s.join(
+        accepted.select(F.col(id_col).alias("doc_id")), "doc_id"
+    ).select("content_md5", "doc_id").write.mode("overwrite").parquet(
+        posixpath.join(state_dir, "quarantine_md5s", f"batch={bid}")
+    )
+
+
+def _backfill_quarantine(
+    spark: SparkSession,
+    state_dir: str,
+    bid: str,
+    accepted: DataFrame,
+    id_col: str,
+    binary_col: str,
+    corrupt_staged_ids: DataFrame,
+) -> None:
+    """Resume-path self-heal: the batch's signatures committed but
+    its quarantine identity rows did not (crash between the two
+    writes, or a pre-r15 batch resumed under r15). Recompute the
+    md5s from the staged payloads — the staged corrupt rows ARE the
+    accepted set the original run decided — and commit them. No
+    state anti-join here: a later batch may have accepted the same
+    md5 in the window, and duplicate md5 rows are harmless to the
+    anti-join (set semantics, collapsed at the next compaction)."""
+    accepted.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(binary_col)).alias("content_md5"),
+    ).join(corrupt_staged_ids, "doc_id").select(
+        "content_md5", "doc_id"
+    ).write.mode("overwrite").parquet(
+        posixpath.join(state_dir, "quarantine_md5s", f"batch={bid}")
+    )
+
+
 # ------------------------------------------ incremental IMAGE ingest
 
 
@@ -605,11 +720,15 @@ def ingest_image_batch(
 
     ``on_error="quarantine"`` (r14, all three modality ingests): a
     corrupt payload in a daily batch must not kill the nightly
-    ingest. Quarantined rows are ACCEPTED with a NULL signature —
-    they can never match anything, so re-delivering the same corrupt
-    bytes accepts them again (content identity needs a signature;
-    pre-filter on an exact ``content_md5`` if corrupt re-delivery
-    dedup matters). Default ``"raise"`` keeps the exact contract.
+    ingest. Quarantined rows are ACCEPTED with a NULL decode
+    signature (which can never match anything) plus an exact
+    ``md5(raw bytes)`` identity row in the ``quarantine_md5s`` state
+    table (r15): within one batch duplicate corrupt payloads collapse
+    to the min-id representative, and RE-DELIVERED corrupt bytes
+    reject against state — history always wins, the same semantics
+    the clean rows get, so a repeating corrupt source can no longer
+    grow the accepted set without bound. Default ``"raise"`` keeps
+    the exact contract.
 
     ``method`` routes the candidate joins through the image-dedup
     method doctrine (operators/phash.py): ``"auto"`` (default)
@@ -648,7 +767,27 @@ def ingest_image_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "phashes", bid
     ):
-        return _staged(batch.schema)  # fully committed — resume
+        acc = _staged(batch.schema)  # fully committed — resume
+        if on_error == "quarantine" and not _batch_committed(
+            spark, state_dir, "quarantine_md5s", bid
+        ):
+            # crash between signature commit and quarantine commit
+            # (or a pre-r15 batch): staged ids whose state signature
+            # is NULL are exactly the accepted-corrupt set
+            state = read_image_state(spark, state_dir)
+            if state is not None:
+                corrupt = (
+                    state.filter(F.col("phash").isNull())
+                    .select("doc_id")
+                    .join(
+                        acc.select(F.col(id_col).alias("doc_id")), "doc_id"
+                    )
+                    .distinct()
+                )
+                _backfill_quarantine(
+                    spark, state_dir, bid, acc, id_col, binary_col, corrupt
+                )
+        return acc
 
     # hash once, persist: the within-batch self-join reads both sides
     # and the cross-state join reads it again (same rationale as
@@ -715,6 +854,19 @@ def ingest_image_batch(
         else:
             fresh = within
 
+        q_md5s = None
+        if on_error == "quarantine":
+            corrupt_ids = hashes.filter(
+                F.col("phash").isNull()
+            ).select("doc_id")
+            # cheap probe over the persisted 16-byte hash rows: the
+            # common all-clean batch skips the identity plan entirely
+            if not corrupt_ids.isEmpty():
+                q_md5s, q_rejected = _quarantine_identity(
+                    spark, state_dir, batch, id_col, binary_col, corrupt_ids
+                )
+                fresh = fresh.join(q_rejected, "doc_id", "left_anti")
+
         # 1) stage survivors BEFORE any state mutation
         batch.join(
             fresh.select(F.col("doc_id").alias(id_col)), id_col
@@ -737,9 +889,14 @@ def ingest_image_batch(
             .alias("fp_prefix"),
             F.col("doc_id"),
         ).write.mode("overwrite").partitionBy("fp_prefix").parquet(ph_dir)
+        if q_md5s is not None:
+            _commit_quarantine(
+                spark, state_dir, bid, q_md5s, accepted, id_col
+            )
         if maintain_max_batch_dirs is not None:
             maintain_state(
-                spark, state_dir, maintain_max_batch_dirs, ("phashes",)
+                spark, state_dir, maintain_max_batch_dirs,
+                ("phashes", "quarantine_md5s"),
             )
         return accepted
     finally:
@@ -909,7 +1066,24 @@ def ingest_audio_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "audio_fps", bid
     ):
-        return _staged(batch.schema)  # fully committed — resume
+        acc = _staged(batch.schema)  # fully committed — resume
+        if on_error == "quarantine" and not _batch_committed(
+            spark, state_dir, "quarantine_md5s", bid
+        ):
+            state = read_audio_state(spark, state_dir)
+            if state is not None:
+                corrupt = (
+                    state.filter(F.col("fp").isNull())
+                    .select("doc_id")
+                    .join(
+                        acc.select(F.col(id_col).alias("doc_id")), "doc_id"
+                    )
+                    .distinct()
+                )
+                _backfill_quarantine(
+                    spark, state_dir, bid, acc, id_col, binary_col, corrupt
+                )
+        return acc
 
     # fingerprint once, persist: the within-batch self-join reads both
     # sides and the cross-state join reads it again (same rationale as
@@ -954,6 +1128,15 @@ def ingest_audio_batch(
         else:
             fresh = within
 
+        q_md5s = None
+        if on_error == "quarantine":
+            corrupt_ids = fps.filter(F.col("fp").isNull()).select("doc_id")
+            if not corrupt_ids.isEmpty():
+                q_md5s, q_rejected = _quarantine_identity(
+                    spark, state_dir, batch, id_col, binary_col, corrupt_ids
+                )
+                fresh = fresh.join(q_rejected, "doc_id", "left_anti")
+
         # 1) stage survivors BEFORE any state mutation
         batch.join(
             fresh.select(F.col("doc_id").alias(id_col)), id_col
@@ -983,9 +1166,14 @@ def ingest_audio_batch(
             ).write.mode("overwrite").parquet(
                 _audio_word_count_dir(state_dir, rate_inv, bid)
             )
+        if q_md5s is not None:
+            _commit_quarantine(
+                spark, state_dir, bid, q_md5s, accepted, id_col
+            )
         if maintain_max_batch_dirs is not None:
             maintain_state(
-                spark, state_dir, maintain_max_batch_dirs, ("audio_fps",)
+                spark, state_dir, maintain_max_batch_dirs,
+                ("audio_fps", "quarantine_md5s"),
             )
         return accepted
     finally:
@@ -1066,7 +1254,27 @@ def ingest_video_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "frame_phashes", bid
     ):
-        return _staged(batch.schema)  # fully committed — resume
+        acc = _staged(batch.schema)  # fully committed — resume
+        if on_error == "quarantine" and not _batch_committed(
+            spark, state_dir, "quarantine_md5s", bid
+        ):
+            # corrupt clips have NO frame rows, so the accepted-
+            # corrupt set is the staged ids absent from frame state
+            state = read_video_state(spark, state_dir)
+            if state is not None:
+                corrupt = (
+                    acc.select(F.col(id_col).alias("doc_id"))
+                    .distinct()
+                    .join(
+                        state.select("doc_id").distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                )
+                _backfill_quarantine(
+                    spark, state_dir, bid, acc, id_col, binary_col, corrupt
+                )
+        return acc
 
     # hash frames once, persist: the within-batch self-join reads both
     # sides and the cross-state join reads it again (decode is the
@@ -1104,21 +1312,30 @@ def ingest_video_batch(
         else:
             fresh_ids = within.select("doc_id").distinct()
 
+        q_md5s = None
         if on_error == "quarantine":
             # corrupt clips emit NO frame rows (the video quarantine
             # shape), so deriving acceptance from the frame table
             # would silently DROP them — contract divergence vs the
             # image/audio ingests, whose NULL-signature rows survive
-            # (review-found r14). Accept every batch id absent from
-            # the frame table; a valid clip always has >= 1 sampled
-            # frame (frameless AVIs raise in decode), so absence is
-            # exactly the quarantine set.
+            # (review-found r14). A batch id absent from the frame
+            # table is exactly the quarantine set (a valid clip
+            # always has >= 1 sampled frame; frameless AVIs raise in
+            # decode); its md5-identity representatives (r15) join
+            # the survivors, within-batch dups and re-deliveries
+            # reject.
             decoded = fh.select("doc_id").distinct()
-            corrupt = (
+            corrupt_ids = (
                 batch.select(F.col(id_col).alias("doc_id")).distinct()
                 .join(decoded, "doc_id", "left_anti")
             )
-            fresh_ids = fresh_ids.unionByName(corrupt)
+            if not corrupt_ids.isEmpty():
+                q_md5s, _q_rejected = _quarantine_identity(
+                    spark, state_dir, batch, id_col, binary_col, corrupt_ids
+                )
+                fresh_ids = fresh_ids.unionByName(
+                    q_md5s.select("doc_id")
+                )
 
         # 1) stage survivors BEFORE any state mutation
         batch.join(
@@ -1135,9 +1352,14 @@ def ingest_video_batch(
         ).select("doc_id", "frame_idx", "phash").write.mode(
             "overwrite"
         ).parquet(fh_dir)
+        if q_md5s is not None:
+            _commit_quarantine(
+                spark, state_dir, bid, q_md5s, accepted, id_col
+            )
         if maintain_max_batch_dirs is not None:
             maintain_state(
-                spark, state_dir, maintain_max_batch_dirs, ("frame_phashes",)
+                spark, state_dir, maintain_max_batch_dirs,
+                ("frame_phashes", "quarantine_md5s"),
             )
         return accepted
     finally:

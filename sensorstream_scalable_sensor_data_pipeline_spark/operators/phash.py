@@ -582,6 +582,7 @@ def dedup_phash(
     band_seed: int = 7,
     row_budget: float = AUTO_CANDIDATE_ROW_BUDGET,
     on_error: str = "raise",
+    return_quarantined: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate IMAGE dedup: hash every payload,
     generate blocked candidates, verify exact Hamming ≤ bound, resolve
@@ -629,7 +630,16 @@ def dedup_phash(
     the pair set once more — uncached, the decode ran 3×. The cached
     frame is 16 bytes/row — at 10⁹ images ~16 GB cluster-wide, noise
     next to the payloads — and is released before returning (the
-    closure has materialized the pairs by then)."""
+    closure has materialized the pairs by then).
+
+    ``return_quarantined=True`` (r15, only meaningful with
+    ``on_error="quarantine"``): returns ``(survivors,
+    quarantined_ids)`` where ``quarantined_ids`` is a (doc_id) frame
+    of the payloads whose decode failed — materialized via an eager
+    ``localCheckpoint`` while the hash cache is still hot, so reading
+    it later costs no re-decode. Quarantined rows are the rare
+    exception by doctrine, so the checkpointed frame is tiny (the
+    same boundedness class as the broadcast loser set)."""
     if method not in ("auto", "pigeonhole", "banded"):
         raise ValueError(
             f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
@@ -667,9 +677,17 @@ def dedup_phash(
                 bands=bands, bits_per_band=bits_per_band, seed=band_seed,
             )
         pairs = cand.filter(F.col("hamming") <= max_hamming)
-        return drop_near_duplicates(
+        surv = drop_near_duplicates(
             images, pairs, id_col=id_col, broadcast_losers=True
         )
+        if not return_quarantined:
+            return surv
+        q_ids = (
+            hashes.filter(F.col("phash").isNull())
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        return surv, q_ids
     finally:
         hashes.unpersist()
 

@@ -375,6 +375,7 @@ def curate_image_corpus(
     holdout_per_mille: int = 100,
     dedup_method: str = "auto",
     dedup_kwargs: dict | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """The multimodal curation capstone — the end-to-end flow an
     image-corpus user actually runs, mirroring
@@ -401,8 +402,20 @@ def curate_image_corpus(
     the capstone can size the bands for corpus scale instead of
     being locked to the operator defaults.
 
+    ``on_error`` (r15, r14 verdict #7): a 100 TB curation run is
+    exactly where one corrupt blob must not kill the job. The format
+    gate only screens the MAGIC — a valid-magic payload with a
+    garbage body still reaches the decoder — so ``"quarantine"``
+    threads through to :func:`~...phash.dedup_phash`: corrupt rows
+    survive curation (NULL hashes never merge), the clean rows'
+    dedup/split results are bit-identical to a clean run, and the
+    output gains a ``quarantined`` boolean column so downstream
+    consumers can filter or route them with one predicate. The
+    default ``"raise"`` keeps exact semantics (no extra column —
+    every row decoded or the job failed).
+
     Returns the curated rows: (doc_id, payload, n_bytes, content_md5,
-    magic_hex, split)."""
+    magic_hex, split[, quarantined])."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
         dedup_phash,
     )
@@ -418,10 +431,25 @@ def curate_image_corpus(
         & (F.col("n_bytes") <= max_bytes)
         & F.col("magic_hex").rlike("^(89504e47|424d|ffd8ff)")
     )
-    surv = dedup_phash(
-        gated, "doc_id", "payload", max_hamming=max_hamming,
-        method=dedup_method, **(dedup_kwargs or {}),
-    )
+    if on_error == "quarantine":
+        surv, q_ids = dedup_phash(
+            gated, "doc_id", "payload", max_hamming=max_hamming,
+            method=dedup_method, on_error="quarantine",
+            return_quarantined=True, **(dedup_kwargs or {}),
+        )
+        # q_ids is checkpointed-tiny (the rare corrupt exception set)
+        surv = surv.join(
+            F.broadcast(q_ids.withColumn("quarantined", F.lit(True))),
+            "doc_id",
+            "left",
+        ).withColumn(
+            "quarantined", F.coalesce(F.col("quarantined"), F.lit(False))
+        )
+    else:
+        surv = dedup_phash(
+            gated, "doc_id", "payload", max_hamming=max_hamming,
+            method=dedup_method, on_error=on_error, **(dedup_kwargs or {}),
+        )
     return hash_split(
         surv, "content_md5", holdout_per_mille=holdout_per_mille
     )

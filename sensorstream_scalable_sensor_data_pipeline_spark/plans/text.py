@@ -507,6 +507,13 @@ def curate_training_corpus(
     canonical-drop anti-join, the final projection) would each replay
     the gate + dedup shuffle otherwise.
 
+    No ``on_error`` knob here DELIBERATELY (r15): text curation has
+    no decode boundary — every stage is Catalyst column math over
+    string columns, which cannot raise on malformed content the way
+    a codec does — so there is nothing to quarantine; the multimodal
+    capstone (plans/multimodal.py::curate_image_corpus) is the one
+    with the knob.
+
     Persist lifecycle: the composition OWNS its three caches (deduped
     base, shingle frame, band table) and releases all of them after
     materializing the (tiny — one row per surviving doc id) result via

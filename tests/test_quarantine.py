@@ -215,8 +215,9 @@ def test_ingest_image_batch_quarantine(spark, tmp_path):
     }
     assert acc1 == {0, 1, 900}
     # re-delivered good content rejects; new good content accepts;
-    # the same corrupt bytes accept again (NULL never matches —
-    # documented: content identity needs a signature)
+    # and since r15 the same corrupt bytes ALSO reject — quarantined
+    # rows carry an exact content_md5 identity in state, so a
+    # repeating corrupt source can't grow the accepted set
     b2 = spark.createDataFrame(
         [
             (10, encode_png(synth_image(0, h=32, w=32))),
@@ -231,7 +232,18 @@ def test_ingest_image_batch_quarantine(spark, tmp_path):
             spark, b2, sdir, batch_id="q2", on_error="quarantine"
         ).collect()
     }
-    assert acc2 == {11, 901}
+    assert acc2 == {11}
+    # DIFFERENT corrupt bytes are new content and still accept
+    b3 = spark.createDataFrame(
+        [(902, GARBAGE)], "doc_id long, payload binary"
+    )
+    acc3 = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b3, sdir, batch_id="q3", on_error="quarantine"
+        ).collect()
+    }
+    assert acc3 == {902}
     # default mode still raises on the corrupt batch
     with pytest.raises(Exception):
         ingest_image_batch(spark, b1, sdir + "_raise", batch_id="qr").collect()
@@ -264,10 +276,11 @@ def test_ingest_video_batch_quarantine_accepts_corrupt(spark, tmp_path):
         ).collect()
     }
     assert acc == {0, 1, 900}
-    # re-delivered good clip rejects against state; corrupt has no
-    # signature and re-accepts (documented)
+    # re-delivered good clip rejects against state; re-delivered
+    # corrupt bytes reject on their content_md5 identity (r15)
     b2 = spark.createDataFrame(
-        [(10, vid(0)), (11, vid(5))], "doc_id long, payload binary"
+        [(10, vid(0)), (11, vid(5)), (901, b"RIFF" + b"\x00" * 20)],
+        "doc_id long, payload binary",
     )
     acc2 = {
         r["doc_id"]
@@ -301,9 +314,12 @@ def test_ingest_audio_batch_quarantine(spark, tmp_path):
         ).collect()
     }
     assert acc == {0, 1, 900}
+    # re-delivered good content AND re-delivered corrupt bytes both
+    # reject against state (the latter on content_md5, r15)
     b2 = spark.createDataFrame(
         [(10, encode_wav(synth_clip(70), RATE)),
-         (11, encode_wav(synth_clip(77), RATE))],
+         (11, encode_wav(synth_clip(77), RATE)),
+         (901, b"RIFF" + b"\x00" * 30)],
         "doc_id long, payload binary",
     )
     acc2 = {
@@ -376,3 +392,158 @@ def test_quarantine_contract_excludes_runtime_failures():
         src = inspect.getsource(mod)
         assert "except Exception" not in src, mod.__name__
         assert "except MALFORMED_PAYLOAD_ERRORS" in src, mod.__name__
+
+
+def test_quarantine_identity_within_batch_and_firehose(spark, tmp_path):
+    """r15 (r14 documented hole, closed): quarantined rows carry an
+    exact content_md5 identity, so (a) duplicate corrupt payloads in
+    ONE batch collapse to the min-id representative, and (b) a
+    firehose re-delivering the same corrupt blob every batch adds
+    nothing after the first acceptance — the accepted set stays
+    bounded. Distinct corrupt payloads remain distinct content."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+        read_quarantine_state,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "fstate")
+    b1 = spark.createDataFrame(
+        [(0, encode_png(synth_image(0, h=32, w=32))),
+         (900, CORRUPT_PNG), (901, CORRUPT_PNG), (902, GARBAGE)],
+        "doc_id long, payload binary",
+    )
+    acc1 = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b1, sdir, batch_id="f1", on_error="quarantine"
+        ).collect()
+    }
+    # 901 is a within-batch duplicate of 900's bytes; 902 is distinct
+    assert acc1 == {0, 900, 902}
+    qstate = read_quarantine_state(spark, sdir)
+    assert {
+        (r["content_md5"], r["doc_id"]) for r in qstate.collect()
+    } == {
+        (__import__("hashlib").md5(CORRUPT_PNG).hexdigest(), 900),
+        (__import__("hashlib").md5(GARBAGE).hexdigest(), 902),
+    }
+    # firehose: the same corrupt blob every day, never re-accepted
+    for day in range(2, 5):
+        b = spark.createDataFrame(
+            [(day * 1000, CORRUPT_PNG), (day * 1000 + 1, GARBAGE)],
+            "doc_id long, payload binary",
+        )
+        acc = ingest_image_batch(
+            spark, b, sdir, batch_id=f"f{day}", on_error="quarantine"
+        ).count()
+        assert acc == 0
+    assert read_quarantine_state(spark, sdir).count() == 2
+
+
+def test_quarantine_identity_resume_backfills(spark, tmp_path):
+    """Crash window between the signature commit and the quarantine
+    commit (or a pre-r15 batch resumed under r15): the resume path
+    backfills the missing quarantine identity rows from the staged
+    payloads, so re-delivery rejects from then on."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        _fs,
+        ingest_image_batch,
+        read_quarantine_state,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "rstate")
+    b1 = spark.createDataFrame(
+        [(0, encode_png(synth_image(0, h=32, w=32))), (900, CORRUPT_PNG)],
+        "doc_id long, payload binary",
+    )
+    ingest_image_batch(
+        spark, b1, sdir, batch_id="r1", on_error="quarantine"
+    ).collect()
+    # simulate the crash window: delete the committed quarantine dir
+    qdir = sdir + "/quarantine_md5s/batch=r1"
+    fs, jq = _fs(spark, qdir)
+    assert fs.exists(jq)
+    fs.delete(jq, True)
+    assert read_quarantine_state(spark, sdir) is None
+    # resume with the same batch_id: staged result identical, and the
+    # quarantine identity rows are back
+    acc = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b1, sdir, batch_id="r1", on_error="quarantine"
+        ).collect()
+    }
+    assert acc == {0, 900}
+    assert {
+        r["doc_id"] for r in read_quarantine_state(spark, sdir).collect()
+    } == {900}
+    # and the firehose now rejects
+    b2 = spark.createDataFrame(
+        [(901, CORRUPT_PNG)], "doc_id long, payload binary"
+    )
+    assert (
+        ingest_image_batch(
+            spark, b2, sdir, batch_id="r2", on_error="quarantine"
+        ).count()
+        == 0
+    )
+
+
+def test_curate_image_corpus_quarantine_end_to_end(spark, tmp_path):
+    """r15 (r14 verdict #7): quarantine threads through the
+    plan-level curation entry point. A valid-magic corrupt payload
+    passes the format gate and reaches the decoder; under
+    on_error='quarantine' the curation completes, the corrupt row
+    survives flagged `quarantined`, and the clean rows' dedup + split
+    results are identical to a clean run. Default mode still raises."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
+        _corpus_cache_dir,
+        curate_image_corpus,
+    )
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 1200  # gate-passing magic
+    clean_rows = [
+        (i, encode_png(synth_image(i, h=48, w=48))) for i in range(3)
+    ] + [(100, encode_png(synth_image(0, h=48, w=48)))]  # planted variant
+
+    sfd_dirty = str(tmp_path / "sf_dirty")
+    sfd_clean = str(tmp_path / "sf_clean")
+    spark.createDataFrame(
+        clean_rows + [(900, corrupt)], "doc_id long, payload binary"
+    ).write.parquet(_corpus_cache_dir(sfd_dirty, "images"))
+    spark.createDataFrame(
+        clean_rows, "doc_id long, payload binary"
+    ).write.parquet(_corpus_cache_dir(sfd_clean, "images"))
+
+    out = curate_image_corpus(
+        spark, sfd_dirty, on_error="quarantine"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    ref = {
+        r["doc_id"]: r
+        for r in curate_image_corpus(spark, sfd_clean).collect()
+    }
+    # survivor set = clean-run survivors + the quarantined row
+    assert set(by_id) == set(ref) | {900}
+    assert by_id[900]["quarantined"] is True
+    for i in ref:
+        assert by_id[i]["quarantined"] is False
+        assert by_id[i]["split"] == ref[i]["split"]
+        assert by_id[i]["content_md5"] == ref[i]["content_md5"]
+    # default raise-mode: the gate-passing corrupt body is loud
+    with pytest.raises(Exception):
+        curate_image_corpus(spark, sfd_dirty).collect()
+    # raise-mode output carries no quarantined column
+    assert "quarantined" not in curate_image_corpus(spark, sfd_clean).columns
