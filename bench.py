@@ -448,6 +448,45 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+def _host_stat_ticks() -> tuple[int, int] | None:
+    """(steal, iowait) tick counters from /proc/stat's aggregate cpu
+    line — the host-interference signal. Two consecutive rounds'
+    full-suite archives carried measured interference bursts that
+    cost builder AND judge replay sessions to adjudicate by hand
+    (r14 verdict task #3); sampling this around each rep makes the
+    adjudication part of the record."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        return int(parts[8]), int(parts[5])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _interference_cores(
+    pre: tuple[int, int] | None, post: tuple[int, int] | None, wall: float
+) -> tuple[float, float] | None:
+    """Average cores lost to hypervisor steal / iowait across the
+    window — tick deltas over wall, the same normalization as the
+    r13/r14 manual adjudications (~141 core-s/min ≈ 2.3 cores)."""
+    if pre is None or post is None or wall <= 0:
+        return None
+    clk = os.sysconf("SC_CLK_TCK")
+    return (
+        round((post[0] - pre[0]) / clk / wall, 2),
+        round((post[1] - pre[1]) / clk / wall, 2),
+    )
+
+
+#: A head is auto-flagged as host-burst-suspect when its wall spread
+#: across reps exceeds this while its CPU-seconds stay flat (work
+#: unchanged, wait inflated — the interference fingerprint the r13/
+#: r14 judges corroborated by manual replay).
+BURST_WALL_SPREAD = 1.5
+BURST_CPU_FLAT = 1.2
+
+
 def run_one(name: str) -> None:
     """Child mode: build a session, warm up, run the head's untimed
     setup hook (if any), time one query."""
@@ -567,17 +606,30 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     cpu: dict[str, float] = {}
     cpu_samples: dict[str, list[float]] = {}
+    steal: dict[str, float] = {}
+    steal_samples: dict[str, list] = {}
+    iowait: dict[str, float] = {}
+    burst_heads: list[str] = []
     total = 0.0
     for name in HEADLINE:
         if _head_has_setup(name):
             _run_prepare_child(name)
         secs, cpus, rows = [], [], None
+        steals, iowaits = [], []
         for _ in range(REPS):
+            pre = _host_stat_ticks()
+            w0 = time.time()
             rec = _run_child(name)
+            interf = _interference_cores(
+                pre, _host_stat_ticks(), time.time() - w0
+            )
             if rec is not None:
                 secs.append(rec["sec"])
                 cpus.append(rec.get("cpu_s"))
                 rows = rec["rows"]
+                if interf is not None:
+                    steals.append(interf[0])
+                    iowaits.append(interf[1])
         if not secs:
             continue
         med = sorted(secs)[len(secs) // 2]
@@ -590,10 +642,28 @@ def main() -> None:
             # band) — regressions in those heads are judged on THIS
             cpu[name] = sorted(cpus)[len(cpus) // 2]
             cpu_samples[name] = cpus
+        if steals:
+            steal[name] = sorted(steals)[len(steals) // 2]
+            steal_samples[name] = steals
+            iowait[name] = sorted(iowaits)[len(iowaits) // 2]
+        # host-burst fingerprint: wall spread with flat CPU — work
+        # unchanged, wait inflated. Flagged heads' medians should be
+        # adjudicated against the steal annotation, not re-replayed.
+        if (
+            len(secs) >= 2
+            and min(secs) > 0
+            and max(secs) > BURST_WALL_SPREAD * min(secs)
+            and cpus
+            and min(cpus) > 0
+            and max(cpus) <= BURST_CPU_FLAT * min(cpus)
+        ):
+            burst_heads.append(name)
         total += med
         print(
             f"  {name}: {med}s median of {secs} ({rows} rows; "
-            f"cpu {cpu.get(name)}s of {cpus})",
+            f"cpu {cpu.get(name)}s of {cpus}; "
+            f"steal {steal.get(name)} cores of {steals}, "
+            f"iowait {iowait.get(name)})",
             file=sys.stderr,
             flush=True,
         )
@@ -617,6 +687,10 @@ def main() -> None:
                 "samples": samples,
                 "cpu_seconds": cpu,
                 "cpu_samples": cpu_samples,
+                "steal_cores": steal,
+                "steal_samples": steal_samples,
+                "iowait_cores": iowait,
+                "burst_heads": burst_heads,
                 "sf": sf,
                 "cpus": CPUS,
                 "sf_dir": SF_DIR,
@@ -633,7 +707,11 @@ def main() -> None:
     # "queries" keeps the original scalar-medians contract; "cpu" is
     # the per-head CPU-seconds medians in the SAME key order as
     # "queries" (an aligned array so head names aren't paid twice —
-    # ~1.5k chars at 45 heads, inside the window).
+    # ~1.5k chars at 45 heads, inside the window). "steal" (r15) is
+    # the per-head median host-steal cores in the same order, and
+    # "burst" lists heads whose wall spread exceeded 1.5x while CPU
+    # stayed flat — the host-interference fingerprint, so burst
+    # adjudication cites the archive instead of replay sessions.
     print(
         json.dumps(
             {
@@ -644,6 +722,11 @@ def main() -> None:
                 "cpu": [
                     round(cpu[k], 1) if k in cpu else None for k in per_query
                 ],
+                "steal": [
+                    round(steal[k], 1) if k in steal else None
+                    for k in per_query
+                ],
+                "burst": burst_heads,
                 "sf": sf,
                 "cpus": CPUS,
             },

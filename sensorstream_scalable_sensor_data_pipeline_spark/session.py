@@ -64,6 +64,26 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Python-worker allocator pins (r14, exported r15 — r14 verdict
+#: watch #2). SYMPTOM if your session lacks these: decode/FFT-heavy
+#: heads (audio fingerprinting, image hashing) run up to ~1.4× slower
+#: and breathe up to 2× across reps on many-core glibc hosts. CAUSE:
+#: the workers allocate several >128 KB numpy temporaries per payload;
+#: glibc serves those via mmap and returns them via munmap, and 32
+#: concurrent workers unmapping storms the TLB (kernel IPIs) —
+#: measured outside Spark (scripts/audio_warmband_ab.py: 1.38× at 32
+#: procs vs 1, erased exactly by this 128 MB threshold pin; warm
+#: dedup_audio median 9.46 → 4.40 s). These are STATIC confs — they
+#: cannot be applied to a running session (prepare_session can't help)
+#: — so external session builders should merge this dict into their
+#: own builder confs. glibc-specific; other allocators ignore the
+#: underlying env vars. Wall-clock only, never semantics.
+ALLOCATOR_PINS: dict[str, str] = {
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "134217728",
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "134217728",
+}
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an externally-built session."""
     for k, v in RUNTIME_CONFS.items():
@@ -115,23 +135,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # Python-worker allocator pin (r14, r13 verdict task #4): the
-        # decode/FFT workers allocate several >128 KB numpy
-        # temporaries PER PAYLOAD (window frames, spectra); glibc
-        # serves those via mmap and returns them via munmap, and 32
-        # concurrent workers unmapping storms the TLB (kernel IPIs) —
-        # measured OUTSIDE Spark (scripts/audio_warmband_ab.py): the
-        # fingerprint loop runs 1.38× slower at 32 procs than at 1,
-        # and raising the threshold so the temporaries come from the
-        # (per-process, reused) heap erases the penalty exactly
-        # (0.479 s vs the 0.494 s single-proc control; capping BLAS
-        # threads changed nothing — pocketfft is single-threaded).
-        # glibc-specific; other allocators ignore the vars. Static
-        # conf, so externally-built sessions (the correctness driver)
-        # run without it — a wall-clock term only, never semantics.
-        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "134217728")
-        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "134217728")
     )
+    # Python-worker allocator pin (r14, r13 verdict task #4; exported
+    # as ALLOCATOR_PINS in r15 so externally-built sessions can adopt
+    # it — see that dict's docstring for the measured symptom/cause).
+    # Static conf: it must be set at build time, which is why the
+    # correctness driver's plain session runs without it (wall-clock
+    # term only, never semantics).
+    for k, v in ALLOCATOR_PINS.items():
+        builder = builder.config(k, v)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
