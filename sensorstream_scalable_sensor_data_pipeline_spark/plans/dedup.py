@@ -447,6 +447,95 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ingest_incremental_recovery's oracle (QUEUED for the r19 registry
+#: rotation — written and locally pinned in r15, per the r14 verdict's
+#: queue-cadence task: the incremental-ingest FAMILY's first driver
+#: slot). The derived delivery stream is closed-form: batch 1 = even
+#: doc_ids; batch 2 = odd doc_ids plus re-deliveries of every
+#: doc_id % 10 == 0 document under id+10^6 and within-batch duplicates
+#: of every odd doc_id % 7 == 3 document under id+2·10^6. Perfect
+#: incremental recovery accepts, per content key (the md5 of
+#: whitespace-normalized lowercase text — fingerprint_docs'
+#: identity): the min EVEN id when the key has one (batch 1 committed
+#: first — history always wins, even over a smaller odd id arriving
+#: later), else the min odd id; no synthetic (+10^6/+2·10^6) id ever
+#: survives (re-deliveries reject against state, within-batch
+#: duplicates lose the min-id vote to their original). This is NOT
+#: dedup_exact's global-min — the history-wins asymmetry is exactly
+#: what makes it an INGEST oracle. Duplicate-text-aware: sf0.1's
+#: documents carry 8 duplicate keys, so the CASE matters there.
+INGEST_INCREMENTAL_RECOVERY_ORACLE = r"""
+    SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT CASE
+               WHEN min(CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+                    IS NOT NULL
+               THEN min(CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+               ELSE min(doc_id)
+             END AS keep_id
+      FROM (
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(lower(text),
+                                                 '\s+', ' ', 'g'),
+                                  '^ | $', '', 'g')) AS k
+        FROM documents
+      )
+      GROUP BY k
+    )
+    """
+
+
+def ingest_incremental_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-recovery for the crash-consistent incremental text
+    ingest (r19 rotation queue, pre-pinned r15) — the registry-shaped
+    form of operators/dedup_incremental.py::ingest_batch: derive a
+    deterministic two-batch delivery stream from the documents table
+    (evens first; then odds + re-deliveries under new ids +
+    within-batch duplicates under new ids), run BOTH ingests through
+    the real two-dir staging/commit protocol against a fresh state
+    dir, and emit the survivor count + id-sum the closed-form oracle
+    predicts. Any state leak (re-delivery accepted), lost survivor,
+    or history-inversion (a later smaller id displacing a committed
+    one) breaks the value hash.
+
+    State lives in a per-call temp dir; the result row is computed
+    BEFORE cleanup and returned as a one-row frame (scalar driver
+    transfer — the same shape as every ``*_recovery`` row)."""
+    import shutil
+    import tempfile
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    redelivered = even.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    dup_in_batch = odd.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    b2 = odd.unionByName(redelivered).unionByName(dup_in_batch)
+
+    sdir = tempfile.mkdtemp(prefix="spark-graft-ingest-recovery-")
+    try:
+        a1 = ingest_batch(spark, even, sdir, batch_id="r19b1")
+        a2 = ingest_batch(spark, b2, sdir, batch_id="r19b2")
+        row = (
+            a1.unionByName(a2)
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .first()
+        )
+        return spark.createDataFrame([row], "n_kept long, id_sum long")
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
+
 # ------------------------------------------------- semdedup bench head
 
 

@@ -509,3 +509,20 @@ def test_decontam_fixture_contract(spark, duck, sf_dir):
     row = duck.sql(DECONTAMINATE_AUDIO_SUMMARY_ORACLE).df().iloc[0]
     kept, id_sum = _decontam_expected(int(n_docs) * _AUDIO_CLIPS_PER_DOC)
     assert (int(row["n_kept"]), int(row["id_sum"])) == (kept, id_sum)
+
+
+def test_queued_ingest_incremental_recovery_matches_oracle(spark, duck, sf_dir):
+    """r19 rotation-queue feasibility pin (written r15): the two-batch
+    incremental text ingest hash-matches its closed-form DuckDB oracle
+    BEFORE taking a registry slot — the derived delivery stream
+    (evens commit first; odds + re-deliveries + within-batch
+    duplicates second) makes perfect history-wins recovery a pure
+    function of the documents table."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        INGEST_INCREMENTAL_RECOVERY_ORACLE,
+        ingest_incremental_recovery,
+    )
+
+    sdf = ingest_incremental_recovery(spark, sf_dir).toPandas()
+    ddf = duck.sql(INGEST_INCREMENTAL_RECOVERY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "ingest_incremental_recovery")
