@@ -73,12 +73,20 @@ def main() -> None:
                 setup(spark, args.sf_dir)
             # discard run: pays JIT/codegen/worker-spawn once
             fn(spark, args.sf_dir).collect()
-            secs, cpus = [], []
+            secs, cpus, steals, iowaits = [], [], [], []
             for _ in range(args.reps):
+                pre = bench._host_stat_ticks()
                 c0, t0 = bench._tree_cpu_seconds(), time.time()
                 fn(spark, args.sf_dir).collect()
-                secs.append(round(time.time() - t0, 3))
+                dt = time.time() - t0
+                secs.append(round(dt, 3))
                 cpus.append(round(bench._tree_cpu_seconds() - c0, 2))
+                interf = bench._interference_cores(
+                    pre, bench._host_stat_ticks(), dt
+                )
+                if interf is not None:
+                    steals.append(interf[0])
+                    iowaits.append(interf[1])
             med = sorted(secs)[len(secs) // 2]
             cmed = sorted(cpus)[len(cpus) // 2]
             results[name] = {
@@ -86,10 +94,15 @@ def main() -> None:
                 "warm_samples_s": secs,
                 "warm_cpu_median_s": cmed,
                 "warm_cpu_samples_s": cpus,
+                # r15: per-rep host-interference annotation (bench.py's
+                # steal instrument) so outlier reps are adjudicated in
+                # the record instead of by replay sessions
+                "steal_cores_samples": steals,
+                "iowait_cores_samples": iowaits,
             }
             print(
                 f"  {name}: warm median {med}s of {secs} "
-                f"(cpu {cmed}s of {cpus})",
+                f"(cpu {cmed}s of {cpus}; steal {steals}, iowait {iowaits})",
                 file=sys.stderr,
                 flush=True,
             )

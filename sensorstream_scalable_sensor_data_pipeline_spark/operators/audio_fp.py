@@ -678,6 +678,15 @@ def decontaminate_audio(
     # ≪ in any sane decontamination); at a scale where it outgrows
     # broadcast, pass ``broadcast_ids=False`` — the plain anti-join
     # accepts the AQE-planned shuffle instead of a driver OOM (r14).
+    # THRESHOLD (r15, measured — scripts/decontam_broadcast_rung.py
+    # at sf0.1, 10 %/50 % contamination): keep the default True until
+    # the contaminated-ID set approaches broadcast/driver limits
+    # (~10⁷-10⁸ 8-byte ids); below that the escape costs ~nothing
+    # anyway (AQE re-planned the post-distinct tiny id side back to a
+    # broadcast at runtime: identical survivors, ≤0.4 MB shuffle,
+    # wall ±10 %), and beyond it the worst case is ONE payload-
+    # bearing corpus shuffle — the measured 321 MB/sf0.1 class —
+    # instead of an OOM.
     ids = F.broadcast(contaminated) if broadcast_ids else contaminated
     return corpus.join(ids, id_col, "left_anti")
 

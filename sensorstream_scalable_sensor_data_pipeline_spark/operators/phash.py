@@ -765,5 +765,13 @@ def decontaminate_images(
     # escape for pathological contamination (a corpus-sized ID set
     # would hit the broadcast/driver limit): the plain anti-join
     # degrades to an AQE-planned shuffle instead of an OOM (r14).
+    # THRESHOLD (r15, measured — scripts/decontam_broadcast_rung.py
+    # at sf0.1, 10 %/50 % contamination): default True until the id
+    # set nears broadcast/driver limits (~10⁷-10⁸ 8-byte ids). Below
+    # that the escape is ~free — AQE re-planned the post-distinct id
+    # side back to a broadcast at runtime (identical survivors,
+    # ≤0.4 MB shuffle, wall within ±10 % of explicit broadcast) —
+    # and beyond it the worst case is one payload-bearing corpus
+    # shuffle instead of a driver OOM.
     ids = F.broadcast(contaminated) if broadcast_ids else contaminated
     return corpus.join(ids, id_col, "left_anti")

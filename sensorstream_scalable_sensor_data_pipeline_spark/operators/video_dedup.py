@@ -367,7 +367,12 @@ def decontaminate_videos(
     # (300 MB at sf0.1); the broadcast keeps pixels on the scan
     # side. ``broadcast_ids=False`` escapes to a plain anti-join for
     # contamination so extreme the ID set outgrows the broadcast /
-    # driver limits (r14).
+    # driver limits (r14). THRESHOLD (r15, measured on the image twin
+    # — scripts/decontam_broadcast_rung.py): default True until the
+    # id set nears broadcast limits (~10⁷-10⁸ ids); the escape then
+    # trades one payload-bearing corpus shuffle for the OOM, and
+    # below that AQE re-broadcasts the tiny id side at runtime
+    # (identical survivors, ≤0.4 MB shuffle at sf0.1).
     ids = F.broadcast(contaminated) if broadcast_ids else contaminated
     return corpus.join(ids, id_col, "left_anti")
 
