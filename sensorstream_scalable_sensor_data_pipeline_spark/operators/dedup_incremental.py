@@ -53,7 +53,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.audio_fp import (
     MAX_WORD_DF as _AUDIO_MAX_WORD_DF,
@@ -566,8 +571,21 @@ def read_quarantine_state(spark: SparkSession, state_dir: str) -> DataFrame | No
     dirs = _committed_batch_dirs(spark, root)
     if not dirs:
         return None
+    # Explicit schema, same reason as ingest_batch._staged: a batch
+    # whose quarantine commit was EMPTY (all corrupt rows rejected as
+    # re-deliveries, or a raise-mode batch backfilled on resume)
+    # writes a part-file-less dir that schema inference cannot read —
+    # and the empty dir must still exist, because its _SUCCESS is
+    # what marks the batch's quarantine identity committed.
+    schema = StructType(
+        [
+            StructField("content_md5", StringType()),
+            StructField("doc_id", LongType()),
+        ]
+    )
     return (
-        spark.read.option("basePath", root)
+        spark.read.schema(schema)
+        .option("basePath", root)
         .parquet(*dirs)
         .select("content_md5", "doc_id")
     )

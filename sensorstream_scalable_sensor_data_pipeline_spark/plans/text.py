@@ -407,6 +407,73 @@ def audit_split_contamination(
     return ngram_contamination(train, holdout, n=n)
 
 
+#: DuckDB twin of tokenize_lower (matches tests/test_corpus_quality's
+#: pin), kept local to the decontamination oracle below.
+_TK_SQL = (
+    "string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),"
+    " '\\s+')"
+)
+
+#: decontaminate_text_report's oracle (QUEUED for the r20 registry
+#: rotation — written and locally pinned in r15; the text
+#: decontamination family's first driver slot, completing the
+#: decontamination trio the r17/r18 queue entries start for
+#: audio/video). A FULL value-hash replay of the GPT-3-style strict
+#: n-gram decontamination chain: tokenize → 8-gram md5 hashes →
+#: train-side distinct gram set (even doc_ids) → per-eval-doc
+#: (odd doc_ids) overlap counts, fraction, and flag — any missed
+#: gram, wrong count, or NULL-handling divergence breaks the hash.
+DECONTAMINATE_TEXT_REPORT_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_TK_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gh
+      FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+      WHERE len(tk) >= 8
+    ),
+    tr AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 2 = 0),
+    ev AS (SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id % 2 = 1),
+    hits AS (
+      SELECT ev.doc_id,
+             count(*) AS n_grams,
+             count(tr.gh) AS n_overlap
+      FROM ev LEFT JOIN tr ON ev.gh = tr.gh
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(nullif(n_grams, 0) AS DOUBLE)
+             AS contamination_frac,
+           coalesce(CAST(n_overlap AS DOUBLE)
+                    / CAST(nullif(n_grams, 0) AS DOUBLE) > 0.0,
+                    false) AS contaminated
+    FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 2 = 1
+    """
+
+
+def decontaminate_text_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-shaped form of the strict n-gram text decontaminator
+    (r20 rotation queue, pre-pinned r15): even doc_ids play the
+    training corpus, odd doc_ids the eval set, and the full
+    per-eval-document contamination report (distinct 8-gram count,
+    train overlap, fraction, strict flag) hash-matches the
+    closed-replay DuckDB oracle. The family's operator twin has been
+    locally DuckDB-pinned since r10
+    (tests/test_corpus_quality.py::test_ngram_contamination_matches_
+    duckdb); this registers the same chain under the driver's
+    comparison."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    evals = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(train, evals, n=8)
+
+
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring, the cheap honest tier: mean unigram
     log-probability per document under the corpus's own

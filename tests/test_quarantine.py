@@ -547,3 +547,56 @@ def test_curate_image_corpus_quarantine_end_to_end(spark, tmp_path):
         curate_image_corpus(spark, sfd_dirty).collect()
     # raise-mode output carries no quarantined column
     assert "quarantined" not in curate_image_corpus(spark, sfd_clean).columns
+
+
+def test_quarantine_state_readable_after_empty_commits(spark, tmp_path):
+    """Review-found r15: an EMPTY quarantine commit (a raise-mode
+    batch backfilled on resume, or a batch whose corrupt rows were
+    all re-delivery-rejected) writes a part-file-less dir — which
+    must still exist (its _SUCCESS marks the identity committed) and
+    must not break the explicit-schema state read when it is the
+    ONLY committed dir."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+        read_quarantine_state,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "estate")
+    b1 = spark.createDataFrame(
+        [(0, encode_png(synth_image(0, h=32, w=32)))],
+        "doc_id long, payload binary",
+    )
+    # clean batch under raise mode: no quarantine dir
+    ingest_image_batch(spark, b1, sdir, batch_id="e1").collect()
+    assert read_quarantine_state(spark, sdir) is None
+    # resume under quarantine mode: backfill writes the EMPTY dir
+    acc = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b1, sdir, batch_id="e1", on_error="quarantine"
+        ).collect()
+    }
+    assert acc == {0}
+    qstate = read_quarantine_state(spark, sdir)
+    assert qstate is not None and qstate.count() == 0
+    # the empty dir must not break the next quarantine ingest's
+    # state read — and its corrupt row still accepts + records
+    b2 = spark.createDataFrame(
+        [(900, CORRUPT_PNG)], "doc_id long, payload binary"
+    )
+    acc2 = {
+        r["doc_id"]
+        for r in ingest_image_batch(
+            spark, b2, sdir, batch_id="e2", on_error="quarantine"
+        ).collect()
+    }
+    assert acc2 == {900}
+    assert {
+        r["doc_id"] for r in read_quarantine_state(spark, sdir).collect()
+    } == {900}
