@@ -1,0 +1,137 @@
+"""Streaming face of the crash-consistent incremental dedup ingest.
+
+Composes two existing guarantees into end-to-end EXACTLY-ONCE state
+semantics with zero new machinery — the Spark-first layering this
+engine is built on:
+
+* Structured Streaming's ``foreachBatch`` delivers each micro-batch
+  AT LEAST once, with a ``batch_id`` (epoch) that is STABLE across
+  retries and restarts from the same checkpoint (the documented
+  foreachBatch contract);
+* :mod:`operators.dedup_incremental`'s ingests are idempotent by
+  ``batch_id``: a batch whose state already committed returns its
+  staged survivors without recomputing or double-appending
+  (``_batch_committed``, the two-dir staging/commit protocol).
+
+Keying the ingest's ``batch_id`` on ``(run_id, epoch)`` therefore
+makes the at-least-once redelivery a no-op: a micro-batch that
+crashed mid-ingest re-runs cleanly (overwrite staging), and one that
+committed is skipped. The accepted corpus IS the state dir's durable
+``accepted/batch=*`` tables — there is no second sink to keep
+consistent.
+
+Works for all four modalities by passing the matching ``ingest_fn``
+(text :func:`~...dedup_incremental.ingest_batch` by default; image /
+audio / video ingests share the same ``(spark, batch, state_dir)``
++ ``batch_id=`` shape). ``on_error="quarantine"`` and every other
+modality knob thread through ``ingest_kwargs`` — a corrupt payload
+in a stream must not kill the query (the r14/r15 quarantine
+doctrine applies unchanged, content identity included).
+
+Scale notes: each micro-batch pays one ingest — candidate joins
+against committed state only (never all-pairs), inline
+``maintain_state`` keeps fragmentation bounded under continuous
+micro-batching (the threshold sweep is a no-op 15 of 16 epochs), and
+the per-epoch state append is survivor-sized, not input-sized.
+Serialize writers per state_dir exactly as in batch mode
+(schedule.py's run lock): one streaming query per state dir.
+
+Reference tie: the reference hand-rolls scheduled incremental batch
+(SURVEY §1.3/§2.10 — cutoff watermark + dropDuplicates + daily
+trigger); this face is the same semantics as a genuine stream with
+the dedup state made durable and transactional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+    ingest_batch,
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    ingest_fn=ingest_batch,
+    available_now: bool = True,
+    **ingest_kwargs,
+) -> StreamingQuery:
+    """Start a checkpointed streaming dedup-ingest query: every
+    micro-batch runs ``ingest_fn`` with ``batch_id=f"{run_id}-{epoch}"``.
+
+    ``run_id`` namespaces the epoch counter inside the state dir —
+    keep it STABLE for the lifetime of one checkpoint (epoch numbers
+    restart only with a fresh checkpoint; a new checkpoint against
+    the same state dir needs a new run_id, or epoch 0 would resume
+    the OLD epoch 0's committed batch instead of ingesting).
+
+    ``available_now=True`` (default) drains the currently-available
+    input and terminates — the daily-batch shape, and the testable
+    one; pass ``False`` for a continuous query. Returns the started
+    :class:`StreamingQuery`; callers own ``awaitTermination``.
+
+    Empty micro-batches are skipped entirely (availableNow commonly
+    emits one; an empty ingest would append an empty-but-committed
+    state dir per epoch for nothing)."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_fn(
+            spark,
+            batch_df,
+            state_dir,
+            batch_id=f"{run_id}-{epoch_id}",
+            **ingest_kwargs,
+        )
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accepted_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Every durably accepted row across all committed ingest batches
+    (streaming epochs and batch ingests alike — they share the state
+    layout). Schema comes from the staged files themselves."""
+    import posixpath
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        _committed_batch_dirs,
+        _folded_batch_ids,
+        _fs,
+    )
+
+    root = posixpath.join(state_dir, "accepted")
+    # accepted dirs carry no _SUCCESS-gated table of their own: a
+    # batch is durable iff its SIGNATURE table committed — either its
+    # own batch dir still exists, or a compacted dir's provenance
+    # records it (compaction folds signature dirs but never touches
+    # the staged survivors, which remain the durable corpus)
+    bids: set[str] = set()
+    for table in ("fingerprints", "phashes", "audio_fps", "frame_phashes"):
+        troot = posixpath.join(state_dir, table)
+        for d in _committed_batch_dirs(spark, troot):
+            bid = d.rsplit("batch=", 1)[1]
+            if not bid.startswith("compact-"):
+                bids.add(bid)
+        bids |= _folded_batch_ids(spark, troot)
+    fs, _ = _fs(spark, root)
+    staged = [
+        p
+        for b in sorted(bids)
+        for p in [posixpath.join(root, f"batch={b}")]
+        if fs.exists(_fs(spark, p)[1])
+    ]
+    if not staged:
+        raise ValueError(f"no committed ingest batches under {state_dir}")
+    return spark.read.option("basePath", root).parquet(*staged)
