@@ -591,6 +591,34 @@ def read_quarantine_state(spark: SparkSession, state_dir: str) -> DataFrame | No
     )
 
 
+def quarantine_report(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Operational view of everything quarantine mode has accepted:
+    one ``(batch, content_md5, doc_id)`` row per accepted corrupt
+    payload, ``batch`` being the ingest batch (or streaming epoch)
+    that admitted it — the frame an operator groups per-batch to
+    watch corrupt-rate trends, or joins back to the staged payloads
+    to pull the bytes for offline triage. After compaction folds
+    identity dirs, folded rows report the compact dir's id (original
+    attribution lives in the compact dir's ``_sources.json``).
+    Returns None before any quarantined acceptance."""
+    root = posixpath.join(state_dir, "quarantine_md5s")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
+        return None
+    schema = StructType(
+        [
+            StructField("content_md5", StringType()),
+            StructField("doc_id", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("basePath", root)
+        .parquet(*dirs)
+        .select(F.col("batch").cast("string"), "content_md5", "doc_id")
+    )
+
+
 def _quarantine_identity(
     spark: SparkSession,
     state_dir: str,
@@ -614,11 +642,20 @@ def _quarantine_identity(
 
     Both joins are keyed equi-joins on the 16-byte md5 — corrupt rows
     are the rare case, so the state side stays tiny at any corpus
-    scale."""
-    bad = batch.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(binary_col)).alias("content_md5"),
-    ).join(corrupt_ids, "doc_id")
+    scale. The md5 is projected AFTER the corrupt-id join so clean
+    rows never pay the hash (declaring it in the pre-join projection
+    would pin the computation before the join — Catalyst prunes
+    columns, it does not defer expressions across joins)."""
+    bad = (
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(binary_col).alias("_q_payload"),
+        )
+        .join(corrupt_ids, "doc_id")
+        .select(
+            "doc_id", F.md5(F.col("_q_payload")).alias("content_md5")
+        )
+    )
     reps = bad.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
     state = read_quarantine_state(spark, state_dir)
     if state is not None:
@@ -670,13 +707,15 @@ def _backfill_quarantine(
     state anti-join here: a later batch may have accepted the same
     md5 in the window, and duplicate md5 rows are harmless to the
     anti-join (set semantics, collapsed at the next compaction)."""
-    accepted.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(binary_col)).alias("content_md5"),
-    ).join(corrupt_staged_ids, "doc_id").select(
-        "content_md5", "doc_id"
-    ).write.mode("overwrite").parquet(
-        posixpath.join(state_dir, "quarantine_md5s", f"batch={bid}")
+    (
+        accepted.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(binary_col).alias("_q_payload"),
+        )
+        .join(corrupt_staged_ids, "doc_id")
+        .select(F.md5(F.col("_q_payload")).alias("content_md5"), "doc_id")
+        .write.mode("overwrite")
+        .parquet(posixpath.join(state_dir, "quarantine_md5s", f"batch={bid}"))
     )
 
 

@@ -600,3 +600,46 @@ def test_quarantine_state_readable_after_empty_commits(spark, tmp_path):
     assert {
         r["doc_id"] for r in read_quarantine_state(spark, sdir).collect()
     } == {900}
+
+
+def test_quarantine_report_attributes_batches(spark, tmp_path):
+    """quarantine_report (r15): the operational view — one (batch,
+    content_md5, doc_id) row per accepted corrupt payload, batch
+    attribution intact across multiple ingests; None before any
+    quarantined acceptance."""
+    import hashlib
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+        quarantine_report,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "qrstate")
+    assert quarantine_report(spark, sdir) is None
+    b1 = spark.createDataFrame(
+        [(0, encode_png(synth_image(0, h=32, w=32))), (900, CORRUPT_PNG)],
+        "doc_id long, payload binary",
+    )
+    ingest_image_batch(
+        spark, b1, sdir, batch_id="d1", on_error="quarantine"
+    ).collect()
+    b2 = spark.createDataFrame(
+        [(901, GARBAGE)], "doc_id long, payload binary"
+    )
+    ingest_image_batch(
+        spark, b2, sdir, batch_id="d2", on_error="quarantine"
+    ).collect()
+    rows = {
+        (r["batch"], r["content_md5"], r["doc_id"])
+        for r in quarantine_report(spark, sdir).collect()
+    }
+    assert rows == {
+        ("d1", hashlib.md5(CORRUPT_PNG).hexdigest(), 900),
+        ("d2", hashlib.md5(GARBAGE).hexdigest(), 901),
+    }
