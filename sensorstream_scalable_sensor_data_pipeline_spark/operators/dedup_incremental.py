@@ -277,7 +277,8 @@ def ingest_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "fingerprints", bid
     ):
-        return _staged(batch.schema)  # fully committed — resume
+        # resume — staged dir, or the accepted-compaction that folded it
+        return _read_staged_resume(spark, state_dir, bid, batch.schema)
 
     fps = fingerprint_docs(batch, id_col, text_col)
     within = key_dedup_deterministic(fps, ["fp"], id_col, keep="min")
@@ -301,7 +302,7 @@ def ingest_batch(
     ).write.mode("overwrite").partitionBy("fp_prefix").parquet(fp_dir)
     if maintain_max_batch_dirs is not None:
         maintain_state(
-            spark, state_dir, maintain_max_batch_dirs, ("fingerprints",)
+            spark, state_dir, maintain_max_batch_dirs, ("fingerprints",), exclude_bid=bid
         )
     return accepted
 
@@ -460,6 +461,7 @@ def maintain_state(
     state_dir: str,
     max_batch_dirs: int = 16,
     tables: tuple[str, ...] | None = None,
+    exclude_bid: str | None = None,
 ) -> dict[str, int]:
     """Threshold-driven maintenance sweep over every state table
     under ``state_dir``: compact any table whose committed batch-dir
@@ -471,6 +473,15 @@ def maintain_state(
     amortized state rewrite every ``max_batch_dirs − 1`` ingests;
     call it directly only for cross-table sweeps or when ingests ran
     with ``maintain_max_batch_dirs=None``.
+
+    The sweep also bounds the ACCEPTED corpus (r15): when the plain
+    per-ingest staged dirs reach the threshold they fold into one
+    sized compact dir, and when the compact tier itself reaches the
+    threshold it merges — :func:`compact_accepted`'s tiered/LSM
+    discipline, so continuous micro-batching (streaming/ingest.py)
+    never accumulates an unbounded small-files corpus. ``exclude_bid``
+    keeps the just-committed batch's staged dir out of this sweep
+    (its caller still holds a lazy frame over it).
 
     Same locking contract as ingest: run under the schedule.py run
     lock. Returns {table: n_source_dirs_compacted} for the tables
@@ -484,7 +495,275 @@ def maintain_state(
         )
         if len(dirs) >= max_batch_dirs:
             out[table] = compact_state(spark, state_dir, table)
+    plain, compacts = _accepted_listing(spark, state_dir)
+    if exclude_bid is not None:
+        plain = [
+            d for d in plain if d.rsplit("batch=", 1)[1] != exclude_bid
+        ]
+    if len(plain) >= max_batch_dirs:
+        out["accepted"] = compact_accepted(
+            spark, state_dir, exclude_bid=exclude_bid
+        )
+    if len(compacts) >= max_batch_dirs:
+        out["accepted_compacts"] = compact_accepted(
+            spark, state_dir, fold_compacts=True, exclude_bid=exclude_bid
+        )
     return out
+
+
+# --------------------------------------- accepted-corpus compaction
+
+#: Column that carries a folded row's ORIGINAL ingest batch id inside
+#: an accepted-compaction dir (a regular data column, not a partition
+#: — partitioning by it would recreate the small dirs compaction
+#: exists to remove). Underscore-prefixed to stay out of user schemas.
+_SRC_BATCH_COL = "_src_batch"
+
+#: Target output file size for accepted-corpus compaction (the S5
+#: sized-files lesson applied to the corpus itself).
+_ACCEPTED_TARGET_FILE_BYTES = 512 << 20
+
+
+def _committed_ingest_bids(spark: SparkSession, state_dir: str) -> set[str]:
+    """Every ORIGINAL ingest batch id whose state committed — its own
+    signature dir still standing, or a committed compaction's
+    provenance recording it — across all state tables."""
+    bids: set[str] = set()
+    for table in _STATE_TABLES:
+        troot = posixpath.join(state_dir, table)
+        for d in _committed_batch_dirs(spark, troot):
+            bid = d.rsplit("batch=", 1)[1]
+            if not bid.startswith("compact-"):
+                bids.add(bid)
+        bids |= _folded_batch_ids(spark, troot)
+    return bids
+
+
+def _accepted_listing(
+    spark: SparkSession, state_dir: str
+) -> tuple[list[str], list[str]]:
+    """(plain_dirs, compact_dirs) under ``accepted/``:
+
+    * ``plain_dirs`` — per-ingest staged dirs whose batch COMMITTED
+      (an uncommitted dir is in-flight staging, untouchable) and that
+      no committed compaction has already folded;
+    * ``compact_dirs`` — committed accepted-compaction dirs that are
+      LIVE (not themselves folded by a later re-compaction — the
+      crash-window skip rule, same as read_audio_hubs)."""
+    root = posixpath.join(state_dir, "accepted")
+    fs, jroot = _fs(spark, root)
+    if not fs.exists(jroot):
+        return [], []
+    compacts: list[str] = []
+    plain: dict[str, str] = {}
+    for st in fs.listStatus(jroot):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        bid, path = name[6:], st.getPath().toString()
+        if bid.startswith("compact-"):
+            if fs.exists(st.getPath().suffix("/_SUCCESS")):
+                compacts.append(path)
+        else:
+            plain[bid] = path
+    folded: set[str] = set()
+    for d in compacts:
+        folded.update(_read_provenance(spark, d))
+    committed = _committed_ingest_bids(spark, state_dir)
+    live_compacts = [
+        d for d in compacts if d.rsplit("batch=", 1)[1] not in folded
+    ]
+    plain_dirs = [
+        p
+        for b, p in sorted(plain.items())
+        if b in committed and b not in folded
+    ]
+    return plain_dirs, live_compacts
+
+
+def _part_file_bytes(spark: SparkSession, d: str) -> tuple[int, int]:
+    """(n_part_files, total_bytes) directly under ``d``."""
+    fs, jd = _fs(spark, d)
+    n = total = 0
+    for st in fs.listStatus(jd):
+        if st.getPath().getName().startswith("part-"):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_accepted(
+    spark: SparkSession,
+    state_dir: str,
+    fold_compacts: bool = False,
+    exclude_bid: str | None = None,
+) -> int:
+    """Fold committed per-ingest staged dirs into ONE sized compact
+    dir — the accepted CORPUS's answer to :func:`compact_state`:
+    under continuous micro-batching (streaming/ingest.py) every epoch
+    leaves its own ``accepted/batch=*`` dir, and at 10k epochs the
+    corpus read is a small-files wall even though every signature
+    table stays compacted.
+
+    TIERED deliberately, because the accepted table is THE DATA: by
+    default only the plain per-ingest dirs fold (write cost bounded
+    by recent ingest volume — never O(corpus)); ``fold_compacts=True``
+    merges the compact tier too, the rare geometric step
+    (:func:`maintain_state` drives both at the same threshold, so
+    total rewrite work is O(corpus · log batches) amortized — the
+    LSM discipline). Output files are sized from the sources' actual
+    bytes (~512 MB targets) via ``coalesce`` — NO shuffle: payload
+    bytes never cross the wire, the compaction is a read-merge-write.
+    Folded rows keep their origin in the ``_src_batch`` column so a
+    resumed ``batch_id`` can still find its staged survivors
+    (:func:`_read_staged_resume`); ``_sources.json`` provenance is
+    written before any deletion, exactly the compact_state protocol
+    (crash windows self-heal: a committed-but-undeleted source is
+    skipped by the folded-set rule on the next read).
+
+    ``exclude_bid`` keeps one batch out of this sweep — the inline
+    maintenance path excludes the batch it just committed, because
+    the caller still holds a lazy frame over that staged dir.
+
+    Same contract as compact_state: one state dir hosts ONE ingest
+    modality (accepted schemas must union), and run under the
+    schedule.py run lock. Returns the number of source dirs folded
+    (0 = nothing to do)."""
+    import hashlib
+    from functools import reduce
+
+    root = posixpath.join(state_dir, "accepted")
+    plain, compacts = _accepted_listing(spark, state_dir)
+    if exclude_bid is not None:
+        plain = [
+            d for d in plain if d.rsplit("batch=", 1)[1] != exclude_bid
+        ]
+    sources = plain + (compacts if fold_compacts else [])
+    if len(sources) < 2:
+        return 0
+    sized = {d: _part_file_bytes(spark, d) for d in sources}
+    readable_plain = [d for d in plain if sized[d][0] > 0]
+    readable_compacts = (
+        [d for d in compacts if sized[d][0] > 0] if fold_compacts else []
+    )
+    if not readable_plain and not readable_compacts:
+        return 0  # only survivor-less dirs: nothing to write
+    frames = []
+    if readable_plain:
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*readable_plain)
+            .withColumn(_SRC_BATCH_COL, F.col("batch").cast("string"))
+            .drop("batch")
+        )
+    if readable_compacts:
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*readable_compacts)
+            .drop("batch")
+        )
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    total_bytes = sum(sized[d][1] for d in sources)
+    target = max(1, total_bytes // _ACCEPTED_TARGET_FILE_BYTES + 1)
+    cid = "compact-" + hashlib.sha256(
+        "|".join(sorted(sources)).encode()
+    ).hexdigest()[:12]
+    out_dir = posixpath.join(root, f"batch={cid}")
+    (
+        out.coalesce(int(target))
+        .sortWithinPartitions(_SRC_BATCH_COL)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    folded: list[str] = []
+    for d in sources:
+        name = d.rsplit("batch=", 1)[1]
+        if name.startswith("compact-"):
+            folded.extend(_read_provenance(spark, d))
+            folded.append(name)  # re-compaction crash-window skip rule
+        else:
+            folded.append(name)
+    _write_provenance(spark, out_dir, sorted(set(folded)))
+    fs, _ = _fs(spark, state_dir)
+    for d in sources:
+        if d != out_dir:
+            fs.delete(_fs(spark, d)[1], True)
+    return len(sources)
+
+
+def _read_staged_resume(
+    spark: SparkSession, state_dir: str, bid: str, schema: StructType
+) -> DataFrame:
+    """Staged survivors of a COMMITTED batch, for the resume path:
+    the batch's own staged dir when it still stands, else the rows a
+    committed accepted-compaction folded (filtered on
+    ``_src_batch`` — parquet row groups are clustered on it by the
+    compaction's within-partition sort, so the filter prunes on
+    min/max stats instead of scanning the corpus)."""
+    staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
+    fs, jdir = _fs(spark, staged_dir)
+    if fs.exists(jdir):
+        return spark.read.schema(schema).parquet(staged_dir)
+    folded_schema = StructType(
+        list(schema.fields) + [StructField(_SRC_BATCH_COL, StringType())]
+    )
+    _, compacts = _accepted_listing(spark, state_dir)
+    for d in compacts:
+        if bid in _read_provenance(spark, d):
+            return (
+                spark.read.schema(folded_schema)
+                .parquet(d)
+                .filter(F.col(_SRC_BATCH_COL) == bid)
+                .select(*[f.name for f in schema.fields])
+            )
+    raise IOError(
+        f"batch {bid} committed its state but its staged survivors are "
+        f"missing from {staged_dir} and from every accepted-compaction "
+        "provenance — the accepted table was modified outside the "
+        "compaction protocol"
+    )
+
+
+def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Every durably accepted row across all committed ingest batches
+    — plain staged dirs and accepted-compaction dirs alike (the
+    streaming face's corpus read; streaming/ingest.py::accepted_corpus
+    delegates here). Raises ValueError before the first commit."""
+    from functools import reduce
+
+    root = posixpath.join(state_dir, "accepted")
+    plain, compacts = _accepted_listing(spark, state_dir)
+    readable_plain = [d for d in plain if _part_file_bytes(spark, d)[0] > 0]
+    readable_compacts = [
+        d for d in compacts if _part_file_bytes(spark, d)[0] > 0
+    ]
+    if not readable_plain and not readable_compacts:
+        if not plain and not compacts:
+            raise ValueError(f"no committed ingest batches under {state_dir}")
+        # committed batches exist but every one staged zero survivors
+        raise ValueError(
+            f"committed batches under {state_dir} staged no survivors"
+        )
+    # the two tiers read separately: a single multi-dir read would
+    # need mergeSchema (footer reads on every file — the small-files
+    # cost again) to see the compact tier's _src_batch column
+    frames = []
+    if readable_plain:
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*readable_plain)
+            .drop("batch")
+        )
+    if readable_compacts:
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*readable_compacts)
+            .drop("batch")
+            .drop(_SRC_BATCH_COL)
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def _roll_up_word_counts(
@@ -824,7 +1103,8 @@ def ingest_image_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "phashes", bid
     ):
-        acc = _staged(batch.schema)  # fully committed — resume
+        # resume — staged dir, or the accepted-compaction that folded it
+        acc = _read_staged_resume(spark, state_dir, bid, batch.schema)
         if on_error == "quarantine" and not _batch_committed(
             spark, state_dir, "quarantine_md5s", bid
         ):
@@ -954,6 +1234,7 @@ def ingest_image_batch(
             maintain_state(
                 spark, state_dir, maintain_max_batch_dirs,
                 ("phashes", "quarantine_md5s"),
+                exclude_bid=bid,
             )
         return accepted
     finally:
@@ -1123,7 +1404,8 @@ def ingest_audio_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "audio_fps", bid
     ):
-        acc = _staged(batch.schema)  # fully committed — resume
+        # resume — staged dir, or the accepted-compaction that folded it
+        acc = _read_staged_resume(spark, state_dir, bid, batch.schema)
         if on_error == "quarantine" and not _batch_committed(
             spark, state_dir, "quarantine_md5s", bid
         ):
@@ -1231,6 +1513,7 @@ def ingest_audio_batch(
             maintain_state(
                 spark, state_dir, maintain_max_batch_dirs,
                 ("audio_fps", "quarantine_md5s"),
+                exclude_bid=bid,
             )
         return accepted
     finally:
@@ -1311,7 +1594,8 @@ def ingest_video_batch(
     if batch_id is not None and _batch_committed(
         spark, state_dir, "frame_phashes", bid
     ):
-        acc = _staged(batch.schema)  # fully committed — resume
+        # resume — staged dir, or the accepted-compaction that folded it
+        acc = _read_staged_resume(spark, state_dir, bid, batch.schema)
         if on_error == "quarantine" and not _batch_committed(
             spark, state_dir, "quarantine_md5s", bid
         ):
@@ -1417,6 +1701,7 @@ def ingest_video_batch(
             maintain_state(
                 spark, state_dir, maintain_max_batch_dirs,
                 ("frame_phashes", "quarantine_md5s"),
+                exclude_bid=bid,
             )
         return accepted
     finally:

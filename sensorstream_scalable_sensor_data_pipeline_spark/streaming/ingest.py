@@ -102,36 +102,10 @@ def stream_ingest(
 def accepted_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     """Every durably accepted row across all committed ingest batches
     (streaming epochs and batch ingests alike — they share the state
-    layout). Schema comes from the staged files themselves."""
-    import posixpath
-
+    layout, including the tiered accepted-corpus compaction). Thin
+    alias of :func:`~...dedup_incremental.read_accepted`."""
     from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
-        _committed_batch_dirs,
-        _folded_batch_ids,
-        _fs,
+        read_accepted,
     )
 
-    root = posixpath.join(state_dir, "accepted")
-    # accepted dirs carry no _SUCCESS-gated table of their own: a
-    # batch is durable iff its SIGNATURE table committed — either its
-    # own batch dir still exists, or a compacted dir's provenance
-    # records it (compaction folds signature dirs but never touches
-    # the staged survivors, which remain the durable corpus)
-    bids: set[str] = set()
-    for table in ("fingerprints", "phashes", "audio_fps", "frame_phashes"):
-        troot = posixpath.join(state_dir, table)
-        for d in _committed_batch_dirs(spark, troot):
-            bid = d.rsplit("batch=", 1)[1]
-            if not bid.startswith("compact-"):
-                bids.add(bid)
-        bids |= _folded_batch_ids(spark, troot)
-    fs, _ = _fs(spark, root)
-    staged = [
-        p
-        for b in sorted(bids)
-        for p in [posixpath.join(root, f"batch={b}")]
-        if fs.exists(_fs(spark, p)[1])
-    ]
-    if not staged:
-        raise ValueError(f"no committed ingest batches under {state_dir}")
-    return spark.read.option("basePath", root).parquet(*staged)
+    return read_accepted(spark, state_dir)

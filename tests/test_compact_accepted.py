@@ -1,0 +1,183 @@
+"""Tiered accepted-corpus compaction (r15): continuous micro-batching
+leaves one ``accepted/batch=*`` dir per epoch; compact_accepted folds
+the committed plain dirs into sized compact dirs (and merges the
+compact tier geometrically) while resume-by-batch_id, re-delivery
+rejection, and the corpus read all stay exact."""
+
+from __future__ import annotations
+
+import posixpath
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+    _accepted_listing,
+    compact_accepted,
+    ingest_batch,
+    read_accepted,
+)
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, lo, hi):
+    return (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(f"doc_id >= {lo} AND doc_id < {hi}")
+    )
+
+
+def test_compact_accepted_preserves_corpus_resume_and_rejection(
+    spark, tmp_path
+):
+    sdir = str(tmp_path / "state")
+    for i in range(4):
+        ingest_batch(
+            spark,
+            _docs(spark, i * 50, (i + 1) * 50),
+            sdir,
+            batch_id=f"b{i}",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    before = {
+        (r["doc_id"],) for r in read_accepted(spark, sdir).collect()
+    }
+    assert len(before) == 200
+
+    n = compact_accepted(spark, sdir)
+    assert n == 4
+    plain, compacts = _accepted_listing(spark, sdir)
+    assert plain == [] and len(compacts) == 1
+    # corpus read identical through the fold
+    assert {
+        (r["doc_id"],) for r in read_accepted(spark, sdir).collect()
+    } == before
+
+    # resume of a FOLDED batch_id returns exactly its staged rows —
+    # filtered out of the compact dir via _src_batch
+    resumed = {
+        r["doc_id"]
+        for r in ingest_batch(
+            spark,
+            _docs(spark, 50, 100),
+            sdir,
+            batch_id="b1",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    }
+    assert resumed == set(range(50, 100))
+
+    # re-delivery of folded content under new ids still rejects
+    # (signature state was never touched by accepted compaction)
+    redeliver = _docs(spark, 0, 50).select(
+        (F.col("doc_id") + 5_000).alias("doc_id"), "text"
+    )
+    assert (
+        ingest_batch(
+            spark, redeliver, sdir, batch_id="rd",
+            maintain_max_batch_dirs=None,
+        ).count()
+        == 0
+    )
+    # ...and the empty 'rd' staging plus new ingests keep reading
+    later = {
+        r["doc_id"]
+        for r in ingest_batch(
+            spark,
+            _docs(spark, 200, 250),
+            sdir,
+            batch_id="b5",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    }
+    assert later == set(range(200, 250))
+    assert read_accepted(spark, sdir).count() == 250
+
+
+def test_compact_accepted_tiers_merge_and_empty_batches_fold(
+    spark, tmp_path
+):
+    sdir = str(tmp_path / "state")
+    # tier 1: two plain dirs -> compact A
+    for i in range(2):
+        ingest_batch(
+            spark, _docs(spark, i * 30, (i + 1) * 30), sdir,
+            batch_id=f"a{i}", maintain_max_batch_dirs=None,
+        ).collect()
+    assert compact_accepted(spark, sdir) == 2
+    # an all-rejected batch stages ZERO survivors; its bid must still
+    # fold (provenance) so its resume finds the (empty) record
+    ingest_batch(
+        spark, _docs(spark, 0, 30), sdir, batch_id="dup",
+        maintain_max_batch_dirs=None,
+    ).collect()
+    ingest_batch(
+        spark, _docs(spark, 60, 90), sdir, batch_id="a2",
+        maintain_max_batch_dirs=None,
+    ).collect()
+    assert compact_accepted(spark, sdir) == 2  # dup (empty) + a2
+    _, compacts = _accepted_listing(spark, sdir)
+    assert len(compacts) == 2
+    # resume of the folded EMPTY batch returns empty
+    assert (
+        ingest_batch(
+            spark, _docs(spark, 0, 30), sdir, batch_id="dup",
+            maintain_max_batch_dirs=None,
+        ).count()
+        == 0
+    )
+    # tier 2: merge the compact dirs
+    assert compact_accepted(spark, sdir, fold_compacts=True) == 2
+    plain, compacts = _accepted_listing(spark, sdir)
+    assert plain == [] and len(compacts) == 1
+    assert read_accepted(spark, sdir).count() == 90
+    # resume still resolves through the MERGED provenance
+    assert ingest_batch(
+        spark, _docs(spark, 60, 90), sdir, batch_id="a2",
+        maintain_max_batch_dirs=None,
+    ).count() == 30
+
+
+def test_inline_maintenance_bounds_accepted_dirs(spark, tmp_path):
+    """The default path: ingests with maintain_max_batch_dirs=3 keep
+    the plain accepted tier bounded without any explicit call, and
+    the just-committed batch's dir survives its own sweep (the caller
+    still holds a lazy frame over it)."""
+    sdir = str(tmp_path / "state")
+    for i in range(7):
+        acc = ingest_batch(
+            spark,
+            _docs(spark, i * 20, (i + 1) * 20),
+            sdir,
+            batch_id=f"m{i}",
+            maintain_max_batch_dirs=3,
+        )
+        # consuming the returned frame AFTER the inline sweep must
+        # work — the sweep excluded this batch's dir
+        assert acc.count() == 20
+    plain, compacts = _accepted_listing(spark, sdir)
+    assert len(plain) < 3 + 1  # bounded by the threshold (+ current)
+    assert compacts, "nothing ever compacted"
+    assert read_accepted(spark, sdir).count() == 140
+
+
+def test_read_accepted_raises_before_any_commit(spark, tmp_path):
+    with pytest.raises(ValueError, match="no committed"):
+        read_accepted(spark, str(tmp_path / "none"))
+
+
+def test_compact_accepted_skips_when_nothing_to_fold(spark, tmp_path):
+    sdir = str(tmp_path / "state")
+    ingest_batch(
+        spark, _docs(spark, 0, 10), sdir, batch_id="solo",
+        maintain_max_batch_dirs=None,
+    ).collect()
+    assert compact_accepted(spark, sdir) == 0  # one dir: nothing to do
+    # the solo dir is untouched
+    root = posixpath.join(sdir, "accepted", "batch=solo")
+    import os
+
+    assert os.path.exists(root)

@@ -1476,9 +1476,12 @@ def test_maintain_state_threshold_sweep(spark, tmp_path):
 
     # below threshold: no-op
     assert maintain_state(spark, sdir, max_batch_dirs=5) == {}
-    # at threshold: fingerprints compact (other tables have no dirs)
+    # at threshold: fingerprints compact (other SIGNATURE tables have
+    # no dirs) and the accepted corpus's plain tier folds too (r15 —
+    # bounded corpus fragmentation is part of the same sweep)
     assert maintain_state(spark, sdir, max_batch_dirs=4) == {
-        "fingerprints": 4
+        "fingerprints": 4,
+        "accepted": 4,
     }
     assert {
         (r["fp"], r["doc_id"]) for r in read_state(spark, sdir).collect()
