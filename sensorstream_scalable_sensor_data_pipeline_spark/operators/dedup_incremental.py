@@ -44,6 +44,17 @@ construction. ``fp_prefix`` (first hex digit) keeps per-batch state
 files bucketed for prefix-co-located readers. Concurrent ingests
 should serialize through the run lock (schedule.py), same as the
 reference's ``max_active_runs=1``.
+
+Beyond the two core tables, the module maintains (same protocols):
+modality signature tables (``phashes`` / ``audio_fps`` /
+``frame_phashes`` — the image/audio/video ingests), the
+``quarantine_md5s`` identity table (r15 — exact content identity for
+corrupt rows accepted under quarantine mode, so re-delivery
+rejects), per-rate ``word_counts`` for the audio hub guard, and the
+tiered accepted-corpus compaction (``compact_accepted`` — bounded
+small-files fragmentation for the staged corpus itself, resume-safe
+via ``_src_batch`` + provenance). ``maintain_state`` sweeps all of
+it inline after every ingest.
 """
 
 from __future__ import annotations
