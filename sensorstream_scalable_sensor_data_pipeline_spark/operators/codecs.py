@@ -49,6 +49,19 @@ _LOG = logging.getLogger(__name__)
 #: fuzz finding).
 MAX_DECODE_PIXELS = 1 << 28
 
+
+class OversizedPayloadError(ValueError):
+    """A payload whose declared dimensions exceed a decode resource
+    cap (r15 ADVICE): the bytes may be perfectly VALID — the decoder
+    is refusing the allocation, not diagnosing corruption. Subclasses
+    ``ValueError`` so the quarantine contract is unchanged (the row
+    still degrades instead of failing the batch), but operators that
+    need to tell a resource rejection from malformed bytes can
+    ``isinstance``-test, and the caps themselves are configurable
+    (``SPARK_GRAFT_MAX_JPEG_PIXELS`` for the JPEG intermediate cap —
+    an env var, because codec calls run inside Arrow workers where a
+    driver-side module-global mutation would not propagate)."""
+
 #: The untrusted-bytes exception contract every public decoder
 #: guarantees via :func:`_normalizes_malformed`: an unsupported or
 #: malformed payload raises exactly one of these. Quarantine mode
@@ -246,7 +259,7 @@ def _decode_bmp_impl(payload: bytes) -> np.ndarray:
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     if width * abs(height) > MAX_DECODE_PIXELS:
-        raise ValueError(
+        raise OversizedPayloadError(
             f"BMP dimensions {width}x{height} exceed the decode pixel cap"
         )
     top_down = height < 0
@@ -558,7 +571,7 @@ def _decode_png_impl(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     if w * h > MAX_DECODE_PIXELS:
-        raise ValueError(
+        raise OversizedPayloadError(
             f"PNG dimensions {w}x{h} exceed the decode pixel cap"
         )
     if comp != 0 or filt != 0:
@@ -936,7 +949,7 @@ def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
         # validation, so a crafted header plus empty chunks could
         # otherwise demand n x frame bytes — longer legitimate clips
         # should be frame-sampled upstream, not bulk-decoded
-        raise ValueError(
+        raise OversizedPayloadError(
             f"AVI output {len(frames)}x{width}x{height} exceeds the "
             f"decode pixel cap"
         )

@@ -55,6 +55,11 @@ tiered accepted-corpus compaction (``compact_accepted`` — bounded
 small-files fragmentation for the staged corpus itself, resume-safe
 via ``_src_batch`` + provenance). ``maintain_state`` sweeps all of
 it inline after every ingest.
+
+Reserved column names (r15 ADVICE): the accepted-corpus layout
+claims ``batch`` (the staging partition column) and ``_src_batch``
+(the compaction provenance column); every ingest validates the batch
+schema against both and raises a clear ``ValueError`` on a clash.
 """
 
 from __future__ import annotations
@@ -247,6 +252,30 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
 MAINTAIN_MAX_BATCH_DIRS = 16
 
 
+#: Column names the accepted-corpus layout reserves (r15 ADVICE):
+#: ``batch`` is the staging partition column every basePath read over
+#: ``accepted/`` infers, and ``_src_batch`` is the provenance column
+#: :func:`compact_accepted` adds when folding staged dirs. A user
+#: batch carrying either would collide with (or be silently dropped
+#: by) the corpus reads, so every ingest rejects them up front.
+_RESERVED_BATCH_COLS = ("batch", "_src_batch")
+
+
+def _validate_batch_columns(batch: DataFrame) -> None:
+    """Reject reserved column names at ingest time — a clear
+    ValueError at the API boundary instead of a duplicate-column
+    AnalysisException (or a silent ``.drop``) deep inside a later
+    corpus read (r15 ADVICE)."""
+    clash = [c for c in batch.columns if c in _RESERVED_BATCH_COLS]
+    if clash:
+        raise ValueError(
+            f"batch schema uses reserved column name(s) {clash}: "
+            "'batch' is the accepted-corpus staging partition column "
+            "and '_src_batch' is the compaction provenance column; "
+            "rename them before ingesting"
+        )
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -276,6 +305,7 @@ def ingest_batch(
     otherwise. ``None`` disables (callers running their own
     maintenance cadence).
     """
+    _validate_batch_columns(batch)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex
     staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
     fp_dir = posixpath.join(state_dir, "fingerprints", f"batch={bid}")
@@ -560,7 +590,19 @@ def _accepted_listing(
       no committed compaction has already folded;
     * ``compact_dirs`` — committed accepted-compaction dirs that are
       LIVE (not themselves folded by a later re-compaction — the
-      crash-window skip rule, same as read_audio_hubs)."""
+      crash-window skip rule, same as read_audio_hubs).
+
+    A committed compact dir with NO ``_sources.json`` is an ORPHAN —
+    the compaction crashed after the parquet ``_SUCCESS`` but before
+    the provenance rename — and is NOT live (r15 ADVICE, medium):
+    by the protocol's invariant its sources were never deleted
+    (deletion strictly follows the provenance write), so every folded
+    row is still discoverable through the sources' own ``_SUCCESS``
+    markers; counting the orphan alongside them would duplicate the
+    corpus, and because later sweeps use a different source set (and
+    hence a different cid) the duplication would never self-heal the
+    way ``compact_state``'s ``distinct()`` read does. Orphans are
+    swept by the next :func:`compact_accepted` run."""
     root = posixpath.join(state_dir, "accepted")
     fs, jroot = _fs(spark, root)
     if not fs.exists(jroot):
@@ -575,7 +617,9 @@ def _accepted_listing(
             continue
         bid, path = name[6:], st.getPath().toString()
         if bid.startswith("compact-"):
-            if fs.exists(st.getPath().suffix("/_SUCCESS")):
+            if fs.exists(st.getPath().suffix("/_SUCCESS")) and fs.exists(
+                st.getPath().suffix("/" + _PROVENANCE_FILE)
+            ):
                 compacts.append(path)
         else:
             plain[bid] = path
@@ -646,6 +690,25 @@ def compact_accepted(
     from functools import reduce
 
     root = posixpath.join(state_dir, "accepted")
+    # Sweep orphan compacts first: a committed compact dir with no
+    # provenance crashed before its _sources.json rename, so its
+    # sources were never deleted and still carry every row — the dir
+    # is dead weight that _accepted_listing already skips (r15
+    # ADVICE). Deleting it here is safe under the run lock and keeps
+    # the crash window from leaking directories forever.
+    fs_root, jroot = _fs(spark, root)
+    if fs_root.exists(jroot):
+        for st in fs_root.listStatus(jroot):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch=compact-")
+                and fs_root.exists(st.getPath().suffix("/_SUCCESS"))
+                and not fs_root.exists(
+                    st.getPath().suffix("/" + _PROVENANCE_FILE)
+                )
+            ):
+                fs_root.delete(st.getPath(), True)
     plain, compacts = _accepted_listing(spark, state_dir)
     if exclude_bid is not None:
         plain = [
@@ -901,11 +964,19 @@ def quarantine_report(spark: SparkSession, state_dir: str) -> DataFrame | None:
             StructField("doc_id", LongType()),
         ]
     )
-    return (
-        spark.read.schema(schema)
-        .option("basePath", root)
-        .parquet(*dirs)
-        .select(F.col("batch").cast("string"), "content_md5", "doc_id")
+    frame = spark.read.schema(schema).option("basePath", root).parquet(*dirs)
+    if "batch" not in frame.columns:
+        # Every committed dir is part-file-less (empty commits are
+        # routine — a raise-mode batch resumed under quarantine, or a
+        # duplicates-only batch), so partition discovery found no data
+        # files and the inferred `batch` column does not exist.
+        # Return the empty report instead of raising (r15 ADVICE;
+        # read_quarantine_state already handles this shape).
+        return spark.createDataFrame(
+            [], "batch string, content_md5 string, doc_id long"
+        )
+    return frame.select(
+        F.col("batch").cast("string"), "content_md5", "doc_id"
     )
 
 
@@ -1104,6 +1175,7 @@ def ingest_image_batch(
             f"method must be 'auto', 'pigeonhole' or 'banded' (got {method!r})"
         )
 
+    _validate_batch_columns(batch)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex
     staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
     ph_dir = posixpath.join(state_dir, "phashes", f"batch={bid}")
@@ -1405,6 +1477,7 @@ def ingest_audio_batch(
         dup_components,
     )
 
+    _validate_batch_columns(batch)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex
     staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
     fp_dir = posixpath.join(state_dir, "audio_fps", f"batch={bid}")
@@ -1595,6 +1668,7 @@ def ingest_video_batch(
         with_frame_phashes,
     )
 
+    _validate_batch_columns(batch)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex
     staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
     fh_dir = posixpath.join(state_dir, "frame_phashes", f"batch={bid}")

@@ -42,11 +42,13 @@ the r5-r8 "What's missing" compressed-codec item for baseline files.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
 from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+    OversizedPayloadError,
     _normalizes_malformed,
 )
 
@@ -57,11 +59,26 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
 #: ``codecs.MAX_DECODE_PIXELS`` rationale (r15, ADVICE r14: a
 #: cap-passing 16384x16384 SOF would still demand several GB of
 #: intermediates). Cap JPEG dimensions so the decoder's
-#: *intermediates* stay inside a ~1 GiB envelope: 2^30 / 28 ≈ 38 M px
-#: (a ~6100x6100 photo passes; the crafted 16384x16384 bomb fails
-#: fast, before any allocation).
+#: *intermediates* stay inside a ~1 GiB envelope by default:
+#: 2^30 / 28 ≈ 38 M px (a ~6100x6100 photo passes; the crafted
+#: 16384x16384 bomb fails fast, before any allocation).
+#:
+#: This is a RESOURCE limit, not a malformedness judgment (r15
+#: ADVICE): an over-cap payload raises
+#: :class:`~...operators.codecs.OversizedPayloadError` (a
+#: ``ValueError`` subclass, so quarantine semantics are unchanged),
+#: and deployments with more executor headroom raise the cap via the
+#: ``SPARK_GRAFT_MAX_JPEG_PIXELS`` env var — an env var rather than
+#: a module global because decode runs inside Arrow workers, where
+#: only the environment (``spark.executorEnv.*`` on a cluster; the
+#: inherited process env on local mode) reliably propagates.
 _JPEG_INTERMEDIATE_BYTES_PER_PX = 28
-MAX_JPEG_DECODE_PIXELS = (1 << 30) // _JPEG_INTERMEDIATE_BYTES_PER_PX
+MAX_JPEG_DECODE_PIXELS = int(
+    os.environ.get(
+        "SPARK_GRAFT_MAX_JPEG_PIXELS",
+        (1 << 30) // _JPEG_INTERMEDIATE_BYTES_PER_PX,
+    )
+)
 
 # --------------------------------------------------------------- tables
 
@@ -308,9 +325,13 @@ def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarr
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
-            if h <= 0 or w <= 0 or h * w > MAX_JPEG_DECODE_PIXELS:
-                raise ValueError(
-                    f"JPEG dimensions {w}x{h} exceed the decode pixel cap"
+            if h <= 0 or w <= 0:
+                raise ValueError(f"bad JPEG dimensions {w}x{h}")
+            if h * w > MAX_JPEG_DECODE_PIXELS:
+                raise OversizedPayloadError(
+                    f"JPEG dimensions {w}x{h} exceed the decode pixel "
+                    f"cap ({MAX_JPEG_DECODE_PIXELS} px; raise via "
+                    f"SPARK_GRAFT_MAX_JPEG_PIXELS)"
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")

@@ -511,11 +511,20 @@ def ingest_incremental_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
+    # Synthetic re-delivery ids must exceed EVERY genuine doc_id —
+    # the closed-form oracle's min-even-else-min survivor rule relies
+    # on it — so derive the offset from the actual id range instead
+    # of a fixed 1M/2M that a larger scale factor could collide with
+    # (r15 ADVICE). Scalar collect; the plan runs two full ingests
+    # anyway. base > max_id ⇒ original < base ≤ redelivered < 2·base
+    # ≤ duplicated, and 2·base stays even so batch-2 groups stay
+    # odd-only — the oracle is offset-invariant under this bound.
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
     redelivered = even.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(base)).alias("doc_id"), "text"
     )
     dup_in_batch = odd.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(2 * base)).alias("doc_id"), "text"
     )
     b2 = odd.unionByName(redelivered).unionByName(dup_in_batch)
 

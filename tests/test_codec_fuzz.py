@@ -194,3 +194,50 @@ def test_jpeg_intermediate_aware_cap():
     )
     with pytest.raises(ValueError, match="pixel cap"):
         decode_jpeg(jpg)
+
+
+def test_oversized_payload_error_distinguishes_resource_rejection():
+    """r15 ADVICE: an over-cap payload is a RESOURCE rejection, not a
+    malformedness diagnosis — all four cap sites raise
+    OversizedPayloadError (a ValueError subclass, so quarantine
+    semantics are unchanged) and operators can isinstance-test to
+    tell a too-big-but-maybe-valid payload from corrupt bytes."""
+    import struct
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        OversizedPayloadError,
+    )
+
+    assert issubclass(OversizedPayloadError, ValueError)
+    sof_body = struct.pack(">BHHB", 8, 16384, 16384, 3) + (
+        b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xd9"
+    )
+    with pytest.raises(OversizedPayloadError, match="pixel cap"):
+        decode_jpeg(jpg)
+    # a genuinely malformed payload is NOT the resource class
+    with pytest.raises(ValueError) as exc:
+        decode_jpeg(b"\xff\xd8\xff\xc0\x00\x04\x00\x00\xff\xd9")
+    assert not isinstance(exc.value, OversizedPayloadError)
+
+
+def test_jpeg_pixel_cap_env_configurable():
+    """r15 ADVICE: the JPEG intermediate-memory cap is a deployment
+    knob (SPARK_GRAFT_MAX_JPEG_PIXELS), read at import so it
+    propagates to Arrow workers through the environment; a raised cap
+    admits a SOF the default rejects."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_MAX_JPEG_PIXELS=str(1 << 31))
+    code = (
+        "from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg "
+        "import MAX_JPEG_DECODE_PIXELS; "
+        f"assert MAX_JPEG_DECODE_PIXELS == {1 << 31}, MAX_JPEG_DECODE_PIXELS"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, env=env)

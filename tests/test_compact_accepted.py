@@ -181,3 +181,78 @@ def test_compact_accepted_skips_when_nothing_to_fold(spark, tmp_path):
     import os
 
     assert os.path.exists(root)
+
+
+def test_orphan_compact_not_live_and_swept(spark, tmp_path):
+    """r15 ADVICE (medium): a compaction that crashed after its
+    parquet _SUCCESS but before the _sources.json rename leaves a
+    committed-looking compact dir with NO provenance. By the
+    protocol's invariant its sources were never deleted, so treating
+    the orphan as live would duplicate every folded row — and, with
+    a different cid on the next sweep, PERMANENTLY. The orphan must
+    be (a) invisible to the corpus read and (b) deleted by the next
+    compact_accepted run."""
+    import os
+
+    sdir = str(tmp_path / "state")
+    for i in range(3):
+        ingest_batch(
+            spark,
+            _docs(spark, i * 30, (i + 1) * 30),
+            sdir,
+            batch_id=f"b{i}",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    before = {r["doc_id"] for r in read_accepted(spark, sdir).collect()}
+    assert len(before) == 90
+
+    # Simulate the crash state: a committed compact dir holding a
+    # full copy of the corpus, with no _sources.json (the provenance
+    # rename never ran), while all three source dirs still stand.
+    root = posixpath.join(sdir, "accepted")
+    orphan = posixpath.join(root, "batch=compact-0000deadbeef")
+    (
+        spark.read.option("basePath", root)
+        .parquet(root)
+        .withColumn("_src_batch", F.col("batch").cast("string"))
+        .drop("batch")
+        .write.mode("overwrite")
+        .parquet(orphan)
+    )
+    assert os.path.exists(posixpath.join(orphan, "_SUCCESS"))
+    assert not os.path.exists(posixpath.join(orphan, "_sources.json"))
+
+    # (a) the orphan is not live: no duplication, listing skips it
+    plain, compacts = _accepted_listing(spark, sdir)
+    assert len(plain) == 3 and compacts == []
+    dup_check = read_accepted(spark, sdir).groupBy("doc_id").count()
+    assert dup_check.filter("count > 1").count() == 0
+    assert {
+        r["doc_id"] for r in read_accepted(spark, sdir).collect()
+    } == before
+
+    # (b) the next sweep deletes the orphan and compacts cleanly
+    assert compact_accepted(spark, sdir) == 3
+    assert not os.path.exists(orphan)
+    assert {
+        r["doc_id"] for r in read_accepted(spark, sdir).collect()
+    } == before
+    plain, compacts = _accepted_listing(spark, sdir)
+    assert plain == [] and len(compacts) == 1
+
+
+def test_reserved_batch_columns_rejected_at_ingest(spark, tmp_path):
+    """r15 ADVICE: `batch` (the staging partition column) and
+    `_src_batch` (the compaction provenance column) are reserved by
+    the accepted-corpus layout — an ingest carrying either must fail
+    with a clear ValueError at the API boundary, not a
+    duplicate-column conflict inside a later corpus read."""
+    sdir = str(tmp_path / "state")
+    base = _docs(spark, 0, 5)
+    for bad in ("batch", "_src_batch"):
+        clashing = base.withColumn(bad, F.lit("x"))
+        with pytest.raises(ValueError, match="reserved column"):
+            ingest_batch(spark, clashing, sdir, batch_id="r1")
+    # nothing staged by the rejected calls
+    with pytest.raises(ValueError, match="no committed"):
+        read_accepted(spark, sdir)

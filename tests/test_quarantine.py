@@ -643,3 +643,52 @@ def test_quarantine_report_attributes_batches(spark, tmp_path):
         ("d1", hashlib.md5(CORRUPT_PNG).hexdigest(), 900),
         ("d2", hashlib.md5(GARBAGE).hexdigest(), 901),
     }
+
+
+def test_quarantine_report_empty_when_all_commits_part_file_less(
+    spark, tmp_path
+):
+    """r15 ADVICE: when EVERY committed quarantine_md5s dir is
+    part-file-less (routine — resume backfill of a raise-mode batch,
+    duplicates-only batches), partition discovery finds no files and
+    the inferred `batch` column does not exist; quarantine_report
+    must return the empty (batch, content_md5, doc_id) frame instead
+    of raising AnalysisException (read_quarantine_state already
+    handles this shape)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+        quarantine_report,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "estate")
+    b1 = spark.createDataFrame(
+        [(0, encode_png(synth_image(0, h=32, w=32)))],
+        "doc_id long, payload binary",
+    )
+    ingest_image_batch(spark, b1, sdir, batch_id="e1").collect()
+    assert quarantine_report(spark, sdir) is None
+    # resume under quarantine mode backfills an EMPTY identity dir
+    ingest_image_batch(
+        spark, b1, sdir, batch_id="e1", on_error="quarantine"
+    ).collect()
+    rep = quarantine_report(spark, sdir)
+    assert rep is not None and rep.count() == 0
+    assert rep.columns == ["batch", "content_md5", "doc_id"]
+    # and once a real corrupt row lands, the report attributes it
+    b2 = spark.createDataFrame(
+        [(900, CORRUPT_PNG)], "doc_id long, payload binary"
+    )
+    ingest_image_batch(
+        spark, b2, sdir, batch_id="e2", on_error="quarantine"
+    ).collect()
+    rows = {
+        (r["batch"], r["doc_id"])
+        for r in quarantine_report(spark, sdir).collect()
+    }
+    assert rows == {("e2", 900)}
