@@ -464,6 +464,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup_exact's global-min — the history-wins asymmetry is exactly
 #: what makes it an INGEST oracle. Duplicate-text-aware: sf0.1's
 #: documents carry 8 duplicate keys, so the CASE matters there.
+def _two_batch_delivery(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic two-batch delivery stream both ingest
+    recovery plans share: (batch 1 = evens, batch 2 = odds +
+    re-deliveries of every even doc_id % 10 == 0 under a new id +
+    within-batch duplicates of every odd doc_id % 7 == 3 under a new
+    id). Synthetic ids must exceed EVERY genuine doc_id — the
+    closed-form oracle's min-even-else-min survivor rule relies on it
+    — so the offset derives from the actual id range instead of a
+    fixed 1M/2M a larger scale factor could collide with (r15
+    ADVICE). Scalar collect; both plans run full ingests anyway.
+    base > max_id ⇒ original < base ≤ redelivered < 2·base ≤
+    duplicated, and 2·base stays even so batch-2 groups stay
+    odd-only — the oracle is offset-invariant under this bound."""
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    redelivered = even.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(base)).alias("doc_id"), "text"
+    )
+    dup_in_batch = odd.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + F.lit(2 * base)).alias("doc_id"), "text"
+    )
+    return even, odd.unionByName(redelivered).unionByName(dup_in_batch)
+
+
 INGEST_INCREMENTAL_RECOVERY_ORACLE = r"""
     SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS id_sum
     FROM (
@@ -509,24 +534,7 @@ def ingest_incremental_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    even = docs.filter(F.col("doc_id") % 2 == 0)
-    odd = docs.filter(F.col("doc_id") % 2 == 1)
-    # Synthetic re-delivery ids must exceed EVERY genuine doc_id —
-    # the closed-form oracle's min-even-else-min survivor rule relies
-    # on it — so derive the offset from the actual id range instead
-    # of a fixed 1M/2M that a larger scale factor could collide with
-    # (r15 ADVICE). Scalar collect; the plan runs two full ingests
-    # anyway. base > max_id ⇒ original < base ≤ redelivered < 2·base
-    # ≤ duplicated, and 2·base stays even so batch-2 groups stay
-    # odd-only — the oracle is offset-invariant under this bound.
-    base = docs.agg(F.max("doc_id")).first()[0] + 1
-    redelivered = even.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(base)).alias("doc_id"), "text"
-    )
-    dup_in_batch = odd.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + F.lit(2 * base)).alias("doc_id"), "text"
-    )
-    b2 = odd.unionByName(redelivered).unionByName(dup_in_batch)
+    even, b2 = _two_batch_delivery(docs)
 
     sdir = tempfile.mkdtemp(prefix="spark-graft-ingest-recovery-")
     try:
@@ -543,6 +551,90 @@ def ingest_incremental_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([row], "n_kept long, id_sum long")
     finally:
         shutil.rmtree(sdir, ignore_errors=True)
+
+
+#: stream_ingest_recovery's oracle (QUEUED as the r21 rotation
+#: in-candidate, written and locally pinned in r16 per queue
+#: discipline — the streaming ingest face's first driver slot).
+#: IDENTICAL closed form to the batch pin: the streaming face runs
+#: the SAME delivery through a real checkpointed foreachBatch query
+#: (file source, one file per micro-batch, mtime-ordered), so any
+#: epoch-ordering break, redelivery leak through the
+#: (run_id, epoch) idempotency key, or stream/batch semantic
+#: divergence breaks the value hash.
+STREAM_INGEST_RECOVERY_ORACLE = INGEST_INCREMENTAL_RECOVERY_ORACLE
+
+
+def stream_ingest_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-recovery for the exactly-once STREAMING dedup ingest
+    (r21 rotation queue, pre-pinned r16) — the registry-shaped form
+    of streaming/ingest.py::stream_ingest: materialize the shared
+    two-batch delivery as two single-file parquet drops with
+    strictly ordered modification times, drain them through a real
+    checkpointed ``stream_ingest`` query (``maxFilesPerTrigger=1`` →
+    one epoch per file, availableNow termination), and read the
+    accepted corpus back. The survivor set must equal the batch
+    protocol's — the closed-form min-even-else-min oracle — because
+    foreachBatch's stable epoch ids compose with the
+    idempotent-by-batch_id commit protocol into exactly-once state.
+
+    File-source ordering contract: FileStreamSource processes files
+    oldest-modification-time first; the two drops get explicit
+    mtimes 200 s apart so epoch 0 is ALWAYS the evens batch (the
+    history-wins side of the oracle)."""
+    import os
+    import posixpath
+    import shutil
+    import tempfile
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.ingest import (
+        accepted_corpus,
+        stream_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1, b2 = _two_batch_delivery(docs)
+
+    work = tempfile.mkdtemp(prefix="spark-graft-stream-recovery-")
+    src = posixpath.join(work, "src")
+    try:
+        # one data file per batch, mtimes strictly ordered
+        for i, frame in enumerate((b1, b2)):
+            d = posixpath.join(work, f"stage{i}")
+            frame.coalesce(1).write.parquet(d)
+            part = next(
+                n for n in os.listdir(d) if n.startswith("part-")
+            )
+            os.makedirs(src, exist_ok=True)
+            dst = posixpath.join(src, f"batch{i}.parquet")
+            os.replace(posixpath.join(d, part), dst)
+            t = 1_000_000_000 + i * 200
+            os.utime(dst, (t, t))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ingest(
+            spark,
+            stream,
+            posixpath.join(work, "state"),
+            posixpath.join(work, "ckpt"),
+            run_id="r21",
+            maintain_max_batch_dirs=None,
+        )
+        q.awaitTermination()
+        row = (
+            accepted_corpus(spark, posixpath.join(work, "state"))
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .first()
+        )
+        return spark.createDataFrame([row], "n_kept long, id_sum long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ------------------------------------------------- semdedup bench head

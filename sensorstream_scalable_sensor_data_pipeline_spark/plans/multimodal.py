@@ -576,10 +576,12 @@ DEDUP_VIDEO_RECOVERY_ORACLE = r"""
     """
 
 
+@query("dedup_video_recovery", oracle=DEDUP_VIDEO_RECOVERY_ORACLE)
 def dedup_video_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-variant recovery for near-duplicate video dedup — the
-    registry-shaped form of the frame-sampled family (r16 rotation
-    queue): synthesize the deterministic planted AVI corpus, run the
+    registry-shaped form of the frame-sampled family (registered r16
+    — rotation #8, completing the image/audio/video planted-recovery
+    trio): synthesize the deterministic planted AVI corpus, run the
     full decode → frame-pHash → radius-2 pigeonhole frame join →
     offset vote → closure → anti-join chain, and emit the survivor
     count + id-sum the closed-form oracle predicts (see the oracle

@@ -485,18 +485,25 @@ def p11_drop_null_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- incremental extract
 
 
-@query(
-    "x12_incremental_extract",
-    oracle="""
+#: x12_incremental_extract's oracle, kept importable for the
+#: rotated-slot suite (rotated out in round 16 — rotation #8; its
+#: slot now carries dedup_video_recovery; the cutoff-clamp + range
+#: semantics stay driver-visible via the p6_range_cutoff and
+#: a1_a3_a4_scalar_aggs rows, and the incremental FAMILY's
+#: correctness rests on the far stronger ingest/recovery pins).
+X12_INCREMENTAL_EXTRACT_ORACLE = """
     SELECT event_id, ts, user_id, value FROM events
     WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
-    """,
-)
+    """
+
+
 def x12_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12: incremental re-extract — rows at/after a cutoff derived
     from the materialized maximum (main_pipeline.py:331-341), kept
     fully distributed via a broadcast scalar join instead of a
-    driver collect."""
+    driver collect. Local-oracle since the r16 rotation
+    (tests/test_queries_vs_oracle.py::test_rotated_x12_incremental_
+    extract_matches_oracle)."""
     ev = load_table(spark, sf_dir, "events")
     cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("_cutoff"))
     return (

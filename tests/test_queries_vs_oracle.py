@@ -329,6 +329,23 @@ def test_rotated_p7_in_list_matches_oracle(spark, duck, sf_dir):
     assert_frames_match(sdf, ddf, "p7_in_list")
 
 
+def test_rotated_x12_incremental_extract_matches_oracle(spark, duck, sf_dir):
+    """Rotated out in round 16 (rotation #8 — slot now carries
+    dedup_video_recovery); the materialized-max cutoff re-extract
+    stays locally oracle-pinned here, and its cutoff-clamp + range
+    semantics remain driver-visible via p6_range_cutoff and
+    a1_a3_a4_scalar_aggs while the incremental FAMILY's correctness
+    rests on the ingest/recovery pins."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.relational import (
+        X12_INCREMENTAL_EXTRACT_ORACLE,
+        x12_incremental_extract,
+    )
+
+    sdf = x12_incremental_extract(spark, sf_dir).toPandas()
+    ddf = duck.sql(X12_INCREMENTAL_EXTRACT_ORACLE).df()
+    assert_frames_match(sdf, ddf, "x12_incremental_extract")
+
+
 def test_rotated_o1_global_sort_matches_oracle(spark, duck, sf_dir):
     """Rotated out in round 14 (rotation #6 — slot now carries
     dedup_phash_recovery); the global range-partitioned sort stays
@@ -387,12 +404,12 @@ def test_queued_dedup_audio_recovery_matches_oracle(spark, duck, sf_dir):
 
 
 def test_queued_dedup_video_recovery_matches_oracle(spark, duck, sf_dir):
-    """r16 rotation-queue feasibility pin: the video near-dup recovery
-    query hash-matches its closed-form DuckDB oracle BEFORE taking a
-    registry slot — the planted AVI corpus structure (every vid_id ≡
-    0 mod 5 is a re-encode/head-trim variant of vid_id−1; distinct
-    seeds ≥ 14 bits apart per frame) makes perfect recovery a pure
-    function of the documents table."""
+    """Was the r16 rotation-queue feasibility pin (written r12); the
+    query took its registry slot at rotation #8 and this stays as the
+    local twin of the driver row — the planted AVI corpus structure
+    (every vid_id ≡ 0 mod 5 is a re-encode/head-trim variant of
+    vid_id−1; distinct seeds ≥ 14 bits apart per frame) makes perfect
+    recovery a pure function of the documents table."""
     from sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal import (
         DEDUP_VIDEO_RECOVERY_ORACLE,
         dedup_video_recovery,
@@ -541,3 +558,20 @@ def test_queued_decontaminate_text_report_matches_oracle(spark, duck, sf_dir):
     sdf = decontaminate_text_report(spark, sf_dir).toPandas()
     ddf = duck.sql(DECONTAMINATE_TEXT_REPORT_ORACLE).df()
     assert_frames_match(sdf, ddf, "decontaminate_text_report")
+
+
+def test_queued_stream_ingest_recovery_matches_oracle(spark, duck, sf_dir):
+    """r21 rotation-queue feasibility pin (written r16): the
+    exactly-once STREAMING dedup ingest hash-matches the batch
+    protocol's closed-form DuckDB oracle BEFORE taking a registry
+    slot — the shared two-batch delivery drained as two mtime-ordered
+    file epochs through a real checkpointed stream_ingest query must
+    reproduce the min-even-else-min survivor set exactly."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        STREAM_INGEST_RECOVERY_ORACLE,
+        stream_ingest_recovery,
+    )
+
+    sdf = stream_ingest_recovery(spark, sf_dir).toPandas()
+    ddf = duck.sql(STREAM_INGEST_RECOVERY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "stream_ingest_recovery")
