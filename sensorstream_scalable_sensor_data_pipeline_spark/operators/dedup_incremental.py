@@ -129,16 +129,165 @@ def _committed_batch_dirs(spark: SparkSession, root: str) -> list[str]:
     return sorted(out)
 
 
-#: Name of the provenance file a compacted batch dir carries: a JSON
-#: list of every ORIGINAL batch id folded into it (transitively —
-#: re-compacting a compact dir unions its provenance). Written after
-#: the parquet commit and before source deletion, so at every crash
-#: point a folded batch id is discoverable either by its own
-#: ``_SUCCESS`` (sources not yet deleted) or here.
+#: Name of the provenance file a compacted batch dir carries: every
+#: ORIGINAL batch id folded into it (transitively — re-compacting a
+#: compact dir unions its provenance). Written after the parquet
+#: commit and before source deletion, so at every crash point a
+#: folded batch id is discoverable either by its own ``_SUCCESS``
+#: (sources not yet deleted) or here.
+#:
+#: Two on-disk forms (r16, closing the r15 continuous-regime watch):
+#: the legacy JSON list of ids, and — whenever any folded id belongs
+#: to a REGISTERED streaming run — ``{"v": 2, "ids": [...], "runs":
+#: {"<run_id>": <max_epoch>}}``. Epoch ids from
+#: ``streaming/ingest.py`` (``f"{run_id}-{epoch}"``) compress to one
+#: per-run high-water integer, which is EXACT under foreachBatch's
+#: sequential-epoch contract (epoch k+1 never starts before epoch
+#: k's commit returned; an empty epoch commits nothing, and its
+#: resume correctly reads zero staged rows). This bounds provenance
+#: at O(#runs + #batch-mode-ids) instead of O(total epochs ever) —
+#: a year at one epoch/minute is one integer, not ~525k ids.
 _PROVENANCE_FILE = "_sources.json"
 
+#: Marker directory under ``state_dir`` naming the streaming run ids
+#: whose ``<run_id>-<epoch>`` batch ids follow the sequential-epoch
+#: contract (one empty marker dir per run; mkdirs is idempotent and
+#: race-free). Only REGISTERED runs' ids are high-water-compressed —
+#: a user batch id that merely LOOKS like ``name-123`` stays in the
+#: exact id list, because nothing guarantees its epochs commit in
+#: order. Registered run ids are therefore a reserved namespace:
+#: never hand-issue ``<run_id>-<n>`` batch ids against a state dir
+#: whose ``<run_id>`` is registered.
+_STREAM_RUNS_DIR = "_stream_runs"
 
-def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None:
+
+def _register_stream_run(
+    spark: SparkSession, state_dir: str, run_id: str
+) -> None:
+    """Record that ``run_id``'s epoch batches follow the
+    sequential-commit contract (called by streaming/ingest.py before
+    the query starts; idempotent)."""
+    if "/" in run_id or run_id.startswith("_") or not run_id:
+        raise ValueError(f"invalid stream run_id {run_id!r}")
+    fs, jdir = _fs(
+        spark, posixpath.join(state_dir, _STREAM_RUNS_DIR, run_id)
+    )
+    fs.mkdirs(jdir)
+
+
+def _stream_run_ids(spark: SparkSession, state_dir: str) -> set[str]:
+    """Registered sequential-epoch streaming run ids (empty set for
+    pure batch-mode state dirs — provenance then stays in the legacy
+    list form)."""
+    fs, jdir = _fs(spark, posixpath.join(state_dir, _STREAM_RUNS_DIR))
+    if not fs.exists(jdir):
+        return set()
+    return {
+        st.getPath().getName()
+        for st in fs.listStatus(jdir)
+        if st.isDirectory()
+    }
+
+
+class _Provenance:
+    """The folded-batch-id set a compact dir's provenance records,
+    with streaming epochs compressed to per-run ``[lo, hi]`` epoch
+    intervals.
+
+    ``ids`` holds exact (batch-mode / pre-registration) ids;
+    ``runs`` maps a registered streaming run id to the inclusive
+    epoch interval this provenance folds. An INTERVAL, not a bare
+    high-water, because resume routing (:func:`_read_staged_resume`)
+    asks *which* live compact folded a given epoch and tier-1
+    compacts fold disjoint epoch ranges of the same run — a
+    hi-only form would make every later compact claim every earlier
+    epoch. Intervals are exact under foreachBatch's sequential-epoch
+    contract: each sweep folds a contiguous run of committed epochs
+    (an absent number inside the range was an empty epoch that
+    committed nothing, whose resume correctly reads zero staged
+    rows). Membership, union, and (de)serialization are the only
+    operations any consumer needs."""
+
+    __slots__ = ("ids", "runs")
+
+    def __init__(
+        self,
+        ids: set[str] | None = None,
+        runs: dict[str, tuple[int, int]] | None = None,
+    ) -> None:
+        self.ids: set[str] = set(ids or ())
+        self.runs: dict[str, tuple[int, int]] = dict(runs or {})
+
+    @staticmethod
+    def _split_epoch(bid: str, stream_runs) -> tuple[str, int] | None:
+        for run in stream_runs:
+            if bid.startswith(run + "-"):
+                tail = bid[len(run) + 1 :]
+                if tail.isdigit():
+                    return run, int(tail)
+        return None
+
+    def add(self, bid: str, stream_runs: set[str]) -> None:
+        hit = self._split_epoch(bid, stream_runs)
+        if hit is None:
+            self.ids.add(bid)
+        else:
+            run, epoch = hit
+            lo, hi = self.runs.get(run, (epoch, epoch))
+            self.runs[run] = (min(lo, epoch), max(hi, epoch))
+
+    def union(self, other: "_Provenance") -> "_Provenance":
+        out = _Provenance(self.ids, self.runs)
+        out.ids |= other.ids
+        for run, (lo, hi) in other.runs.items():
+            plo, phi = out.runs.get(run, (lo, hi))
+            out.runs[run] = (min(plo, lo), max(phi, hi))
+        return out
+
+    def __contains__(self, bid: str) -> bool:
+        if bid in self.ids:
+            return True
+        hit = self._split_epoch(bid, self.runs)
+        if hit is None:
+            return False
+        lo, hi = self.runs[hit[0]]
+        return lo <= hit[1] <= hi
+
+    def __bool__(self) -> bool:
+        return bool(self.ids) or bool(self.runs)
+
+    def to_json(self) -> str:
+        import json
+
+        if not self.runs:  # legacy list form — format-stable for
+            return json.dumps(sorted(self.ids))  # batch-mode dirs
+        return json.dumps(
+            {
+                "v": 2,
+                "ids": sorted(self.ids),
+                "runs": {r: list(iv) for r, iv in self.runs.items()},
+            }
+        )
+
+    @staticmethod
+    def from_json(data: str) -> "_Provenance":
+        import json
+
+        obj = json.loads(data)
+        if isinstance(obj, list):
+            return _Provenance(set(obj))
+        return _Provenance(
+            set(obj["ids"]),
+            {
+                run: (int(iv[0]), int(iv[1]))
+                for run, iv in obj["runs"].items()
+            },
+        )
+
+
+def _write_provenance(
+    spark: SparkSession, out_dir: str, prov: "_Provenance"
+) -> None:
     """Write the provenance file ATOMICALLY (temp + overwrite-rename):
     a crash mid-write must not leave a committed compact dir with
     truncated JSON — that would make every later state operation raise
@@ -153,14 +302,12 @@ def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None
     complete JSON, the new complete JSON, or does not exist (crash
     before any rename → sources still exist, every id still
     discoverable by its own ``_SUCCESS``)."""
-    import json
-
     final = posixpath.join(out_dir, _PROVENANCE_FILE)
     tmp = final + ".tmp"
     fs, jtmp = _fs(spark, tmp)
     stream = fs.create(jtmp, True)
     try:
-        stream.write(bytearray(json.dumps(sorted(ids)).encode("utf-8")))
+        stream.write(bytearray(prov.to_json().encode("utf-8")))
     finally:
         stream.close()
     jfinal = _fs(spark, final)[1]
@@ -176,15 +323,14 @@ def _write_provenance(spark: SparkSession, out_dir: str, ids: list[str]) -> None
     fc.rename(jtmp, jfinal, overwrite)
 
 
-def _read_provenance(spark: SparkSession, batch_dir: str) -> list[str]:
+def _read_provenance(spark: SparkSession, batch_dir: str) -> "_Provenance":
     """Folded batch ids recorded in ``batch_dir``'s provenance file
-    (empty for ordinary ingest dirs and pre-provenance compact dirs)."""
-    import json
-
+    (empty for ordinary ingest dirs and pre-provenance compact dirs),
+    as a :class:`_Provenance` (exact ids + per-run high-waters)."""
     path = posixpath.join(batch_dir, _PROVENANCE_FILE)
     fs, jpath = _fs(spark, path)
     if not fs.exists(jpath):
-        return []
+        return _Provenance()
     stream = fs.open(jpath)
     try:
         data = bytes(
@@ -192,10 +338,10 @@ def _read_provenance(spark: SparkSession, batch_dir: str) -> list[str]:
         )
     finally:
         stream.close()
-    return json.loads(data.decode("utf-8"))
+    return _Provenance.from_json(data.decode("utf-8"))
 
 
-def _folded_batch_ids(spark: SparkSession, root: str) -> set[str]:
+def _folded_batch_ids(spark: SparkSession, root: str) -> "_Provenance":
     """Every original batch id that a COMMITTED compacted dir under
     ``root`` has folded — the resume-check complement to a batch's
     own ``_SUCCESS`` marker: after compaction deletes the source dir,
@@ -203,12 +349,15 @@ def _folded_batch_ids(spark: SparkSession, root: str) -> set[str]:
     it, re-running a compacted-away ``batch_id`` would recompute,
     anti-join everything against state, and OVERWRITE the staged
     survivors with empty rows (r14 review-found; the hazard predates
-    in-ingest maintenance but automatic compaction widens it)."""
-    out: set[str] = set()
+    in-ingest maintenance but automatic compaction widens it).
+    Streaming epochs arrive compressed as per-run high-waters — the
+    driver-side cost of this set is O(#runs + #batch-mode-ids), not
+    O(total epochs ever) (r15 watch #2)."""
+    out = _Provenance()
     for d in _committed_batch_dirs(spark, root):
         name = d.rsplit("batch=", 1)[1]
         if name.startswith("compact-"):
-            out.update(_read_provenance(spark, d))
+            out = out.union(_read_provenance(spark, d))
     return out
 
 
@@ -445,13 +594,14 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
     # destroying its staged survivors. Crash between the parquet
     # commit and this write: sources still exist, so every id is
     # still discoverable via its own _SUCCESS — no window.
-    folded: list[str] = []
+    stream_runs = _stream_run_ids(spark, state_dir)
+    folded = _Provenance()
     for d in dirs:
         if d == out_dir:
             continue
         name = d.rsplit("batch=", 1)[1]
         if name.startswith("compact-"):
-            folded.extend(_read_provenance(spark, d))
+            folded = folded.union(_read_provenance(spark, d))
             # record the compact source's OWN name too (review-found
             # r14): read_audio_hubs filters visible dirs by this set,
             # and in a RE-compaction crash window (new compact dir
@@ -459,10 +609,10 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
             # dir must be skippable or every historical word counts
             # twice. Harmless to _batch_committed — compact names are
             # never ingest batch_ids.
-            folded.append(name)
+            folded.ids.add(name)
         else:
-            folded.append(name)
-    _write_provenance(spark, out_dir, sorted(set(folded)))
+            folded.add(name, stream_runs)
+    _write_provenance(spark, out_dir, folded)
 
     if table == "audio_fps":
         # Roll the sources' sampled word-count tables up into the
@@ -473,18 +623,21 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
         # avoid) every time maintenance compacts. Summing the tiny
         # per-batch tables is O(distinct sampled words) and exact.
         per_dir_prov = {
-            d: set(_read_provenance(spark, d))
+            d: _read_provenance(spark, d)
             for d in dirs
             if d != out_dir
         }
-        all_folded: set[str] = set().union(*per_dir_prov.values()) if per_dir_prov else set()
         contributing = [
             d.rsplit("batch=", 1)[1]
             for d in per_dir_prov
             # exclude sources another source already folds (the
             # re-compaction crash window) — their rows are duplicates
             # of the folding compact dir's and would double the sum
-            if d.rsplit("batch=", 1)[1] not in all_folded
+            if not any(
+                d.rsplit("batch=", 1)[1] in p
+                for o, p in per_dir_prov.items()
+                if o != d
+            )
         ]
         _roll_up_word_counts(spark, state_dir, contributing, cid)
 
@@ -565,19 +718,23 @@ _SRC_BATCH_COL = "_src_batch"
 _ACCEPTED_TARGET_FILE_BYTES = 512 << 20
 
 
-def _committed_ingest_bids(spark: SparkSession, state_dir: str) -> set[str]:
+def _committed_ingest_bids(
+    spark: SparkSession, state_dir: str
+) -> "_Provenance":
     """Every ORIGINAL ingest batch id whose state committed — its own
     signature dir still standing, or a committed compaction's
-    provenance recording it — across all state tables."""
-    bids: set[str] = set()
+    provenance recording it — across all state tables, as a
+    membership-testable :class:`_Provenance` (streaming epochs stay
+    compressed as per-run high-waters)."""
+    out = _Provenance()
     for table in _STATE_TABLES:
         troot = posixpath.join(state_dir, table)
         for d in _committed_batch_dirs(spark, troot):
             bid = d.rsplit("batch=", 1)[1]
             if not bid.startswith("compact-"):
-                bids.add(bid)
-        bids |= _folded_batch_ids(spark, troot)
-    return bids
+                out.ids.add(bid)
+        out = out.union(_folded_batch_ids(spark, troot))
+    return out
 
 
 def _accepted_listing(
@@ -623,9 +780,9 @@ def _accepted_listing(
                 compacts.append(path)
         else:
             plain[bid] = path
-    folded: set[str] = set()
+    folded = _Provenance()
     for d in compacts:
-        folded.update(_read_provenance(spark, d))
+        folded = folded.union(_read_provenance(spark, d))
     committed = _committed_ingest_bids(spark, state_dir)
     live_compacts = [
         d for d in compacts if d.rsplit("batch=", 1)[1] not in folded
@@ -751,15 +908,16 @@ def compact_accepted(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    folded: list[str] = []
+    stream_runs = _stream_run_ids(spark, state_dir)
+    folded_prov = _Provenance()
     for d in sources:
         name = d.rsplit("batch=", 1)[1]
         if name.startswith("compact-"):
-            folded.extend(_read_provenance(spark, d))
-            folded.append(name)  # re-compaction crash-window skip rule
+            folded_prov = folded_prov.union(_read_provenance(spark, d))
+            folded_prov.ids.add(name)  # re-compaction crash-window skip
         else:
-            folded.append(name)
-    _write_provenance(spark, out_dir, sorted(set(folded)))
+            folded_prov.add(name, stream_runs)
+    _write_provenance(spark, out_dir, folded_prov)
     fs, _ = _fs(spark, state_dir)
     for d in sources:
         if d != out_dir:

@@ -35,6 +35,17 @@ micro-batching (the threshold sweep is a no-op 15 of 16 epochs), and
 the per-epoch state append is survivor-sized, not input-sized.
 Serialize writers per state_dir exactly as in batch mode
 (schedule.py's run lock): one streaming query per state dir.
+Provenance stays bounded too (r16, closing the r15 watch):
+``stream_ingest`` registers its ``run_id`` as a sequential-epoch
+run, so compaction provenance records its folded epochs as ONE
+per-run ``[lo, hi]`` interval instead of one id per epoch — a year
+at one epoch/minute is two integers in ``_sources.json``, not ~525k
+ids, and the driver-side resume/listing sets are O(#runs +
+#batch-mode-ids) regardless of total epochs ever ingested.
+Registered run ids are a reserved namespace: never hand-issue
+``<run_id>-<n>`` batch ids against a state dir whose ``run_id`` is
+registered (the interval arithmetic assumes foreachBatch's
+sequential commit order).
 
 Reference tie: the reference hand-rolls scheduled incremental batch
 (SURVEY §1.3/§2.10 — cutoff watermark + dropDuplicates + daily
@@ -79,6 +90,14 @@ def stream_ingest(
     Empty micro-batches are skipped entirely (availableNow commonly
     emits one; an empty ingest would append an empty-but-committed
     state dir per epoch for nothing)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        _register_stream_run,
+    )
+
+    # Registering BEFORE the query starts makes every compaction
+    # sweep compress this run's folded epochs to one [lo, hi]
+    # interval (bounded provenance under continuous micro-batching).
+    _register_stream_run(spark, state_dir, run_id)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

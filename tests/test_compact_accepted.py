@@ -256,3 +256,86 @@ def test_reserved_batch_columns_rejected_at_ingest(spark, tmp_path):
     # nothing staged by the rejected calls
     with pytest.raises(ValueError, match="no committed"):
         read_accepted(spark, sdir)
+
+
+def test_stream_epoch_provenance_compresses_and_routes(spark, tmp_path):
+    """r16 (r15 watch #2): folded epochs of a REGISTERED streaming
+    run compress to one per-run [lo, hi] interval in _sources.json —
+    provenance stays O(#runs), not O(total epochs ever) — while
+    resume-by-epoch still routes to the exact compact that folded it
+    (the interval keeps the LOWER bound precisely so a later compact
+    cannot claim an earlier epoch). Unregistered lookalike ids stay
+    in the exact list (nothing guarantees their commit order)."""
+    import json
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        _batch_committed,
+        _register_stream_run,
+        _stream_run_ids,
+        compact_state,
+    )
+
+    sdir = str(tmp_path / "state")
+    _register_stream_run(spark, sdir, "runa")
+    _register_stream_run(spark, sdir, "runa")  # idempotent
+    assert _stream_run_ids(spark, sdir) == {"runa"}
+
+    per_epoch = {}
+    for e in range(4):
+        b = _docs(spark, e * 20, (e + 1) * 20)
+        per_epoch[e] = {r["doc_id"] for r in b.collect()}
+        ingest_batch(
+            spark, b, sdir, batch_id=f"runa-{e}",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    assert compact_accepted(spark, sdir) == 4
+
+    def _prov(root):
+        cdirs = [
+            d for d in os.listdir(root) if d.startswith("batch=compact-")
+        ]
+        assert len(cdirs) == 1, cdirs
+        with open(f"{root}/{cdirs[0]}/_sources.json") as fh:
+            return json.load(fh)
+
+    prov = _prov(f"{sdir}/accepted")
+    assert prov == {"v": 2, "ids": [], "runs": {"runa": [0, 3]}}
+
+    # second tier-1 sweep: disjoint interval, no claim on epochs 0-3
+    for e in (4, 5):
+        b = _docs(spark, e * 20, (e + 1) * 20)
+        per_epoch[e] = {r["doc_id"] for r in b.collect()}
+        ingest_batch(
+            spark, b, sdir, batch_id=f"runa-{e}",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    assert compact_accepted(spark, sdir) == 2
+    # a lookalike id whose run is NOT registered stays exact
+    ingest_batch(
+        spark, _docs(spark, 120, 130), sdir, batch_id="other-7",
+        maintain_max_batch_dirs=None,
+    ).collect()
+
+    # signature-table compaction compresses the same way
+    assert compact_state(spark, sdir, "fingerprints") == 7
+    fp_prov = _prov(f"{sdir}/fingerprints")
+    assert fp_prov["runs"] == {"runa": [0, 5]}
+    assert fp_prov["ids"] == ["other-7"]
+
+    # epoch-0's fp dir is gone, yet resume-by-id routes through the
+    # interval to the exact compact that folded its staged rows
+    assert not os.path.exists(f"{sdir}/fingerprints/batch=runa-0")
+    assert _batch_committed(spark, sdir, "fingerprints", "runa-0")
+    assert not _batch_committed(spark, sdir, "fingerprints", "runa-6")
+    assert not _batch_committed(spark, sdir, "fingerprints", "runb-0")
+    resumed = ingest_batch(
+        spark, _docs(spark, 0, 20), sdir, batch_id="runa-0"
+    )
+    assert {r["doc_id"] for r in resumed.collect()} == per_epoch[0]
+    resumed5 = ingest_batch(
+        spark, _docs(spark, 100, 120), sdir, batch_id="runa-5"
+    )
+    assert {r["doc_id"] for r in resumed5.collect()} == per_epoch[5]
+    # corpus intact through compression + resumes
+    assert read_accepted(spark, sdir).count() == 130

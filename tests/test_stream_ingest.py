@@ -159,3 +159,53 @@ def test_stream_ingest_image_quarantine_kwargs(spark, tmp_path):
 def test_accepted_corpus_requires_committed_batches(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed"):
         accepted_corpus(spark, str(tmp_path / "nothing"))
+
+
+def test_stream_ingest_provenance_stays_bounded(spark, tmp_path):
+    """r16 (r15 watch #2): a stream_ingest run registers its run_id,
+    so the inline maintenance sweeps that fire under continuous
+    micro-batching record folded epochs as ONE per-run [lo, hi]
+    interval in _sources.json — provenance cost is independent of
+    how many epochs ever ingested — and the corpus stays exact."""
+    import json
+    import os
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "incoming")
+    for i in range(4):
+        docs.filter(
+            f"doc_id >= {i * 100} AND doc_id < {(i + 1) * 100}"
+        ).coalesce(1).write.parquet(src + f"/f={i}")
+    sdir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(
+        stream_ingest(
+            spark, stream, sdir, str(tmp_path / "ckpt"),
+            run_id="b", maintain_max_batch_dirs=2,
+        )
+    )
+    assert accepted_corpus(spark, sdir).count() == 400
+    # every committed compact dir under the state tables carries
+    # interval-form provenance with zero per-epoch ids
+    found = 0
+    for table in ("accepted", "fingerprints"):
+        root = f"{sdir}/{table}"
+        for d in os.listdir(root):
+            if not d.startswith("batch=compact-"):
+                continue
+            pfile = f"{root}/{d}/_sources.json"
+            if not os.path.exists(pfile):
+                continue
+            with open(pfile) as fh:
+                prov = json.load(fh)
+            found += 1
+            assert isinstance(prov, dict) and "runs" in prov, prov
+            assert "b" in prov["runs"], prov
+            assert not any(
+                i.startswith("b-") for i in prov["ids"]
+            ), prov
+    assert found >= 1, "maintenance never compacted at threshold 2"
