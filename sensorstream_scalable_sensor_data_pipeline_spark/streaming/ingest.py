@@ -128,3 +128,50 @@ def accepted_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
     return read_accepted(spark, state_dir)
+
+
+def stream_corrupt_rate(
+    spark: SparkSession, state_dir: str, run_id: str
+) -> DataFrame | None:
+    """Per-epoch corrupt-payload counts for one streaming run — the
+    operational drift alarm over the quarantine identity table (r15
+    verdict task #6): one ``(epoch, n_corrupt, n_distinct_payloads)``
+    row per epoch of ``run_id`` that accepted corrupt rows under
+    ``on_error="quarantine"``. A sudden jump in ``n_corrupt`` with
+    flat ``n_distinct_payloads`` is a re-delivered corrupt source; a
+    jump in both is upstream corruption drift.
+
+    One groupBy over the tiny identity table (corrupt rows are the
+    exception at any scale). Attribution covers the window before
+    state compaction folds quarantine dirs — folded rows carry the
+    compact dir's id, not an epoch, and drop out of this view (their
+    original attribution remains in the compact dir's provenance);
+    the alarm use-case reads RECENT epochs, which are exactly the
+    unfolded ones. Returns None before any quarantined acceptance."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        quarantine_report,
+    )
+
+    rep = quarantine_report(spark, state_dir)
+    if rep is None:
+        return None
+    pat = "^" + re.escape(run_id) + r"-(\d+)$"
+    return (
+        rep.withColumn(
+            "epoch",
+            # try_cast: a non-matching batch id extracts '' — under
+            # ANSI semantics a plain cast would throw, not NULL
+            F.regexp_extract(F.col("batch"), pat, 1).try_cast("long"),
+        )
+        .filter(F.col("epoch").isNotNull())
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_corrupt"),
+            F.countDistinct("content_md5").alias("n_distinct_payloads"),
+        )
+        .orderBy("epoch")
+    )

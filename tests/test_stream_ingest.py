@@ -209,3 +209,68 @@ def test_stream_ingest_provenance_stays_bounded(spark, tmp_path):
                 i.startswith("b-") for i in prov["ids"]
             ), prov
     assert found >= 1, "maintenance never compacted at threshold 2"
+
+
+def test_stream_corrupt_rate_per_epoch(spark, tmp_path):
+    """r15 verdict task #6: a 3-epoch stream with planted corruption
+    yields per-epoch corrupt counts from stream_corrupt_rate — the
+    drift alarm view. Epoch 0 accepts corrupt payload A; epoch 1's
+    re-delivery of A rejects (no identity row) while fresh payload B
+    accepts; epoch 2's two copies of fresh payload C collapse to one
+    identity row."""
+    import glob
+    import os
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.streaming.ingest import (
+        stream_corrupt_rate,
+    )
+
+    bad_a = b"\x89PNG\r\n\x1a\n" + b"\x00" * 40
+    bad_b = b"\x89PNG\r\n\x1a\n" + b"\x01" * 40
+    bad_c = b"\x89PNG\r\n\x1a\n" + b"\x02" * 40
+    src = str(tmp_path / "in")
+    assert stream_corrupt_rate(spark, str(tmp_path / "none"), "q") is None
+    epochs = [
+        [(0, encode_png(synth_image(0, h=32, w=32))), (900, bad_a)],
+        [(1, encode_png(synth_image(1, h=32, w=32))), (901, bad_a),
+         (902, bad_b)],
+        [(903, bad_c), (904, bad_c)],
+    ]
+    for i, rows in enumerate(epochs):
+        d = src + f"/f={i}"
+        spark.createDataFrame(
+            rows, "doc_id long, payload binary"
+        ).coalesce(1).write.parquet(d)
+        t = 1_000_000_000 + i * 200
+        for p in glob.glob(d + "/part-*"):
+            os.utime(p, (t, t))
+
+    sdir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(
+        stream_ingest(
+            spark, stream, sdir, str(tmp_path / "ck"),
+            run_id="q", ingest_fn=ingest_image_batch,
+            on_error="quarantine",
+        )
+    )
+    rates = {
+        r["epoch"]: (r["n_corrupt"], r["n_distinct_payloads"])
+        for r in stream_corrupt_rate(spark, sdir, "q").collect()
+    }
+    assert rates == {0: (1, 1), 1: (1, 1), 2: (1, 1)}
+    # a different run_id sees nothing
+    assert stream_corrupt_rate(spark, sdir, "other").count() == 0
