@@ -28,6 +28,18 @@ _NON_HEADS = {"metric", "value", "sf", "cpus", "n", "rc", "reps"}
 def load(path: str) -> dict:
     with open(path) as f:
         rec = json.load(f)
+    if "parsed" in rec and isinstance(rec["parsed"], dict):
+        # driver wrapper with the full bench line pre-parsed (r15+):
+        # carries queries + per-head cpu/steal medians + burst flags.
+        # cpu/steal ship as POSITIONAL lists aligned with the queries
+        # dict's insertion order (bench.py's compact-line budget) —
+        # rekey them by head name here.
+        p = dict(rec["parsed"])
+        heads = list(p.get("queries", {}))
+        for key in ("cpu", "steal"):
+            if isinstance(p.get(key), list) and len(p[key]) == len(heads):
+                p[key] = dict(zip(heads, p[key]))
+        return p
     if "tail" in rec:  # driver wrapper: the JSON line lives in stdout tail
         lines = [
             ln for ln in rec["tail"].splitlines() if ln.startswith('{"metric"')
@@ -59,33 +71,99 @@ def load(path: str) -> dict:
     return rec
 
 
+def verdict(
+    wall_ratio: float,
+    cpu_ratio: float | None,
+    steal: float | None,
+) -> str:
+    """Three-way cross-round adjudication (r16, r15 verdict task #3 —
+    the fingerprint three consecutive judges applied by hand, now
+    computed): wall inflated with FLAT CPU under visible steal is the
+    host, not the code; wall AND CPU both up is a real regression;
+    wall down is a real improvement. ``cross-check`` marks the
+    wall-up/CPU-flat/low-steal corner that needs a quiet-window
+    replay — steady interference below the steal meter's floor and a
+    genuine IO/plan change look identical there."""
+    if wall_ratio < 0.8:
+        return "improved"
+    if wall_ratio <= 1.25:
+        return "steady"
+    if cpu_ratio is None:
+        return "cross-check"  # pre-r15 base: no CPU axis to test
+    if cpu_ratio > 1.1:
+        return "code-regression"
+    if steal is not None and steal > 0.5:
+        return "host-bound"
+    return "cross-check"
+
+
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     base, new = load(sys.argv[1]), load(sys.argv[2])
     bq, nq = base["queries"], new["queries"]
     bs, ns = base.get("samples", {}), new.get("samples", {})
+    bcpu, ncpu = base.get("cpu", {}), new.get("cpu", {})
+    nsteal = new.get("steal", {})
+    nburst = set(new.get("burst", []))
     shared = [h for h in bq if h in nq]
     print(
-        f"{'head':34} {'base':>7} {'new':>7} {'med×':>6} {'min×':>6} {'spread':>7}"
+        f"{'head':34} {'base':>7} {'new':>7} {'wall×':>6} {'cpu×':>6}"
+        f" {'steal':>6} {'verdict':>15}"
     )
     tot_b = tot_n = 0.0
+    verdicts: dict[str, str] = {}
     for h in shared:
         b_med, n_med = bq[h], nq[h]
         tot_b += b_med
         tot_n += n_med
-        b_min = min(bs.get(h, [b_med]))
-        n_min = min(ns.get(h, [n_med]))
+        wall_ratio = n_med / b_med
+        cpu_ratio = (
+            ncpu[h] / bcpu[h]
+            if h in ncpu and h in bcpu and bcpu[h]
+            else None
+        )
+        steal = nsteal.get(h)
+        v = verdict(wall_ratio, cpu_ratio, steal)
+        verdicts[h] = v
         n_samples = ns.get(h, [n_med])
         spread = max(n_samples) / min(n_samples)
-        flag = " <-- spread" if spread > 1.5 else ""
+        flags = []
+        if spread > 1.5:
+            flags.append("spread")
+        if h in nburst:
+            flags.append("burst")
+        suffix = (" <-- " + ",".join(flags)) if flags else ""
+        cpu_s = f"{cpu_ratio:6.2f}" if cpu_ratio is not None else f"{'-':>6}"
+        steal_s = f"{steal:6.2f}" if steal is not None else f"{'-':>6}"
         print(
-            f"{h:34} {b_med:7.2f} {n_med:7.2f} {n_med / b_med:6.2f}"
-            f" {n_min / b_min:6.2f} {spread:6.1f}x{flag}"
+            f"{h:34} {b_med:7.2f} {n_med:7.2f} {wall_ratio:6.2f}"
+            f" {cpu_s} {steal_s} {v:>15}{suffix}"
         )
     print(
         f"{'TOTAL (shared heads)':34} {tot_b:7.2f} {tot_n:7.2f}"
         f" {tot_n / tot_b:6.2f}"
+    )
+    counts: dict[str, int] = {}
+    for v in verdicts.values():
+        counts[v] = counts.get(v, 0) + 1
+    print(
+        "VERDICTS "
+        + json.dumps(
+            {
+                "counts": counts,
+                "code_regressions": sorted(
+                    h for h, v in verdicts.items() if v == "code-regression"
+                ),
+                "host_bound": sorted(
+                    h for h, v in verdicts.items() if v == "host-bound"
+                ),
+                "cross_check": sorted(
+                    h for h, v in verdicts.items() if v == "cross-check"
+                ),
+            },
+            sort_keys=True,
+        )
     )
     only_new = sorted(set(nq) - set(bq))
     if only_new:
