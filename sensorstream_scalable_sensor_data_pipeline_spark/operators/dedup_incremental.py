@@ -169,6 +169,12 @@ def _register_stream_run(
     the query starts; idempotent)."""
     if "/" in run_id or run_id.startswith("_") or not run_id:
         raise ValueError(f"invalid stream run_id {run_id!r}")
+    if run_id == "compact":
+        # a "compact" run would let compact dir names (compact-<hex12>,
+        # which CAN be all digits) parse as epochs of the run and be
+        # absorbed into an interval — silently breaking the
+        # re-compaction crash-window skip rule
+        raise ValueError("'compact' is a reserved stream run_id")
     fs, jdir = _fs(
         spark, posixpath.join(state_dir, _STREAM_RUNS_DIR, run_id)
     )

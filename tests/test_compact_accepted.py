@@ -339,3 +339,18 @@ def test_stream_epoch_provenance_compresses_and_routes(spark, tmp_path):
     assert {r["doc_id"] for r in resumed5.collect()} == per_epoch[5]
     # corpus intact through compression + resumes
     assert read_accepted(spark, sdir).count() == 130
+
+
+def test_reserved_stream_run_ids_rejected(spark, tmp_path):
+    """'compact' cannot be a stream run_id: compact dir names
+    (compact-<hex12>) can be all digits, so a 'compact' run would
+    absorb them into an epoch interval and break the re-compaction
+    crash-window skip rule."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        _register_stream_run,
+    )
+
+    sdir = str(tmp_path / "state")
+    for bad in ("compact", "", "a/b", "_x"):
+        with pytest.raises(ValueError):
+            _register_stream_run(spark, sdir, bad)
