@@ -25,21 +25,41 @@ import sys
 _NON_HEADS = {"metric", "value", "sf", "cpus", "n", "rc", "reps"}
 
 
+def _rekey_positional(rec: dict) -> dict:
+    """cpu/steal ship as POSITIONAL lists aligned with the queries
+    dict's insertion order (bench.py's compact-line budget, r15+) —
+    rekey them by head name so comparisons can align by head."""
+    rec = dict(rec)
+    heads = list(rec.get("queries", {}))
+    for key in ("cpu", "steal"):
+        if isinstance(rec.get(key), list) and len(rec[key]) == len(heads):
+            rec[key] = dict(zip(heads, rec[key]))
+    return rec
+
+
 def load(path: str) -> dict:
     with open(path) as f:
-        rec = json.load(f)
+        text = f.read()
+    try:
+        rec = json.loads(text)
+    except json.JSONDecodeError:
+        # raw bench stdout: the JSON line is the first line, the
+        # human-readable per-head log follows
+        rec = json.loads(text.splitlines()[0])
     if "parsed" in rec and isinstance(rec["parsed"], dict):
-        # driver wrapper with the full bench line pre-parsed (r15+):
-        # carries queries + per-head cpu/steal medians + burst flags.
-        # cpu/steal ship as POSITIONAL lists aligned with the queries
-        # dict's insertion order (bench.py's compact-line budget) —
-        # rekey them by head name here.
-        p = dict(rec["parsed"])
-        heads = list(p.get("queries", {}))
-        for key in ("cpu", "steal"):
-            if isinstance(p.get(key), list) and len(p[key]) == len(heads):
-                p[key] = dict(zip(heads, p[key]))
-        return p
+        # driver wrapper with the full bench line pre-parsed (r15+)
+        return _rekey_positional(rec["parsed"])
+    if "queries" in rec:  # bench.py's own one-line JSON: the FULL
+        # line keys per-head dicts as cpu_seconds/steal_cores/
+        # burst_heads; the compact archive line abbreviates them
+        for full, short in (
+            ("cpu_seconds", "cpu"),
+            ("steal_cores", "steal"),
+            ("burst_heads", "burst"),
+        ):
+            if full in rec and short not in rec:
+                rec[short] = rec[full]
+        return _rekey_positional(rec)
     if "tail" in rec:  # driver wrapper: the JSON line lives in stdout tail
         lines = [
             ln for ln in rec["tail"].splitlines() if ln.startswith('{"metric"')
@@ -91,6 +111,11 @@ def verdict(
     if cpu_ratio is None:
         return "cross-check"  # pre-r15 base: no CPU axis to test
     if cpu_ratio > 1.1:
+        # a heavily-stolen window (>1 core) inflates wall AND smears
+        # cpu_s (frequency/IPC under co-tenant pressure) — don't call
+        # code on a contaminated read; demand a quiet-window replay
+        if steal is not None and steal > 1.0:
+            return "cross-check"
         return "code-regression"
     if steal is not None and steal > 0.5:
         return "host-bound"

@@ -24,6 +24,7 @@ def test_verdict_fingerprints():
     assert v(1.51, 1.00, 0.9) == "host-bound"
     assert v(1.31, 1.01, 0.7) == "host-bound"
     assert v(1.42, 1.13, 0.8) == "code-regression"
+    assert v(1.37, 1.12, 2.26) == "cross-check"  # stolen window: replay
     assert v(1.27, 1.07, 0.1) == "cross-check"  # low steal, flat CPU
     assert v(1.27, None, None) == "cross-check"  # pre-r15 base record
     assert v(0.62, 0.9, 0.1) == "improved"
