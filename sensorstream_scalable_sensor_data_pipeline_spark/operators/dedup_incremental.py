@@ -1004,6 +1004,82 @@ def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def read_accepted_attributed(spark: SparkSession, state_dir: str) -> DataFrame:
+    """:func:`read_accepted` plus the ``_src_batch`` attribution
+    column — the ingest batch (or streaming epoch id) that accepted
+    each row, surviving compaction (folded rows carry their origin in
+    the compact dirs' ``_src_batch`` data column; plain dirs carry it
+    as the ``batch`` partition value). The name is one of the two
+    RESERVED columns, so it can never collide with a user schema."""
+    from functools import reduce
+
+    root = posixpath.join(state_dir, "accepted")
+    plain, compacts = _accepted_listing(spark, state_dir)
+    readable_plain = [d for d in plain if _part_file_bytes(spark, d)[0] > 0]
+    readable_compacts = [
+        d for d in compacts if _part_file_bytes(spark, d)[0] > 0
+    ]
+    if not readable_plain and not readable_compacts:
+        raise ValueError(
+            f"no committed ingest batches with survivors under {state_dir}"
+        )
+    frames = []
+    if readable_plain:
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*readable_plain)
+            .withColumn(_SRC_BATCH_COL, F.col("batch").cast("string"))
+            .drop("batch")
+        )
+    if readable_compacts:
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*readable_compacts)
+            .drop("batch")
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def corpus_growth(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accepted-row count per ORIGINAL ingest batch / streaming epoch
+    — the corpus-growth ops view (one ``(batch, n_rows)`` row,
+    attribution surviving compaction): a sudden drop in per-epoch
+    acceptance under steady input volume means the dedup rate moved
+    (upstream duplication drift), the growth-side complement of
+    :func:`quarantine_report`'s corrupt-rate view. One map-side
+    combinable groupBy over the corpus scan — no payload columns are
+    read (Catalyst prunes to the attribution column only)."""
+    return (
+        read_accepted_attributed(spark, state_dir)
+        .groupBy(F.col(_SRC_BATCH_COL).alias("batch"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("batch")
+    )
+
+
+def read_quarantine_payloads(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """The accepted corrupt payloads themselves, for offline triage —
+    the join :func:`quarantine_report` promises: every corpus row
+    whose id the quarantine identity table records, with its
+    ``content_md5``. The identity side is tiny at any corpus scale
+    (corrupt rows are the exception), so it broadcasts and the corpus
+    scan stays shuffle-free. Returns None before any quarantined
+    acceptance."""
+    state = read_quarantine_state(spark, state_dir)
+    if state is None:
+        return None
+    return read_accepted(spark, state_dir).join(
+        F.broadcast(
+            state.select(
+                F.col("doc_id").alias(id_col), "content_md5"
+            ).distinct()
+        ),
+        id_col,
+    )
+
+
 def _roll_up_word_counts(
     spark: SparkSession,
     state_dir: str,

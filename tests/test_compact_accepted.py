@@ -354,3 +354,33 @@ def test_reserved_stream_run_ids_rejected(spark, tmp_path):
     for bad in ("compact", "", "a/b", "_x"):
         with pytest.raises(ValueError):
             _register_stream_run(spark, sdir, bad)
+
+
+def test_corpus_growth_attribution_survives_compaction(spark, tmp_path):
+    """r16 ops views: per-batch accepted counts keep their original
+    attribution through the accepted-corpus fold (plain dirs carry
+    the batch partition value, folded rows the _src_batch column)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        corpus_growth,
+    )
+
+    sdir = str(tmp_path / "state")
+    sizes = {"b0": 30, "b1": 20, "b2": 10}
+    lo = 0
+    for bid, n in sizes.items():
+        ingest_batch(
+            spark, _docs(spark, lo, lo + n), sdir, batch_id=bid,
+            maintain_max_batch_dirs=None,
+        ).collect()
+        lo += n
+    before = {
+        r["batch"]: r["n_rows"]
+        for r in corpus_growth(spark, sdir).collect()
+    }
+    assert before == sizes
+    assert compact_accepted(spark, sdir) == 3
+    after = {
+        r["batch"]: r["n_rows"]
+        for r in corpus_growth(spark, sdir).collect()
+    }
+    assert after == sizes

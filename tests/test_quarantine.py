@@ -692,3 +692,44 @@ def test_quarantine_report_empty_when_all_commits_part_file_less(
         for r in quarantine_report(spark, sdir).collect()
     }
     assert rows == {("e2", 900)}
+
+
+def test_read_quarantine_payloads_triage_join(spark, tmp_path):
+    """r16 ops views: the triage export joins the quarantine identity
+    table back to the staged corpus — the accepted corrupt BYTES with
+    their content_md5, nothing else — on a broadcast of the tiny
+    identity side."""
+    import hashlib
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        encode_png,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_image_batch,
+        read_quarantine_payloads,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.phash import (
+        synth_image,
+    )
+
+    sdir = str(tmp_path / "state")
+    assert read_quarantine_payloads(spark, sdir) is None
+    b = spark.createDataFrame(
+        [
+            (0, encode_png(synth_image(0, h=32, w=32))),
+            (900, CORRUPT_PNG),
+            (901, GARBAGE),
+        ],
+        "doc_id long, payload binary",
+    )
+    ingest_image_batch(
+        spark, b, sdir, batch_id="t1", on_error="quarantine"
+    ).collect()
+    rows = read_quarantine_payloads(spark, sdir).collect()
+    got = {
+        (r["doc_id"], r["content_md5"], bytes(r["payload"])) for r in rows
+    }
+    assert got == {
+        (900, hashlib.md5(CORRUPT_PNG).hexdigest(), CORRUPT_PNG),
+        (901, hashlib.md5(GARBAGE).hexdigest(), GARBAGE),
+    }
