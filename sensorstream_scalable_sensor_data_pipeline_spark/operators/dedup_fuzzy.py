@@ -141,19 +141,19 @@ def minhash_signatures(
     )
 
 
-def lsh_bands(
-    df: DataFrame,
+def bands_from_sigs(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
     num_perms: int = NUM_PERMS,
     num_bands: int = NUM_BANDS,
-    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Explode each doc into (id, band, band_hash) bucket keys. Band
-    slices use literal offsets over the materialized ``sig`` attribute
-    — plain codegen expressions, no lambdas."""
+    """(id, band, band_hash) bucket keys from a materialized
+    ``(id, sig)`` frame — the :func:`lsh_bands` tail, split out (r16)
+    so the incremental ingest can band PERSISTED state signatures
+    without recomputing them from text. Band slices use literal
+    offsets over the ``sig`` attribute — plain codegen expressions,
+    no lambdas."""
     r = num_perms // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_df=shingle_df)
     bands = F.array(
         *[
             F.struct(
@@ -168,6 +168,21 @@ def lsh_bands(
     return sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = NUM_PERMS,
+    num_bands: int = NUM_BANDS,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """Explode each doc into (id, band, band_hash) bucket keys. Band
+    slices use literal offsets over the materialized ``sig`` attribute
+    — plain codegen expressions, no lambdas."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_df=shingle_df)
+    return bands_from_sigs(sigs, id_col, num_perms, num_bands)
 
 
 def minhash_lsh_candidates(

@@ -47,7 +47,8 @@ reference's ``max_active_runs=1``.
 
 Beyond the two core tables, the module maintains (same protocols):
 modality signature tables (``phashes`` / ``audio_fps`` /
-``frame_phashes`` — the image/audio/video ingests), the
+``frame_phashes`` — the image/audio/video ingests; ``minhash_sigs``
+— the near-dup TEXT ingest, r16), the
 ``quarantine_md5s`` identity table (r15 — exact content identity for
 corrupt rows accepted under quarantine mode, so re-delivery
 rejects), per-rate ``word_counts`` for the audio hub guard, and the
@@ -513,6 +514,11 @@ _STATE_TABLES = {
     "phashes": ["fp_prefix"],
     "audio_fps": [],
     "frame_phashes": [],
+    # MinHash signatures of accepted docs (r16): the near-dup TEXT
+    # ingest's state — ~100 B/doc regardless of document length,
+    # unpartitioned (candidate generation re-derives band keys from
+    # the sig arrays with codegen expressions)
+    "minhash_sigs": [],
     # exact content_md5 of ACCEPTED quarantined payloads (r15): the
     # corrupt rows' identity table — tiny (corrupt rows are the
     # exception), unpartitioned
@@ -2031,3 +2037,186 @@ def ingest_video_batch(
         return accepted
     finally:
         fh.unpersist()
+
+
+# ------------------------------------- incremental FUZZY TEXT ingest
+
+
+def read_fuzzy_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The accepted MinHash-signature table (committed batches only),
+    or None before the first successful fuzzy ingest. One
+    (doc_id, sig array<string>) row per accepted document."""
+    root = posixpath.join(state_dir, "minhash_sigs")
+    dirs = _committed_batch_dirs(spark, root)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs).select(
+        "doc_id", "sig"
+    )
+
+
+def ingest_fuzzy_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.8,
+    tau_sig: float = 0.75,
+    batch_id: str | None = None,
+    maintain_max_batch_dirs: int | None = MAINTAIN_MAX_BATCH_DIRS,
+) -> DataFrame:
+    """Incremental NEAR-duplicate text ingest — the MinHash-LSH
+    generalization of :func:`ingest_batch`, completing the family
+    symmetry (image/audio/video ingests are already near-dup; text
+    was exact-only), under the SAME two-dir crash-consistency
+    protocol (stage survivors first, commit signatures second,
+    ``_SUCCESS``-gated state reads):
+
+    * within the batch: the full batch operator — banded candidates
+      (operators/dedup_fuzzy.py), EXACT shingle-Jaccard ≥ ``tau``
+      verification (texts are at hand), connected-component closure,
+      min-id survivor — exactly ``plans.dedup.dedup_minhash_lsh``'s
+      semantics;
+    * against history: batch band keys equi-join the state side's
+      band keys (re-derived from the persisted signatures with
+      codegen expressions — state stores no band table), and a
+      candidate is rejected when the SIGNATURE agreement (fraction of
+      equal MinHash elements — the standard unbiased Jaccard
+      estimator) reaches ``tau_sig``. History always wins.
+
+    The cross-state verifier is the signature estimate DELIBERATELY:
+    exact Jaccard needs both texts, and fetching the state side's
+    text would join the candidate set against the accepted CORPUS —
+    an O(corpus) scan per ingest. Signatures are ~100 bytes per
+    accepted document regardless of document length, so at any
+    corpus scale the state side stays orders smaller than the
+    payloads and the cross join is a uniform keyed shuffle.
+    ``tau_sig`` defaults below ``tau`` (9 of 12 elements) because the
+    12-permutation estimator is coarse; near ``tau``-Jaccard pairs
+    concentrate well above it and unrelated pairs far below.
+
+    Near-dup rejection is transitive-free by design (the same
+    asymmetry every incremental dedup here has). Same resumability
+    and inline-maintenance contracts as :func:`ingest_batch`."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        bands_from_sigs,
+        dup_components,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_jaccard,
+        with_shingles,
+    )
+
+    _validate_batch_columns(batch)
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex
+    staged_dir = posixpath.join(state_dir, "accepted", f"batch={bid}")
+    sig_dir = posixpath.join(state_dir, "minhash_sigs", f"batch={bid}")
+
+    def _staged(schema: StructType) -> DataFrame:
+        return spark.read.schema(schema).parquet(staged_dir)
+
+    if batch_id is not None and _batch_committed(
+        spark, state_dir, "minhash_sigs", bid
+    ):
+        return _read_staged_resume(spark, state_dir, bid, batch.schema)
+
+    # shingle + sign once, persist: shingles feed the band table AND
+    # the exact within-batch verify; sigs feed the cross-state join
+    # and the state commit (the dedup_minhash_lsh cache doctrine)
+    sh = with_shingles(batch, id_col, text_col).persist()
+    sh.count()  # eager (r13 race doctrine)
+    sigs = minhash_signatures(
+        batch, id_col, text_col, shingle_df=sh
+    ).persist()
+    sigs.count()
+    bands = bands_from_sigs(sigs, id_col).persist()
+    bands.count()
+    try:
+        # within-batch: candidates -> exact Jaccard -> closure
+        cands = minhash_lsh_candidates(
+            batch, id_col, text_col, shingle_df=sh, bands_df=bands
+        )
+        verified = shingle_jaccard(
+            cands, batch, id_col, text_col, shingle_df=sh
+        ).filter(F.col("jaccard") >= tau)
+        comp = dup_components(verified.select("id_a", "id_b"))
+        losers = comp.filter(F.col("rep") != F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        within = sigs.join(losers, id_col, "left_anti")
+
+        state = read_fuzzy_state(spark, state_dir)
+        if state is not None:
+            state_bands = bands_from_sigs(
+                state.withColumnRenamed("doc_id", id_col), id_col
+            )
+            pairs = (
+                bands.join(
+                    state_bands.select(
+                        "band",
+                        "band_hash",
+                        F.col(id_col).alias("_state_id"),
+                    ),
+                    ["band", "band_hash"],
+                )
+                .select(id_col, "_state_id")
+                .distinct()
+            )
+            # signature-agreement verify over the candidate pairs —
+            # fixed-offset element comparisons, NOT higher-order
+            # functions: nested lambdas are a documented Spark 4.1
+            # expression-engine cliff (README), and the signature
+            # length is a compile-time constant anyway
+            from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+                NUM_PERMS,
+            )
+
+            agree = sum(
+                (F.col("sig")[s] == F.col("_state_sig")[s]).cast("int")
+                for s in range(NUM_PERMS)
+            ) / F.lit(NUM_PERMS)
+            est = (
+                pairs.join(sigs, id_col)
+                .join(
+                    state.select(
+                        F.col("doc_id").alias("_state_id"),
+                        F.col("sig").alias("_state_sig"),
+                    ),
+                    "_state_id",
+                )
+                .select(id_col, agree.alias("_agree"))
+            )
+            hits = (
+                est.filter(F.col("_agree") >= tau_sig)
+                .select(id_col)
+                .distinct()
+            )
+            fresh = within.join(hits, id_col, "left_anti")
+        else:
+            fresh = within
+
+        # 1) stage survivors BEFORE any state mutation
+        batch.join(fresh.select(F.col(id_col)), id_col).write.mode(
+            "overwrite"
+        ).parquet(staged_dir)
+        accepted = _staged(batch.schema)
+
+        # 2) commit signatures keyed by the STAGED doc ids — joining
+        #    the persisted sig table against the staged files keeps
+        #    the durability property without re-tokenizing
+        sigs.join(
+            accepted.select(F.col(id_col)), id_col
+        ).select(F.col(id_col).alias("doc_id"), "sig").write.mode(
+            "overwrite"
+        ).parquet(sig_dir)
+        if maintain_max_batch_dirs is not None:
+            maintain_state(
+                spark, state_dir, maintain_max_batch_dirs,
+                ("minhash_sigs",), exclude_bid=bid,
+            )
+        return accepted
+    finally:
+        sh.unpersist()
+        sigs.unpersist()
+        bands.unpersist()
