@@ -172,6 +172,12 @@ HEADLINE = [
     # comparability.
     "decontaminate_audio",
     "decontaminate_video",
+    # Round 16: the incremental NEAR-dup text ingest — two-batch
+    # delivery through the real staging/commit protocol with exact
+    # re-deliveries rejected against signature state, structural
+    # invariants asserted in-head. The 45 heads above are unchanged
+    # for round-over-round comparability.
+    "ingest_fuzzy",
 ]
 
 #: Bench heads that are not registry entries (the registry sits at the
@@ -326,6 +332,12 @@ EXTRA_HEADS = {
     "decontaminate_video": (
         "sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal",
         "decontaminate_video_head",
+    ),
+    # Round 16: the incremental near-dup text ingest (HEADLINE) —
+    # the newest incremental-family member's standing perf evidence.
+    "ingest_fuzzy": (
+        "sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup",
+        "ingest_fuzzy_head",
     ),
 }
 

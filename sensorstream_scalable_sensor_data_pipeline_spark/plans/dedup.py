@@ -687,3 +687,45 @@ def dedup_substring_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens_removed").alias("tokens_removed"),
         F.sum(F.length("text")).alias("out_chars"),
     )
+
+
+def ingest_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench head for the incremental NEAR-dup text ingest (r16):
+    two-batch delivery over the documents table — evens first, then
+    odds plus EXACT re-deliveries of every even doc_id % 10 == 0
+    under an out-of-range id — through the real staging/commit
+    protocol in a per-call temp state dir. In-head assertions pin the
+    structural invariants the closed form can't give (the corpus's
+    own near-dup tail is data-dependent): no synthetic re-delivery id
+    ever survives (signature state rejects all of them), and the
+    corpus read equals the two batches' accepted union."""
+    import shutil
+    import tempfile
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_fuzzy_batch,
+        read_accepted,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        even.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(base)).alias("doc_id"), "text"
+        )
+    )
+    sdir = tempfile.mkdtemp(prefix="spark-graft-fuzzy-head-")
+    try:
+        n1 = ingest_fuzzy_batch(spark, even, sdir, batch_id="h1").count()
+        a2 = ingest_fuzzy_batch(spark, b2, sdir, batch_id="h2")
+        n2 = a2.count()
+        n_synth = a2.filter(F.col("doc_id") >= base).count()
+        assert n_synth == 0, f"{n_synth} re-delivered ids survived"
+        total = read_accepted(spark, sdir).count()
+        assert total == n1 + n2, (total, n1, n2)
+        return spark.createDataFrame(
+            [(n1, n2, total)], "accepted_b1 long, accepted_b2 long, corpus long"
+        )
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
