@@ -56,8 +56,9 @@ def test_r2_heads_still_benched():
     # tier + r10's HTML-extraction and EWMA-recurrence heads + r11's
     # perceptual-hash image dedup, streaming funnel, and audio
     # fingerprint dedup + r13's decontamination twins (survivor
-    # counts asserted in-head).
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 45
+    # counts asserted in-head) + r16's incremental near-dup text
+    # ingest (structural invariants asserted in-head).
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)) == 46
     assert {
         "curate_training_corpus",
         "asof_join",
