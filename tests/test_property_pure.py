@@ -248,3 +248,82 @@ def test_subfingerprint_gain_sign_exact(seed):
     f0 = subfingerprints(clip, 8000)
     f1 = subfingerprints((clip.astype(np.float64) * 0.37), 8000)
     assert np.array_equal(f0, f1)
+
+
+# ------------------------------------------------- provenance (r16)
+
+from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (  # noqa: E402
+    _Provenance,
+)
+
+_run_names = st.sampled_from(["runa", "runb", "job-x", "s"])
+_epochs = st.integers(min_value=0, max_value=10_000)
+_plain_ids = st.text(
+    alphabet="abcdef0123456789", min_size=1, max_size=12
+).filter(lambda x: not x.isdigit())
+
+
+@given(
+    stream_bids=st.lists(
+        st.tuples(_run_names, _epochs), max_size=30
+    ),
+    plain=st.lists(_plain_ids, max_size=10),
+)
+def test_provenance_roundtrip_and_membership(stream_bids, plain):
+    """Every id added is a member after a JSON round-trip; streaming
+    ids compress to intervals (bounded size), plain ids stay exact;
+    epochs outside every added run's [lo, hi] are NOT members."""
+    runs = {r for r, _ in stream_bids}
+    p = _Provenance()
+    for r, e in stream_bids:
+        p.add(f"{r}-{e}", runs)
+    for b in plain:
+        p.add(b, runs)
+    q = _Provenance.from_json(p.to_json())
+    for r, e in stream_bids:
+        assert f"{r}-{e}" in q
+    for b in plain:
+        assert b in q
+    assert len(q.ids) <= len(plain)
+    assert len(q.runs) <= len(runs)
+    # out-of-interval epochs reject
+    for r in runs:
+        lo, hi = q.runs.get(r, (0, -1))
+        assert f"{r}-{hi + 1}" not in q
+        if lo > 0:
+            assert f"{r}-{lo - 1}" not in q
+    # an unregistered lookalike is never absorbed
+    assert "zzz-17" not in q or "zzz-17" in q.ids
+
+
+@given(
+    a=st.lists(st.tuples(_run_names, _epochs), max_size=20),
+    b=st.lists(st.tuples(_run_names, _epochs), max_size=20),
+)
+def test_provenance_union_covers_both_sides(a, b):
+    runs = {r for r, _ in a + b}
+    pa, pb = _Provenance(), _Provenance()
+    for r, e in a:
+        pa.add(f"{r}-{e}", runs)
+    for r, e in b:
+        pb.add(f"{r}-{e}", runs)
+    u = pa.union(pb)
+    u2 = pb.union(pa)
+    for r, e in a + b:
+        assert f"{r}-{e}" in u and f"{r}-{e}" in u2
+    assert u.runs == u2.runs and u.ids == u2.ids
+
+
+@given(run=_run_names, e=_epochs)
+def test_provenance_parse_is_unambiguous(run, e):
+    """At most one registered run parses any bid: the explicit '-'
+    separator plus the all-digits tail make r1 + '-' + d1 == r2 +
+    '-' + d2 impossible for r1 != r2 (the longer run would have to
+    embed '-' inside the shorter run's digit tail)."""
+    runs = {"a", "a-1", "job-x", run}
+    bid = f"{run}-{e}"
+    hits = [
+        r for r in runs
+        if bid.startswith(r + "-") and bid[len(r) + 1 :].isdigit()
+    ]
+    assert len(hits) == 1 and hits[0] == run
