@@ -729,3 +729,174 @@ def ingest_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(sdir, ignore_errors=True)
+
+
+#: ingest_fuzzy_recovery's oracle (r16, local pin — a future rotation
+#: candidate): the STRONGEST oracle class in the repo — a FULL DuckDB
+#: replay of the two-batch incremental NEAR-dup ingest, end to end:
+#: md5-minhash signatures (the dedup_minhash_lsh replay), per-batch
+#: band candidates, EXACT shingle-Jaccard verification, the
+#: connected-component closure as a RECURSIVE CTE (min over the
+#: reachable set — clusters are tiny so reachability stays small),
+#: and the cross-state signature-agreement verifier (>= 9 of 12
+#: equal elements == the engine's count/12 >= 0.75, exactly
+#: representable). Any divergence anywhere in the chain — a band
+#: hash, a Jaccard tie, a closure hop, an agreement count, the
+#: history-wins anti-join — breaks the value hash.
+INGEST_FUZZY_RECOVERY_ORACLE = (
+    r"""
+    WITH RECURSIVE
+    base AS (SELECT max(doc_id) + 1 AS b FROM documents),
+    members AS (
+      SELECT doc_id, text, 1 AS batch FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 2 AS batch FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT d.doc_id + base.b AS doc_id, d.text, 2 AS batch
+      FROM documents d, base WHERE d.doc_id % 2 = 0 AND d.doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, batch,
+             string_split_regex(
+               regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS tk
+      FROM members
+    ),
+    sh AS (
+      SELECT doc_id, batch,
+             CASE WHEN len(tk) >= 3
+               THEN list_transform(generate_series(0, len(tk) - 3),
+                       i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+               ELSE [array_to_string(tk, ' ')] END AS ss
+      FROM toks
+    ),
+    hh AS (
+      SELECT doc_id, batch,
+             list_transform(ss,
+               x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, batch,
+             list_transform(generate_series(0, 11),
+               s -> CAST(list_min(list_transform(hv,
+                      h -> (("""
+    + _MINHASH_A_SQL
+    + r""")[s + 1] * h
+                            + ("""
+    + _MINHASH_B_SQL
+    + r""")[s + 1])
+                           % """
+    + str(MINHASH_P)
+    + r""")) AS VARCHAR)) AS sig
+      FROM hh
+    ),
+    bands AS (
+      SELECT doc_id, batch, b,
+             md5(array_to_string(list_slice(sig, b * 3 + 1, b * 3 + 3), '|'))
+               AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    ssets AS (SELECT doc_id, batch, list_distinct(ss) AS ds FROM sh),
+    cand AS (
+      SELECT DISTINCT a.batch, a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.batch = b2.batch AND a.b = b2.b AND a.band_hash = b2.band_hash
+      WHERE a.doc_id < b2.doc_id
+    ),
+    vpairs AS (
+      SELECT c.batch, c.id_a, c.id_b
+      FROM cand c
+      JOIN ssets sa ON sa.doc_id = c.id_a AND sa.batch = c.batch
+      JOIN ssets sb ON sb.doc_id = c.id_b AND sb.batch = c.batch
+      WHERE CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+              / len(list_distinct(sa.ds || sb.ds)) >= 0.8
+    ),
+    edges AS (
+      SELECT batch, id_a AS a, id_b AS b FROM vpairs
+      UNION ALL SELECT batch, id_b, id_a FROM vpairs
+    ),
+    reach(batch, a, b) AS (
+      SELECT batch, a, b FROM edges
+      UNION
+      SELECT r.batch, r.a, e.b FROM reach r JOIN edges e
+        ON r.batch = e.batch AND r.b = e.a
+    ),
+    rep AS (
+      SELECT m.batch, m.doc_id,
+             least(m.doc_id,
+                   coalesce((SELECT min(r.b) FROM reach r
+                             WHERE r.batch = m.batch AND r.a = m.doc_id),
+                            m.doc_id)) AS rep
+      FROM members m
+    ),
+    within AS (SELECT batch, doc_id FROM rep WHERE rep = doc_id),
+    surv1 AS (SELECT doc_id FROM within WHERE batch = 1),
+    cross_cand AS (
+      SELECT DISTINCT b2.doc_id AS m, s1.doc_id AS s
+      FROM bands b2
+      JOIN within w ON w.batch = 2 AND w.doc_id = b2.doc_id AND b2.batch = 2
+      JOIN bands sb ON sb.batch = 1 AND sb.b = b2.b
+                   AND sb.band_hash = b2.band_hash
+      JOIN surv1 s1 ON s1.doc_id = sb.doc_id
+    ),
+    hits AS (
+      SELECT DISTINCT c.m
+      FROM cross_cand c
+      JOIN sig g2 ON g2.batch = 2 AND g2.doc_id = c.m
+      JOIN sig g1 ON g1.batch = 1 AND g1.doc_id = c.s
+      WHERE len(list_filter(generate_series(1, 12),
+                            i -> g2.sig[i] = g1.sig[i])) >= 9
+    ),
+    surv2 AS (
+      SELECT doc_id FROM within WHERE batch = 2
+      AND doc_id NOT IN (SELECT m FROM hits)
+    ),
+    surv AS (SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv2)
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM surv
+    """
+)
+
+
+def ingest_fuzzy_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-replay recovery for the incremental NEAR-dup text ingest
+    (r16; local pin + future rotation candidate): the same two-batch
+    delivery shape as :func:`ingest_incremental_recovery` — evens
+    first, then odds + exact re-deliveries of every even
+    doc_id % 10 == 0 under an out-of-range id — through the REAL
+    staging/commit protocol of ``ingest_fuzzy_batch`` in a per-call
+    temp state dir. Unlike the exact pin there is no closed form (the
+    corpus's natural near-dup structure decides the survivors); the
+    oracle replays the ENTIRE chain instead (see the oracle comment),
+    so the result hash pins minhash, banding, exact-Jaccard
+    verification, the closure, and the cross-state
+    signature-agreement rejection bit for bit."""
+    import shutil
+    import tempfile
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        ingest_fuzzy_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        even.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(base)).alias("doc_id"), "text"
+        )
+    )
+    sdir = tempfile.mkdtemp(prefix="spark-graft-fuzzy-recovery-")
+    try:
+        a1 = ingest_fuzzy_batch(spark, even, sdir, batch_id="fz1")
+        a2 = ingest_fuzzy_batch(spark, b2, sdir, batch_id="fz2")
+        row = (
+            a1.unionByName(a2)
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .first()
+        )
+        return spark.createDataFrame([row], "n_kept long, id_sum long")
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)

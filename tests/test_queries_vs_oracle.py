@@ -575,3 +575,20 @@ def test_queued_stream_ingest_recovery_matches_oracle(spark, duck, sf_dir):
     sdf = stream_ingest_recovery(spark, sf_dir).toPandas()
     ddf = duck.sql(STREAM_INGEST_RECOVERY_ORACLE).df()
     assert_frames_match(sdf, ddf, "stream_ingest_recovery")
+
+
+def test_ingest_fuzzy_recovery_matches_oracle(spark, duck, sf_dir):
+    """r16 local pin (a future rotation candidate): the two-batch
+    incremental NEAR-dup text ingest hash-matches a FULL DuckDB
+    replay — minhash signatures, band candidates, exact-Jaccard
+    verification, recursive-CTE closure, and the cross-state
+    signature-agreement (>= 9 of 12) rejection — the strongest
+    oracle class in the repo."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.plans.dedup import (
+        INGEST_FUZZY_RECOVERY_ORACLE,
+        ingest_fuzzy_recovery,
+    )
+
+    sdf = ingest_fuzzy_recovery(spark, sf_dir).toPandas()
+    ddf = duck.sql(INGEST_FUZZY_RECOVERY_ORACLE).df()
+    assert_frames_match(sdf, ddf, "ingest_fuzzy_recovery")
