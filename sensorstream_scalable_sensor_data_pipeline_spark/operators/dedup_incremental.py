@@ -2055,6 +2055,61 @@ def read_fuzzy_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     )
 
 
+def fuzzy_state_hits(
+    bands: DataFrame,
+    sigs: DataFrame,
+    state: DataFrame,
+    id_col: str = "doc_id",
+    tau_sig: float = 0.75,
+) -> DataFrame:
+    """Batch ids rejected against the fuzzy signature state: band
+    keys of the batch (``bands`` — ``bands_from_sigs`` output)
+    equi-join band keys re-derived from the state's persisted
+    ``(doc_id, sig)`` rows, and a candidate is a hit when the
+    SIGNATURE agreement — the fraction of equal MinHash elements,
+    computed with fixed-offset element comparisons (nested
+    higher-order functions are a documented Spark 4.1 expression-
+    engine cliff) — reaches ``tau_sig``. Two keyed equi-joins plus a
+    candidate-sized verify projection: no cartesian anywhere, and the
+    plan shape is pinned (tests/test_ingest_fuzzy.py)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        NUM_PERMS,
+        bands_from_sigs,
+    )
+
+    state_bands = bands_from_sigs(
+        state.withColumnRenamed("doc_id", id_col), id_col
+    )
+    pairs = (
+        bands.join(
+            state_bands.select(
+                "band", "band_hash", F.col(id_col).alias("_state_id")
+            ),
+            ["band", "band_hash"],
+        )
+        .select(id_col, "_state_id")
+        .distinct()
+    )
+    agree = sum(
+        (F.col("sig")[s] == F.col("_state_sig")[s]).cast("int")
+        for s in range(NUM_PERMS)
+    ) / F.lit(NUM_PERMS)
+    est = (
+        pairs.join(sigs, id_col)
+        .join(
+            state.select(
+                F.col("doc_id").alias("_state_id"),
+                F.col("sig").alias("_state_sig"),
+            ),
+            "_state_id",
+        )
+        .select(id_col, agree.alias("_agree"))
+    )
+    return (
+        est.filter(F.col("_agree") >= tau_sig).select(id_col).distinct()
+    )
+
+
 def ingest_fuzzy_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -2148,50 +2203,7 @@ def ingest_fuzzy_batch(
 
         state = read_fuzzy_state(spark, state_dir)
         if state is not None:
-            state_bands = bands_from_sigs(
-                state.withColumnRenamed("doc_id", id_col), id_col
-            )
-            pairs = (
-                bands.join(
-                    state_bands.select(
-                        "band",
-                        "band_hash",
-                        F.col(id_col).alias("_state_id"),
-                    ),
-                    ["band", "band_hash"],
-                )
-                .select(id_col, "_state_id")
-                .distinct()
-            )
-            # signature-agreement verify over the candidate pairs —
-            # fixed-offset element comparisons, NOT higher-order
-            # functions: nested lambdas are a documented Spark 4.1
-            # expression-engine cliff (README), and the signature
-            # length is a compile-time constant anyway
-            from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
-                NUM_PERMS,
-            )
-
-            agree = sum(
-                (F.col("sig")[s] == F.col("_state_sig")[s]).cast("int")
-                for s in range(NUM_PERMS)
-            ) / F.lit(NUM_PERMS)
-            est = (
-                pairs.join(sigs, id_col)
-                .join(
-                    state.select(
-                        F.col("doc_id").alias("_state_id"),
-                        F.col("sig").alias("_state_sig"),
-                    ),
-                    "_state_id",
-                )
-                .select(id_col, agree.alias("_agree"))
-            )
-            hits = (
-                est.filter(F.col("_agree") >= tau_sig)
-                .select(id_col)
-                .distinct()
-            )
+            hits = fuzzy_state_hits(bands, sigs, state, id_col, tau_sig)
             fresh = within.join(hits, id_col, "left_anti")
         else:
             fresh = within

@@ -163,3 +163,31 @@ def test_ingest_fuzzy_streams(spark, tmp_path):
     assert q.awaitTermination(180)
     acc = {r["doc_id"] for r in accepted_corpus(spark, sdir).collect()}
     assert acc == {0, 1, 11}
+
+
+def test_fuzzy_state_hits_plan_shape_and_semantics(spark):
+    """The cross-state rejection is two keyed equi-joins plus a
+    candidate-sized verify — no cartesian anywhere — and an exact
+    re-delivery (agreement 1.0) hits while an unrelated doc
+    (agreement ~0) does not."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy import (
+        bands_from_sigs,
+        minhash_signatures,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        fuzzy_state_hits,
+    )
+    from sensorstream_scalable_sensor_data_pipeline_spark.testing import (
+        assert_no_cartesian,
+    )
+
+    batch = _df(spark, [(100, _text(0)), (101, _text(101))])
+    state_docs = _df(spark, [(0, _text(0)), (1, _text(1))])
+    sigs = minhash_signatures(batch, "doc_id", "text")
+    state = minhash_signatures(state_docs, "doc_id", "text").select(
+        "doc_id", "sig"
+    )
+    bands = bands_from_sigs(sigs, "doc_id")
+    hits = fuzzy_state_hits(bands, sigs, state)
+    assert_no_cartesian(hits)
+    assert {r["doc_id"] for r in hits.collect()} == {100}
