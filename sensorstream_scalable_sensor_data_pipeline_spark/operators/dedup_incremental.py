@@ -521,8 +521,25 @@ _STATE_TABLES = {
     "minhash_sigs": [],
     # exact content_md5 of ACCEPTED quarantined payloads (r15): the
     # corrupt rows' identity table — tiny (corrupt rows are the
-    # exception), unpartitioned
+    # exception), unpartitioned; r16 adds the src_batch attribution
+    # data column
     "quarantine_md5s": [],
+}
+
+#: Explicit read schemas for state tables whose column set changed
+#: across releases (compaction must not let schema inference pick a
+#: pre-change footer and silently drop the newer column; an absent
+#: column reads as NULL). ``batch`` is the partition column —
+#: included so the explicit-schema basePath read still surfaces it.
+_STATE_TABLE_SCHEMAS = {
+    "quarantine_md5s": StructType(
+        [
+            StructField("content_md5", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("src_batch", StringType()),  # r16
+            StructField("batch", StringType()),
+        ]
+    ),
 }
 
 
@@ -588,11 +605,15 @@ def compact_state(spark: SparkSession, state_dir: str, table: str) -> int:
     # it is dir metadata, not state, and keeping it would defeat the
     # self-healing distinct (a row duplicated across a crashed
     # compaction's old and new dirs differs ONLY in batch)
-    df = (
-        spark.read.option("basePath", root).parquet(*dirs)
-        .drop("batch")
-        .distinct()
-    )
+    reader = spark.read.option("basePath", root)
+    if table in _STATE_TABLE_SCHEMAS:
+        # explicit schema: mixed-era dirs (a column added in a later
+        # release, e.g. quarantine src_batch in r16) would otherwise
+        # depend on WHICH footer schema inference samples — without
+        # mergeSchema it can silently drop the newer column from
+        # every row. Absent columns read as NULL.
+        reader = reader.schema(_STATE_TABLE_SCHEMAS[table])
+    df = reader.parquet(*dirs).drop("batch").distinct()
     parts = _STATE_TABLES[table]
     writer = df.write.mode("overwrite")
     if parts:
@@ -1196,9 +1217,13 @@ def quarantine_report(spark: SparkSession, state_dir: str) -> DataFrame | None:
     payload, ``batch`` being the ingest batch (or streaming epoch)
     that admitted it — the frame an operator groups per-batch to
     watch corrupt-rate trends, or joins back to the staged payloads
-    to pull the bytes for offline triage. After compaction folds
-    identity dirs, folded rows report the compact dir's id (original
-    attribution lives in the compact dir's ``_sources.json``).
+    to pull the bytes for offline triage. Attribution SURVIVES
+    compaction (r16): commits carry the originating batch in a
+    ``src_batch`` data column, which folding preserves, and the
+    report coalesces it over the partition value (pre-r16 rows read
+    the column as NULL and fall back to the dir name — for those,
+    folded attribution degrades to the compact id as before, with
+    the original ids in the compact dir's ``_sources.json``).
     Returns None before any quarantined acceptance."""
     root = posixpath.join(state_dir, "quarantine_md5s")
     dirs = _committed_batch_dirs(spark, root)
@@ -1208,6 +1233,7 @@ def quarantine_report(spark: SparkSession, state_dir: str) -> DataFrame | None:
         [
             StructField("content_md5", StringType()),
             StructField("doc_id", LongType()),
+            StructField("src_batch", StringType()),
         ]
     )
     frame = spark.read.schema(schema).option("basePath", root).parquet(*dirs)
@@ -1222,7 +1248,11 @@ def quarantine_report(spark: SparkSession, state_dir: str) -> DataFrame | None:
             [], "batch string, content_md5 string, doc_id long"
         )
     return frame.select(
-        F.col("batch").cast("string"), "content_md5", "doc_id"
+        F.coalesce(
+            F.col("src_batch"), F.col("batch").cast("string")
+        ).alias("batch"),
+        "content_md5",
+        "doc_id",
     )
 
 
@@ -1289,10 +1319,18 @@ def _commit_quarantine(
     commit so the signature ``_SUCCESS`` stays the single commit
     point: a crash in between leaves the batch committed with its
     quarantine rows missing, which the resume path backfills
-    (:func:`_backfill_quarantine`)."""
+    (:func:`_backfill_quarantine`).
+
+    ``src_batch`` (r16) pins the ORIGINATING batch as a data column
+    so per-epoch attribution survives compaction — folded rows no
+    longer report the compact dir's id (quarantine_report coalesces
+    ``src_batch`` over the partition value; pre-r16 rows read as
+    NULL and fall back to the partition)."""
     accepted_md5s.join(
         accepted.select(F.col(id_col).alias("doc_id")), "doc_id"
-    ).select("content_md5", "doc_id").write.mode("overwrite").parquet(
+    ).select(
+        "content_md5", "doc_id", F.lit(bid).alias("src_batch")
+    ).write.mode("overwrite").parquet(
         posixpath.join(state_dir, "quarantine_md5s", f"batch={bid}")
     )
 
@@ -1320,7 +1358,11 @@ def _backfill_quarantine(
             F.col(binary_col).alias("_q_payload"),
         )
         .join(corrupt_staged_ids, "doc_id")
-        .select(F.md5(F.col("_q_payload")).alias("content_md5"), "doc_id")
+        .select(
+            F.md5(F.col("_q_payload")).alias("content_md5"),
+            "doc_id",
+            F.lit(bid).alias("src_batch"),
+        )
         .write.mode("overwrite")
         .parquet(posixpath.join(state_dir, "quarantine_md5s", f"batch={bid}"))
     )

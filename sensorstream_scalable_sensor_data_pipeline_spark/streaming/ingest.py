@@ -142,12 +142,12 @@ def stream_corrupt_rate(
     jump in both is upstream corruption drift.
 
     One groupBy over the tiny identity table (corrupt rows are the
-    exception at any scale). Attribution covers the window before
-    state compaction folds quarantine dirs — folded rows carry the
-    compact dir's id, not an epoch, and drop out of this view (their
-    original attribution remains in the compact dir's provenance);
-    the alarm use-case reads RECENT epochs, which are exactly the
-    unfolded ones. Returns None before any quarantined acceptance."""
+    exception at any scale). Attribution SURVIVES compaction (r16):
+    the identity commits carry their originating batch in a
+    ``src_batch`` data column that folding preserves, so folded
+    epochs stay in this view (only pre-r16 rows degrade to the
+    compact id and drop out). Returns None before any quarantined
+    acceptance."""
     import re
 
     from pyspark.sql import functions as F

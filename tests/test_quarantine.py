@@ -733,3 +733,58 @@ def test_read_quarantine_payloads_triage_join(spark, tmp_path):
         (900, hashlib.md5(CORRUPT_PNG).hexdigest(), CORRUPT_PNG),
         (901, hashlib.md5(GARBAGE).hexdigest(), GARBAGE),
     }
+
+
+def test_quarantine_report_attribution_survives_compaction(
+    spark, tmp_path
+):
+    """r16: identity commits carry src_batch, so quarantine_report
+    keeps the ORIGINAL per-batch attribution after compact_state
+    folds the identity dirs — and a pre-r16 dir (no src_batch
+    column) mixed into the same fold degrades to the compact id
+    instead of poisoning the read (explicit compaction schema)."""
+    import hashlib
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_incremental import (
+        compact_state,
+        ingest_image_batch,
+        quarantine_report,
+        read_quarantine_state,
+    )
+
+    sdir = str(tmp_path / "state")
+    for bid, blob, did in (("q1", CORRUPT_PNG, 900), ("q2", GARBAGE, 901)):
+        b = spark.createDataFrame(
+            [(did, blob)], "doc_id long, payload binary"
+        )
+        ingest_image_batch(
+            spark, b, sdir, batch_id=bid, on_error="quarantine",
+            maintain_max_batch_dirs=None,
+        ).collect()
+    # a PRE-r16 identity dir: (content_md5, doc_id) only
+    legacy = b"\x89PNG\r\n\x1a\n" + b"\x03" * 40
+    spark.createDataFrame(
+        [(hashlib.md5(legacy).hexdigest(), 902)],
+        "content_md5 string, doc_id long",
+    ).write.parquet(f"{sdir}/quarantine_md5s/batch=q0")
+
+    before = {
+        (r["batch"], r["doc_id"])
+        for r in quarantine_report(spark, sdir).collect()
+    }
+    assert before == {("q1", 900), ("q2", 901), ("q0", 902)}
+
+    assert compact_state(spark, sdir, "quarantine_md5s") == 3
+    after = {
+        (r["batch"], r["doc_id"])
+        for r in quarantine_report(spark, sdir).collect()
+    }
+    # r16 rows keep their origin; the legacy row degrades to the
+    # compact id (still present, still counted)
+    assert {("q1", 900), ("q2", 901)} <= after
+    legacy_rows = {b for b, d in after if d == 902}
+    assert len(legacy_rows) == 1 and next(iter(legacy_rows)).startswith(
+        "compact-"
+    )
+    # identity semantics intact: all three md5s still reject
+    assert read_quarantine_state(spark, sdir).count() == 3
