@@ -139,6 +139,7 @@ def query_ivf_index(
     k: int = 5,
     nprobe: int = 2,
     score: str = "auto",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Top-k cosine neighbors for a (query_id, embedding) batch from a
     persisted index: rank centroids per query (broadcast-k, window
@@ -172,9 +173,20 @@ def query_ivf_index(
       driver-measured dequantize overhead this option preserves for
       when exact dequantized-cosine parity matters).
 
-    Float-stored lists ignore ``score``."""
+    Float-stored lists ignore ``score``.
+
+    ``impl`` picks the candidate-scoring execution (r16 optimization,
+    guide §4.2): ``"arrow"`` (default) runs the per-candidate grid
+    arithmetic as NumPy over Arrow batches with a per-batch local
+    top-k (functions/arrow_scoring.py — bit-identical cosines, the
+    r16 stage profile put ~247 of this path's ~250 executor-CPU-
+    seconds in interpreted HOF lambdas at the 300k corpus);
+    ``"expr"`` keeps the fully-Catalyst expression path (the two are
+    pinned equal in tests/test_ann_index.py)."""
     if score not in ("auto", "int8", "dequant"):
         raise ValueError("score must be 'auto', 'int8' or 'dequant'")
+    if impl not in ("arrow", "expr"):
+        raise ValueError("impl must be 'arrow' or 'expr'")
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qs = queries.select(
         F.col("query_id"),
@@ -228,19 +240,51 @@ def query_ivf_index(
                 * int_dot(F.col("q_codes"), F.col("q_codes")).cast("double"),
             )
         )
-        scored = (
-            F.broadcast(bq)
-            .join(lists, "j")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("nbr_id"),
-                (
-                    (F.col("q_scale") * F.col("scale"))
-                    * int_dot(F.col("q_codes"), F.col("codes")).cast("double")
-                    / (F.sqrt(F.col("q_hn2")) * F.sqrt(F.col("n2")))
-                ).alias("cosine"),
+        if impl == "arrow":
+            # r16 (guide §4.2): the probe×query frame is the SAME
+            # driver-bounded table F.broadcast(bq) already collects to
+            # the driver; hand it to the NumPy ADC scorer instead and
+            # score whole Arrow batches (exact int64 matmul). The
+            # scorer emits per-(batch, query) top-k only, so the
+            # window exchange shrinks from every candidate to ~k rows
+            # per batch per query.
+            from sensorstream_scalable_sensor_data_pipeline_spark.functions.arrow_scoring import (
+                SCORED_SCHEMA,
+                adc_int8_scorer,
             )
+
+            scored = lists.select(
+                "j", "vec_id", "codes", "scale", "n2"
+            ).mapInArrow(adc_int8_scorer(bq.collect(), k), SCORED_SCHEMA)
+        else:
+            scored = (
+                F.broadcast(bq)
+                .join(lists, "j")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("nbr_id"),
+                    (
+                        (F.col("q_scale") * F.col("scale"))
+                        * int_dot(F.col("q_codes"), F.col("codes")).cast("double")
+                        / (F.sqrt(F.col("q_hn2")) * F.sqrt(F.col("n2")))
+                    ).alias("cosine"),
+                )
+            )
+    elif impl == "arrow":
+        # r16 (guide §4.2): same replacement for float-stored (and
+        # dequant-staged) lists — NumPy reproduces the grid arithmetic
+        # bit-exactly (functions/arrow_scoring.py module docstring).
+        from sensorstream_scalable_sensor_data_pipeline_spark.functions.arrow_scoring import (
+            SCORED_SCHEMA,
+            grid_cosine_scorer,
+        )
+
+        probe_q = probes.join(qs, "query_id").select(
+            "query_id", "j", "q_emb", "q_n2"
+        )
+        scored = lists.select("j", "vec_id", "embedding", "n2").mapInArrow(
+            grid_cosine_scorer(probe_q.collect(), k), SCORED_SCHEMA
         )
     else:
         scored = (

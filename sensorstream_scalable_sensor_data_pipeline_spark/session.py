@@ -45,7 +45,19 @@ RUNTIME_CONFS: dict[str, str] = {
     #
     # Arrow batches for mapInPandas/applyInPandas: the 10 000-record
     # default × ~110 KB payloads is ~1.1 GB per python worker batch.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    # r11-r15 pinned maxRecordsPerBatch=512 to bound that; r16 moves
+    # the bound to the BYTES knob Spark 4 added (the guide §4.2's
+    # "more direct knob"): 32 MB per batch caps wide-binary batches
+    # ~2× tighter than the 512-row pin did (512 × 110 KB ≈ 56 MB) and
+    # is the first bound that also holds for multi-MB payloads (512
+    # rows × 5 MB blobs = 2.5 GB under the old pin), while narrow
+    # numeric batches (the Arrow scoring path: 96 floats ≈ 400 B/row)
+    # can batch 10k rows instead of 512 — measured r16: the 512-row
+    # pin forced ~73 batch round-trips per serve task and left the
+    # ivf_serve_large scoring stage wait-bound after the NumPy
+    # rewrite.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(32 * 1024 * 1024),
     # Parquet vectorized-reader batch: the 4096-row default × the
     # same payloads is ~450 MB of contiguous column buffer per TASK
     # (32 concurrent tasks → heap death). 256 caps a 1 MB-payload

@@ -144,3 +144,32 @@ def load_events_range(
     if high is not None:
         df = df.filter(F.col("ts") < F.lit(high))
     return df
+
+
+def widen_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Input-parallelism hatch for under-split scans feeding heavy
+    per-row compute (optimization guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read").
+
+    The driver's synthetic tables ship as ONE parquet file with ONE
+    row group each, so every scan is a single task and all scan-side
+    compute before the first Exchange — tokenization, shingling,
+    per-row hashing, explode amplification, per-pair scoring under a
+    broadcast join — runs on one core of the whole machine. This
+    round-robins the scan output across ``min_parts`` (default
+    ``sparkContext.defaultParallelism``) partitions, but ONLY when the
+    scan provides fewer: at production scale the input is many files
+    and the hatch is a no-op, so nothing here is tuned to local mode.
+
+    Use it where the downstream per-row work dominates the one extra
+    small shuffle it introduces (the base tables are ≤ a few MB; at
+    100 TB the condition is false and no payload bytes move). Results
+    are unchanged by construction — every consumer in this engine is
+    partition-order independent (the repo-wide grid/struct-max/min-by
+    doctrine), and round-robin repartition is deterministic under
+    retries (``spark.sql.execution.sortBeforeRepartition`` default).
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
