@@ -232,3 +232,67 @@ def adc_int8_scorer(bq_rows, k: int):
                 yield rb
 
     return score
+
+
+def adc_lut_scorer(bq_rows, k: int, residual: bool):
+    """Scorer factory for PQ-coded lists (IVFPQ serving).
+
+    ``bq_rows``: collected (query_id, j, q_n2, lut[, qc]) probe rows —
+    the same frame the Catalyst path broadcasts. Returns a
+    ``mapInArrow`` function over (j, vec_id, codes, n2) emitting
+    per-batch top-k rows.
+
+    EXACTNESS NOTE — double adds are NOT associative, and the
+    Catalyst fold is ``aggregate(..., 0.0, acc + v)``: a strict
+    left-to-right sum over subspaces. NumPy's ``sum`` uses pairwise
+    summation, so the fold here is an explicit sequential loop over
+    the m subspaces (m vectorized adds), preserving the op order
+    bit-for-bit. The residual variant adds the probe row's scalar
+    ``qc`` AFTER the fold, as the expression does.
+    """
+    import numpy as np
+
+    by_j: dict[int, list] = {}
+    for r in bq_rows:
+        by_j.setdefault(int(r["j"]), []).append(
+            (
+                int(r["query_id"]),
+                np.asarray(r["lut"], dtype=np.float64),  # (m, ksub)
+                float(r["q_n2"]),
+                float(r["qc"]) if residual else 0.0,
+            )
+        )
+
+    def score(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for b in batches:
+            names = b.schema.names
+            jcol = b.column(names.index("j")).to_numpy().astype(np.int64)
+            vid = b.column(names.index("vec_id")).to_numpy().astype(np.int64)
+            n2 = b.column(names.index("n2")).to_numpy().astype(np.float64)
+            codes = _np_2d(b.column(names.index("codes")), np.int64)
+            out = []
+            for j in np.unique(jcol):
+                probes = by_j.get(int(j))
+                if not probes:
+                    continue
+                sel = jcol == j
+                C, V, N2 = codes[sel], vid[sel], n2[sel]
+                sq_n2 = np.sqrt(N2)
+                m = C.shape[1] if len(C) else 0
+                for qid, lut, qn2, qc in probes:
+                    acc = np.zeros(len(C), dtype=np.float64)
+                    for mi in range(m):  # left-to-right, like the fold
+                        acc = acc + lut[mi][C[:, mi]]
+                    if residual:
+                        acc = acc + qc
+                    cos = acc / (np.sqrt(qn2) * sq_n2)
+                    msk = V != qid
+                    ids, cs = _local_topk(qid, V[msk], cos[msk], k)
+                    out.append((np.full(len(ids), qid, dtype=np.int64), ids, cs))
+            rb = _emit(out)
+            if rb is not None:
+                yield rb
+
+    return score

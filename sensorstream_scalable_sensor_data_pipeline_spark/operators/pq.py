@@ -533,6 +533,7 @@ def query_ivfpq_index(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Top-k ADC cosine from a persisted IVFPQ index. Probe selection
     is identical to the float/SQ8 index (broadcast coarse centroids,
@@ -588,20 +589,36 @@ def query_ivfpq_index(
     bq = probes.join(qs.select("query_id", "q_n2"), "query_id").join(
         _query_luts(qs, cb, mq, dsub), "query_id"
     )
-    lut_sum = _adc_lut_sum()
-    numerator = (lut_sum + F.col("qc")) if residual else lut_sum
-    scored = (
-        F.broadcast(bq)
-        .join(lists, "j")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("nbr_id"),
-            (
-                numerator / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
-            ).alias("cosine"),
+    if impl == "arrow":
+        # r16 (guide §4.2): the probe×LUT frame is the same
+        # driver-bounded table F.broadcast(bq) collects anyway; hand
+        # it to the NumPy ADC-LUT scorer (sequential subspace fold —
+        # bit-identical to the Catalyst aggregate; see
+        # functions/arrow_scoring.py) and score whole Arrow batches,
+        # emitting per-(batch, query) top-k only.
+        from sensorstream_scalable_sensor_data_pipeline_spark.functions.arrow_scoring import (
+            SCORED_SCHEMA,
+            adc_lut_scorer,
         )
-    )
+
+        scored = lists.select("j", "vec_id", "codes", "n2").mapInArrow(
+            adc_lut_scorer(bq.collect(), k, residual), SCORED_SCHEMA
+        )
+    else:
+        lut_sum = _adc_lut_sum()
+        numerator = (lut_sum + F.col("qc")) if residual else lut_sum
+        scored = (
+            F.broadcast(bq)
+            .join(lists, "j")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("nbr_id"),
+                (
+                    numerator / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
+                ).alias("cosine"),
+            )
+        )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
     )

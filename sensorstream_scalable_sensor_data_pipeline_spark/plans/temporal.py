@@ -51,7 +51,10 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.asof import (
     resample_locf,
 )
 from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
-from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
+from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import (
+    load_table,
+    widen_scan,
+)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +124,11 @@ def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica so timestamps stay distinct), and all even user_ids folded
     onto key 0 — one key carries ~50 % of all rows. Scan-side explode,
     no shuffle."""
-    ev = _events(spark, sf_dir)
+    # r16 (guide §2.5): the events scan is ONE task, so the ×256
+    # explode below (25.6 M rows at sf0.1) was generated on one core
+    # — repartition the 100k base rows first (tiny shuffle) so the
+    # amplification runs machine-wide. No-op on multi-split scans.
+    ev = widen_scan(_events(spark, sf_dir))
     amplified = ev.select(
         "event_id",
         "user_id",

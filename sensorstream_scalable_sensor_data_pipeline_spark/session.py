@@ -156,6 +156,23 @@ def get_spark(
     # term only, never semantics).
     for k, v in ALLOCATOR_PINS.items():
         builder = builder.config(k, v)
+    # Worker-daemon preload (r16): fork Python workers from a daemon
+    # that has already imported numpy/pyarrow/pandas, so 32 cold
+    # workers stop paying (and contending on) those imports per JVM —
+    # see functions/preload_daemon.py for the measured effect. The
+    # repo root rides along on the worker PYTHONPATH (merged, not
+    # replaced, with Spark's own python path) so the module resolves
+    # in `python -m` regardless of the caller's environment. Static
+    # confs; wall-clock only, never semantics.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _existing_pp = os.environ.get("PYTHONPATH", "")
+    builder = builder.config(
+        "spark.python.daemon.module",
+        "sensorstream_scalable_sensor_data_pipeline_spark.functions.preload_daemon",
+    ).config(
+        "spark.executorEnv.PYTHONPATH",
+        f"{_pkg_root}:{_existing_pp}" if _existing_pp else _pkg_root,
+    )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
