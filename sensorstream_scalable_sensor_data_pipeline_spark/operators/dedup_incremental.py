@@ -2227,8 +2227,17 @@ def ingest_fuzzy_batch(
         batch, id_col, text_col, shingle_df=sh
     ).persist()
     sigs.count()
-    bands = bands_from_sigs(sigs, id_col).persist()
-    bands.count()
+    # bands are a PURE PROJECTION of the persisted sigs (md5 over the
+    # band slice — no shuffle, no tokenization), so each consumer
+    # recomputes them from the sig cache instead of holding a third
+    # persist: the r13 race doctrine protects expensive shared
+    # lineage, and the expensive lineage here is already pinned by
+    # the sigs cache. Dropping the persist+eager-count removes one
+    # job (and its whole-stage codegen compile, ~2 s of every cold
+    # JVM's wall — the r16 profile measured this head
+    # codegen-latency-bound: uniform ~2 s task blocks at ~10 ms task
+    # CPU across its protocol jobs).
+    bands = bands_from_sigs(sigs, id_col)
     try:
         # within-batch: candidates -> exact Jaccard -> closure
         cands = minhash_lsh_candidates(
@@ -2273,4 +2282,3 @@ def ingest_fuzzy_batch(
     finally:
         sh.unpersist()
         sigs.unpersist()
-        bands.unpersist()
