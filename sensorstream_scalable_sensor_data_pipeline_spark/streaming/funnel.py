@@ -117,12 +117,14 @@ def stream_funnel(
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                ts = pd.to_datetime(pdf["_ts"])
-                try:
-                    ts = ts.dt.tz_localize(None)
-                except TypeError:
-                    pass
-                us = ts.astype("datetime64[us]").astype("int64").to_numpy()
+                # r16: ``Series.values`` on a datetime column yields
+                # datetime64[ns] (UTC-normalized when tz-aware) — the
+                # same epoch the previous pd.to_datetime +
+                # tz_localize(None) chain produced, without the two
+                # per-GROUP pandas calls (this function runs once per
+                # key per micro-batch; per-group Python overhead is
+                # the head's dominant cost — guide §4.5).
+                us = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
                 p_ts.extend(int(t) for t in us)
                 p_step.extend(int(s) for s in pdf["_step"].to_numpy())
         wm_us = gs.getCurrentWatermarkMs() * 1000
@@ -173,10 +175,14 @@ def stream_funnel(
                 gs.setTimeoutTimestamp(gs.getCurrentWatermarkMs() + 1)
         else:
             gs.remove()
-        data = {on: [key[0]] * len(out_rows)}
-        for i in range(n):
-            data[f"ts_us_{i}"] = [c[i] for c in out_rows]
-        yield pd.DataFrame(data)
+        # r16: yield NOTHING for the (majority) no-output groups —
+        # constructing an empty pandas DataFrame per key per
+        # micro-batch was pure per-group overhead (guide §4.5).
+        if out_rows:
+            data = {on: [key[0]] * len(out_rows)}
+            for i in range(n):
+                data[f"ts_us_{i}"] = [c[i] for c in out_rows]
+            yield pd.DataFrame(data)
 
     return tagged.groupBy(on).applyInPandasWithState(
         update,
