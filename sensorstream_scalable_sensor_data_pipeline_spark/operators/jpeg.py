@@ -202,39 +202,127 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
     return {v: (c, l) for (l, c), v in _huff_decode_table(bits, vals).items()}
 
 
+class _HuffTable:
+    """Canonical Huffman DECODE table in min/max-code form (T.81
+    Annex F, figure F.16) — r16 optimization round. The decoder used
+    to probe a dict keyed by ``(length, code)`` once per candidate
+    length; tuple hashing made that the hottest line of every JPEG
+    decode. Canonical codes of each length are CONSECUTIVE integers
+    ``[mincode[l], maxcode[l]]``, so containment is two int compares
+    and the symbol is ``vals[delta[l] + code]`` — the accept/reject
+    set is exactly the dict's key set, including for malformed DHTs
+    (both are built by the identical canonical fill; the mincode
+    bound matters there — an overflowing BITS array can make
+    ``code <= maxcode[l]`` true for codes the dict never contained).
+    A DHT whose BITS counts overrun its VALS list raises the same
+    ``IndexError`` the dict build hit on ``vals[i]`` (normalized to
+    the malformed-payload ``ValueError`` by the decode wrapper)."""
+
+    __slots__ = ("mincode", "maxcode", "delta", "vals")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        mincode = [0] * 17
+        maxcode = [-1] * 17
+        delta = [0] * 17
+        code = 0
+        i = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                mincode[length] = code
+                delta[length] = i - code
+                code += n
+                maxcode[length] = code - 1
+                i += n
+            code <<= 1
+        if i > len(vals):
+            raise IndexError("DHT VALS shorter than its BITS counts")
+        self.mincode = mincode
+        self.maxcode = maxcode
+        self.delta = delta
+        self.vals = list(vals[:i])
+
+
+#: Annex-K standard decode tables, built ONCE at import (r16
+#: optimization round: the default_huffman path — every DHT-less MJPEG
+#: frame — was rebuilding all four tables per decode). Shared
+#: read-only by every decode; per-payload DHT segments still build
+#: their own.
+_STD_DC_TABLES = {
+    0: _HuffTable(*_STD_DC_LUMA),
+    1: _HuffTable(*_STD_DC_CHROMA),
+}
+_STD_AC_TABLES = {
+    0: _HuffTable(*_STD_AC_LUMA),
+    1: _HuffTable(*_STD_AC_CHROMA),
+}
+
+
 class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00 unstuffing
     and RSTn awareness (scan segments are split on restarts before
-    reading, so the reader itself never sees markers)."""
+    reading, so the reader itself never sees markers).
+
+    r16 optimization round: bit-by-bit byte indexing (~1 µs/bit of
+    pure interpreter work, the measured hot path of every JPEG/MJPEG
+    decode) is replaced by windowed extraction — one
+    ``int.from_bytes`` over at most 5 bytes yields up to 40 bits, so
+    a whole Huffman code or magnitude field is one slice + shift +
+    mask. Bit semantics are unchanged and pinned by the pixel-exact
+    fixtures: reads are MSB-first from ``bitpos``, exhaustion raises
+    the moment a needed bit lies beyond the last byte (trailing
+    padding bits inside the final byte remain readable), and
+    exhaustion-vs-invalid-code priority inside ``read_huff`` matches
+    the old per-bit order."""
+
+    __slots__ = ("data", "nbits", "bitpos")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.nbits = len(data) * 8
+        self.bitpos = 0
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
+        bp = self.bitpos
+        if bp >= self.nbits:
             raise ValueError("JPEG entropy stream exhausted mid-symbol")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        self.bitpos = bp + 1
+        return (self.data[bp >> 3] >> (7 - (bp & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        bp = self.bitpos
+        end = bp + n
+        if end > self.nbits:
+            raise ValueError("JPEG entropy stream exhausted mid-symbol")
+        byte = bp >> 3
+        off = bp & 7
+        # ceil((off + n) / 8) bytes cover the field; n <= 16 in every
+        # caller (Huffman magnitude categories), so 5 bytes always do.
+        window = int.from_bytes(self.data[byte : byte + ((off + n + 7) >> 3)],
+                                "big")
+        self.bitpos = end
+        return (window >> (((off + n + 7) & ~7) - off - n)) & ((1 << n) - 1)
 
-    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
+    def read_huff(self, table: "_HuffTable") -> int:
+        bp = self.bitpos
+        byte = bp >> 3
+        off = bp & 7
+        chunk = self.data[byte : byte + 5]
+        window = int.from_bytes(chunk, "big")
+        shift = len(chunk) * 8 - off  # == bits available in the window
+        mincode = table.mincode
+        maxcode = table.maxcode
         for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            if length > shift:
+                # needing a bit beyond the stream end — the same
+                # condition (and message) the per-bit reader raised
+                raise ValueError("JPEG entropy stream exhausted mid-symbol")
+            code = (window >> (shift - length)) & ((1 << length) - 1)
+            if mincode[length] <= code <= maxcode[length]:
+                self.bitpos = bp + length
+                return table.vals[table.delta[length] + code]
         raise ValueError("invalid JPEG Huffman code")
 
 
@@ -318,7 +406,7 @@ def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarr
                 bits = list(seg[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(seg[o + 17 : o + 17 + n])
-                tab = _huff_decode_table(bits, vals)
+                tab = _HuffTable(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 o += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
@@ -354,10 +442,10 @@ def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarr
                 raise ValueError("JPEG SOS before SOF")
             if frame.get("progressive"):
                 if default_huffman:
-                    for tid, spec in ((0, _STD_DC_LUMA), (1, _STD_DC_CHROMA)):
-                        dc_tabs.setdefault(tid, _huff_decode_table(*spec))
-                    for tid, spec in ((0, _STD_AC_LUMA), (1, _STD_AC_CHROMA)):
-                        ac_tabs.setdefault(tid, _huff_decode_table(*spec))
+                    for tid, tab in _STD_DC_TABLES.items():
+                        dc_tabs.setdefault(tid, tab)
+                    for tid, tab in _STD_AC_TABLES.items():
+                        ac_tabs.setdefault(tid, tab)
                 return _decode_progressive(
                     payload, pos - 2, frame, qt, dc_tabs, ac_tabs,
                     restart_interval,
@@ -379,10 +467,10 @@ def _decode_jpeg_impl(payload: bytes, default_huffman: bool = False) -> np.ndarr
                     raise ValueError("JPEG SOS component ids != SOF ids")
             data_start = pos + seglen
             if default_huffman:
-                for tid, spec in ((0, _STD_DC_LUMA), (1, _STD_DC_CHROMA)):
-                    dc_tabs.setdefault(tid, _huff_decode_table(*spec))
-                for tid, spec in ((0, _STD_AC_LUMA), (1, _STD_AC_CHROMA)):
-                    ac_tabs.setdefault(tid, _huff_decode_table(*spec))
+                for tid, tab in _STD_DC_TABLES.items():
+                    dc_tabs.setdefault(tid, tab)
+                for tid, tab in _STD_AC_TABLES.items():
+                    ac_tabs.setdefault(tid, tab)
             return _decode_scan(
                 payload, data_start, frame, scan_tabs, qt, dc_tabs, ac_tabs,
                 restart_interval,
@@ -587,9 +675,7 @@ def _decode_progressive(payload, pos, frame, qt, dc_tabs, ac_tabs, dri):
                 bits = list(seg[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(seg[o + 17 : o + 17 + n])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
-                    bits, vals
-                )
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(bits, vals)
                 o += 17 + n
         elif marker == 0xDD:
             (dri,) = struct.unpack_from(">H", seg, 0)

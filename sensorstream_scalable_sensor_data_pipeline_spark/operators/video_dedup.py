@@ -117,20 +117,30 @@ def with_frame_phashes(
             for doc_id, payload in zip(
                 pdf[id_col].astype("int64"), pdf[binary_col]
             ):
+                # frame_step pushes the every_n sampling INTO the
+                # container decode (r16 optimization round): unsampled
+                # MJPEG frames skip their Huffman/IDCT work outright,
+                # so decode cost is proportional to frames hashed, not
+                # frames stored. Sampled indices are j*every_n — the
+                # same fi sequence the old full-decode loop emitted.
                 if quarantine:
                     try:
-                        frames, _fps = decode_avi_frames(payload)
+                        frames, _fps = decode_avi_frames(
+                            payload, frame_step=every_n
+                        )
                     except MALFORMED_PAYLOAD_ERRORS:
                         continue  # quarantined: no frame rows
                 else:
-                    frames, _fps = decode_avi_frames(payload)
-                for fi in range(0, frames.shape[0], every_n):
+                    frames, _fps = decode_avi_frames(
+                        payload, frame_step=every_n
+                    )
+                for j in range(frames.shape[0]):
                     ids.append(int(doc_id))
-                    idxs.append(fi)
+                    idxs.append(j * every_n)
                     # gray once: the ptp gate and the hash share the
                     # h*w*3 luma matmul (phash64_pixels passes 2-D
                     # arrays through _to_gray unchanged)
-                    gray = _to_gray(frames[fi])
+                    gray = _to_gray(frames[j])
                     degenerate = np.ptp(gray) <= _DEGENERATE_PTP
                     hs.append(None if degenerate else phash64_pixels(gray))
             yield pd.DataFrame(

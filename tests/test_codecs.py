@@ -1189,3 +1189,27 @@ def test_bmp_rle8_overflow_run_is_clipped_not_crash():
     stream = bytes([3, 1, 4, 1, 0, 0, 0, 1])  # 3+4 px into a 2-px row
     img = decode_bmp(_bmp_rle(2, 1, 8, 2, pal, stream))
     assert [p[0] for p in img[0]] == [9, 9]
+
+
+def test_avi_frame_step_matches_full_decode_slice():
+    """frame_step=k decodes exactly the frames the full decode yields
+    at indices 0, k, 2k, ... — bit-identical — for both AVI codecs
+    (r16 optimization round: sampling callers skip unsampled frames'
+    decode work, so the sampled subset must stay exact)."""
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = _frames(12, 8, 10, seed=77)
+    for codec, kwargs in [("dib", {}), ("mjpg", {"quality": 85})]:
+        payload = encode_avi(frames, fps=10, codec=codec, **kwargs)
+        full, fps_full = decode_avi_frames(payload)
+        for step in (1, 2, 3, 4, 5, 12, 99):
+            sampled, fps = decode_avi_frames(payload, frame_step=step)
+            assert fps == fps_full
+            assert np.array_equal(sampled, full[::step]), (codec, step)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_avi_frames(encode_avi(frames, fps=10), frame_step=0)
