@@ -46,6 +46,7 @@ def main() -> None:
     )
 
     load_table(spark, sf_dir, "region").count()
+    bench._python_warmup(spark)
     if name.startswith("stream_"):
         bench._stream_warmup(spark)
     if setup is not None:

@@ -325,6 +325,41 @@ class _BitReader:
                 return table.vals[table.delta[length] + code]
         raise ValueError("invalid JPEG Huffman code")
 
+    def read_code_mag(self, table: "_HuffTable") -> tuple[int, int]:
+        """BASELINE-AC fast path: one window peek yields the Huffman
+        RS symbol AND its ``s = rs & 0xF``-bit raw magnitude field —
+        the pair every baseline AC coefficient consumes back-to-back
+        (T.81 F.2.2.2), saving a second slice + ``from_bytes`` per
+        coefficient in the decode's hottest loop. Consumes exactly
+        ``codelen + (rs & 0xF)`` bits: for EOB/ZRL (s == 0) that is
+        the code alone, identical to the two-step read. NOT valid for
+        DC (magnitude width is the full symbol, which a malformed DHT
+        can push past 15) or progressive AC (s == 0 consumes r EOBRUN
+        bits instead) — both keep the two-step reads. Worst case
+        7 + 16 + 15 = 38 bits fit the 9-byte window."""
+        bp = self.bitpos
+        byte = bp >> 3
+        off = bp & 7
+        chunk = self.data[byte : byte + 9]
+        window = int.from_bytes(chunk, "big")
+        shift = len(chunk) * 8 - off
+        mincode = table.mincode
+        maxcode = table.maxcode
+        for length in range(1, 17):
+            if length > shift:
+                raise ValueError("JPEG entropy stream exhausted mid-symbol")
+            code = (window >> (shift - length)) & ((1 << length) - 1)
+            if mincode[length] <= code <= maxcode[length]:
+                sym = table.vals[table.delta[length] + code]
+                end = length + (sym & 0xF)
+                if end > shift:
+                    raise ValueError(
+                        "JPEG entropy stream exhausted mid-symbol"
+                    )
+                self.bitpos = bp + end
+                return sym, (window >> (shift - end)) & ((1 << (sym & 0xF)) - 1)
+        raise ValueError("invalid JPEG Huffman code")
+
 
 def _extend(v: int, t: int) -> int:
     """JPEG F.2.2.1 sign extension of a t-bit magnitude."""
@@ -523,14 +558,22 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
                     raise ValueError("JPEG component references missing DQT")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
+                        # zigzag coefficients in a plain list: scalar
+                        # stores into an int64 ndarray cost ~3× a list
+                        # slot, and the array round-trip below is one
+                        # C call either way (r16 optimization round —
+                        # same integers, same order)
+                        zz = [0] * 64
                         t = reader.read_huff(dct_tab)
                         diff = _extend(reader.read_bits(t), t)
                         pred[ci] += diff
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = reader.read_huff(act_tab)
+                            # fused code+magnitude read (one window
+                            # peek per AC coefficient); bit-for-bit
+                            # the old read_huff + read_bits sequence
+                            rs, mag = reader.read_code_mag(act_tab)
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
                                 if r == 15:  # ZRL: 16 zeros
@@ -540,7 +583,12 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG AC index overrun")
-                            zz[k] = _extend(reader.read_bits(s), s)
+                            # inline _extend (F.2.2.1 sign extension)
+                            zz[k] = (
+                                mag
+                                if mag >= (1 << (s - 1))
+                                else mag - (1 << s) + 1
+                            )
                             k += 1
                         coeff = np.zeros(64, np.int64)
                         coeff[_ZIGZAG] = zz
