@@ -85,12 +85,10 @@ def stream_rolling_zscore(
             # yielding nothing is valid (and type-agnostic on the key)
             return
         batch = pd.concat(frames, ignore_index=True)
-        ts = pd.to_datetime(batch[time_col])
-        try:
-            ts = ts.dt.tz_localize(None)
-        except TypeError:
-            pass
-        us = ts.astype("datetime64[us]").astype("int64").to_numpy()
+        # r16: same per-group pandas trim as stream_funnel — .values
+        # is the to_datetime+tz_localize(None) epoch without the two
+        # per-group calls (guide §4.5)
+        us = batch[time_col].values.astype("datetime64[us]").astype("int64")
         vals = batch[value_col].astype("float64").to_numpy()
         order = np.argsort(us, kind="stable")
         out_us, out_v, out_z, out_flag = [], [], [], []

@@ -129,15 +129,19 @@ def stream_latest_state(
         for p in pdfs:
             if len(p) == 0:
                 continue
-            s = pd.to_datetime(p[time_col])
-            try:
-                s = s.dt.tz_localize(None)  # tz-aware → naive UTC
-            except TypeError:
-                pass  # already naive
-            us = s.astype("datetime64[us]").astype("int64")
-            i = us.idxmax()
+            # r16: ``Series.values`` on a datetime column yields
+            # datetime64[ns] (UTC-normalized when tz-aware) — same
+            # epoch as the old pd.to_datetime + tz_localize(None)
+            # chain without two per-GROUP pandas calls; argmax is
+            # idxmax on the chunk's RangeIndex (first max either
+            # way). Guide §4.5: this runs once per key per batch.
+            us = p[time_col].values.astype("datetime64[us]").astype("int64")
+            i = int(us.argmax())
             if best_us is None or int(us[i]) > best_us:
-                best_us, best_v = int(us[i]), float(p[value_col][i])
+                best_us, best_v = (
+                    int(us[i]),
+                    float(p[value_col].to_numpy()[i]),
+                )
         state.update((best_us, best_v))
         yield pd.DataFrame(
             {on: [key[0]], "ts_us": [best_us], value_col: [best_v]}
@@ -346,12 +350,10 @@ def stream_asof_join(
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                ts = pd.to_datetime(pdf["_ts"])
-                try:
-                    ts = ts.dt.tz_localize(None)
-                except TypeError:
-                    pass
-                us = ts.astype("datetime64[us]").astype("int64").to_numpy()
+                # r16: same per-group pandas trim as stream_funnel —
+                # .values is the to_datetime+tz_localize(None) epoch
+                # without the two per-group calls (guide §4.5)
+                us = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
                 is_state = pdf["_is_state"].to_numpy()
                 s_ts.extend(int(t) for t in us[is_state])
                 s_v.extend(float(v) for v in pdf["_sv"].to_numpy()[is_state])
@@ -409,14 +411,18 @@ def stream_asof_join(
                 gs.setTimeoutTimestamp(gs.getCurrentWatermarkMs() + 1)
         else:
             gs.remove()
-        yield pd.DataFrame(
-            {
-                on: [key[0]] * len(out_ids),
-                id_col: out_ids,
-                "ts_us": out_ts,
-                value_col: out_v,
-            }
-        )
+        # r16: yield NOTHING for no-output groups — an empty pandas
+        # DataFrame per key per micro-batch was pure per-group
+        # overhead (guide §4.5; same trim as stream_funnel)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    on: [key[0]] * len(out_ids),
+                    id_col: out_ids,
+                    "ts_us": out_ts,
+                    value_col: out_v,
+                }
+            )
 
     return tagged.groupBy(on).applyInPandasWithState(
         update,
