@@ -78,6 +78,21 @@ def main() -> None:
                tmp.asof_join_skewed_bucketed_head(spark, sf))
     tmp.widen_scan = widen_scan
 
+    # --- decode-path heads (decontaminate_video, dedup_phash) ------
+    # The r16 change here is PER-TASK work (guide §4.2: faster JPEG
+    # entropy decode + frame-step sampling inside the mapInPandas
+    # functions) — the physical plan is deliberately unchanged, and
+    # identical before/after files are the evidence for that claim.
+    # The MapInPandas/ArrowEvalPython nodes are where the win lives.
+    import sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal as mm
+
+    mm.decontaminate_video_head_setup(spark, sf)
+    mm.dedup_phash_head_setup(spark, sf)
+    for which in ("before", "after"):
+        _write("decontaminate_video", which,
+               mm.decontaminate_video_head(spark, sf))
+        _write("dedup_phash", which, mm.dedup_phash_head(spark, sf))
+
     spark.stop()
 
 
