@@ -85,12 +85,29 @@ def main() -> None:
     # identical before/after files are the evidence for that claim.
     # The MapInPandas/ArrowEvalPython nodes are where the win lives.
     import sensorstream_scalable_sensor_data_pipeline_spark.plans.multimodal as mm
+    from pyspark.sql import functions as F
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.video_dedup import (
+        decontaminate_videos,
+    )
 
     mm.decontaminate_video_head_setup(spark, sf)
     mm.dedup_phash_head_setup(spark, sf)
     for which in ("before", "after"):
-        _write("decontaminate_video", which,
-               mm.decontaminate_video_head(spark, sf))
+        # the head itself wraps the pipeline in an eager closed-form
+        # assertion (its returned frame is a 1-row local relation), so
+        # capture the UNasserted pipeline the head times: the survivor
+        # aggregate over decontaminate_videos
+        corpus = mm._read_corpus(spark, sf, "video", mm._video_corpus)
+        ev = mm._read_corpus(spark, sf, "video_eval", mm._video_eval_corpus)
+        clean = decontaminate_videos(corpus, ev, "doc_id", "payload", every_n=2)
+        _write(
+            "decontaminate_video", which,
+            clean.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.length("payload")).alias("bytes_kept"),
+            ),
+        )
         _write("dedup_phash", which, mm.dedup_phash_head(spark, sf))
 
     spark.stop()
