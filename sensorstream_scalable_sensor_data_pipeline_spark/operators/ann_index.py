@@ -71,7 +71,12 @@ def build_ivf_index(
         ivf_train,
     )
 
-    cent = spark.createDataFrame(
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+        tiny_local_frame,
+    )
+
+    cent = tiny_local_frame(
+        spark,
         ivf_train(spark, emb, k, sample_per_mille=sample_per_mille),
         "j int, c array<double>",
     )

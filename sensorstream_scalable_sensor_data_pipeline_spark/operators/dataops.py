@@ -131,7 +131,12 @@ def validate_expectations(
         (r.name, int(row["_n"]), int(row[f"_v{i}"] or 0))
         for i, r in enumerate(rules)
     ]
-    return spark.createDataFrame(
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+        tiny_local_frame,
+    )
+
+    return tiny_local_frame(
+        df.sparkSession,
         [(n, t, v, v == 0) for n, t, v in report],
         "rule string, n_rows long, n_violations long, passed boolean",
     )

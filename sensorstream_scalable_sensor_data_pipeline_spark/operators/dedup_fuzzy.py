@@ -409,7 +409,14 @@ def _union_find_components(edges: list[tuple], spark) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "doc_id long, rep long")
+    # one-slice local frame (r16): the default createDataFrame split
+    # this closure result into defaultParallelism Python-RDD slices —
+    # 32 worker launches inside every dedup head's final action
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+        tiny_local_frame,
+    )
+
+    return tiny_local_frame(spark, rows, "doc_id long, rep long")
 
 
 def dup_components(

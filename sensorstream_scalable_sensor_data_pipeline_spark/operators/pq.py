@@ -69,6 +69,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+    tiny_local_frame,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
     GRID,
     grid_dot,
@@ -183,7 +186,8 @@ def train_pq(
         for ci, v in seed_vecs.items()
         for mi in range(m)
     }
-    cb0 = spark.createDataFrame(
+    cb0 = tiny_local_frame(
+        spark,
         [(mi, ci, c) for (mi, ci), c in sorted(seeds.items())],
         "m int, ci int, c array<double>",
     )
@@ -248,8 +252,8 @@ def _check_codebook_dim(df: DataFrame, col: str, m: int, dsub: int) -> None:
 
 
 def codebook_df(spark: SparkSession, codebook: list) -> DataFrame:
-    return spark.createDataFrame(
-        codebook, "m int, ci int, c array<double>, sq double"
+    return tiny_local_frame(
+        spark, codebook, "m int, ci int, c array<double>, sq double"
     )
 
 
@@ -322,7 +326,7 @@ def build_ivfpq_index(
     )
 
     cent_rows = ivf_train(spark, emb, k, sample_per_mille=sample_per_mille)
-    cent = spark.createDataFrame(cent_rows, "j int, c array<double>")
+    cent = tiny_local_frame(spark, cent_rows, "j int, c array<double>")
     assigned = (
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
@@ -357,8 +361,8 @@ def build_ivfpq_index(
                 ]
                 sq = sum(int(_floor(x * x * _GRID)) for x in joint) / _GRID
                 jsq_rows.append((int(j), mi, ci, sq))
-        jsq = spark.createDataFrame(
-            jsq_rows, "j int, m int, ci int, jsq double"
+        jsq = tiny_local_frame(
+            spark, jsq_rows, "j int, m int, ci int, jsq double"
         )
         n2 = (
             coded.join(assigned, "vec_id")

@@ -82,7 +82,12 @@ def assign_clusters(
         raise ValueError("probes must be >= 1")
     if with_dist and probes != 1:
         raise ValueError("with_dist supports only probes=1")
-    cent = spark.createDataFrame(
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+        tiny_local_frame,
+    )
+
+    cent = tiny_local_frame(
+        spark,
         ivf_train(spark, emb, k, sample_per_mille=sample_per_mille),
         "j int, c array<double>",
     )

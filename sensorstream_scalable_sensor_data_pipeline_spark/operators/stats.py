@@ -108,6 +108,10 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         (a, b, row[f"_c{i}"], row[f"_n{i}"])
         for i, (a, b) in enumerate(pairs)
     ]
-    return spark.createDataFrame(
-        out, "col_a string, col_b string, corr double, n long"
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+        tiny_local_frame,
+    )
+
+    return tiny_local_frame(
+        spark, out, "col_a string, col_b string, corr double, n long"
     )

@@ -32,6 +32,9 @@ from sensorstream_scalable_sensor_data_pipeline_spark.operators.dedup_fuzzy impo
     simhash_md5,
     with_shingles,
 )
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+    tiny_local_frame,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
@@ -548,7 +551,7 @@ def ingest_incremental_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .first()
         )
-        return spark.createDataFrame([row], "n_kept long, id_sum long")
+        return tiny_local_frame(spark, [row], "n_kept long, id_sum long")
     finally:
         shutil.rmtree(sdir, ignore_errors=True)
 
@@ -632,7 +635,7 @@ def stream_ingest_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .first()
         )
-        return spark.createDataFrame([row], "n_kept long, id_sum long")
+        return tiny_local_frame(spark, [row], "n_kept long, id_sum long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -724,8 +727,10 @@ def ingest_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_synth == 0, f"{n_synth} re-delivered ids survived"
         total = read_accepted(spark, sdir).count()
         assert total == n1 + n2, (total, n1, n2)
-        return spark.createDataFrame(
-            [(n1, n2, total)], "accepted_b1 long, accepted_b2 long, corpus long"
+        return tiny_local_frame(
+            spark,
+            [(n1, n2, total)],
+            "accepted_b1 long, accepted_b2 long, corpus long",
         )
     finally:
         shutil.rmtree(sdir, ignore_errors=True)
@@ -897,6 +902,6 @@ def ingest_fuzzy_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .first()
         )
-        return spark.createDataFrame([row], "n_kept long, id_sum long")
+        return tiny_local_frame(spark, [row], "n_kept long, id_sum long")
     finally:
         shutil.rmtree(sdir, ignore_errors=True)

@@ -833,7 +833,12 @@ def _asserted_survivor_summary(
             f"(expected {expected_kept}), id_sum {row['id_sum']} "
             f"(expected {expected_id_sum})"
         )
-    return clean.sparkSession.createDataFrame(
+    from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+        tiny_local_frame,
+    )
+
+    return tiny_local_frame(
+        clean.sparkSession,
         [(row["n_kept"], row["id_sum"], row["bytes_kept"])],
         "n_kept long, id_sum long, bytes_kept long",
     )

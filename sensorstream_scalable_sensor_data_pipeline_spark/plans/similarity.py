@@ -28,6 +28,9 @@ from sensorstream_scalable_sensor_data_pipeline_spark.functions.vectors import (
     grid_dot,
     grid_dot_sql,
 )
+from sensorstream_scalable_sensor_data_pipeline_spark.functions.localframe import (
+    tiny_local_frame,
+)
 from sensorstream_scalable_sensor_data_pipeline_spark.plans.registry import query
 from sensorstream_scalable_sensor_data_pipeline_spark.sources.tables import load_table
 
@@ -259,8 +262,8 @@ def ivf_train(
             ivf_seed_sampled_frame(base, k).collect(), key=lambda r: r["_b"]
         )
         seeds = {j: [float(x) for x in r["e"]] for j, r in enumerate(rows)}
-    cent0 = spark.createDataFrame(
-        sorted(seeds.items()), "j int, c array<double>"
+    cent0 = tiny_local_frame(
+        spark, sorted(seeds.items()), "j int, c array<double>"
     )
     # Argmin as a min_by aggregate (ties → smaller j via struct
     # ordering): partial aggregation collapses the ×k fan-out map-side,
@@ -387,8 +390,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to scan bandwidth — every pass here re-reads through
     whatever cache the session holds."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = spark.createDataFrame(
-        ivf_train(spark, emb), "j int, c array<double>"
+    cent = tiny_local_frame(
+        spark, ivf_train(spark, emb), "j int, c array<double>"
     )
     qs, corpus = _queries_and_corpus(spark, sf_dir)
 
