@@ -35,6 +35,10 @@ def tiny_local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     well-typed rows these call sites pass.
     """
     rows = rows if isinstance(rows, list) else list(rows)
-    if not rows:
+    sc = getattr(spark, "sparkContext", None)
+    if not rows or sc is None:
+        # empty frame (no job shape to pin), or a stub session without
+        # a context (the pure-unit property tests drive closure code
+        # through a fake that only records createDataFrame calls)
         return spark.createDataFrame(rows, schema)
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    return spark.createDataFrame(sc.parallelize(rows, 1), schema)
