@@ -123,10 +123,12 @@ def stream_funnel(
                 # tz_localize(None) chain produced, without the two
                 # per-GROUP pandas calls (this function runs once per
                 # key per micro-batch; per-group Python overhead is
-                # the head's dominant cost — guide §4.5).
+                # the head's dominant cost — guide §4.5). r17:
+                # ``.tolist()`` — one C loop to Python ints instead of
+                # an interpreted genexpr of ``int()`` calls.
                 us = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
-                p_ts.extend(int(t) for t in us)
-                p_step.extend(int(s) for s in pdf["_step"].to_numpy())
+                p_ts.extend(us.tolist())
+                p_step.extend(pdf["_step"].to_numpy().tolist())
         wm_us = gs.getCurrentWatermarkMs() * 1000
 
         def get_chain(i):
@@ -136,10 +138,19 @@ def stream_funnel(
         def set_chain(i, chain):
             b_flat[offs[i] : offs[i] + i + 1] = chain
 
-        ready = sorted(
-            (t, s) for t, s in zip(p_ts, p_step) if t < wm_us
-        )
-        keep = [(t, s) for t, s in zip(p_ts, p_step) if t >= wm_us]
+        # r17: one pass splits pending into ready/keep (was two zip
+        # comprehensions + two more in gs.update); same tuple order,
+        # same sort.
+        ready = []
+        keep_ts: list = []
+        keep_st: list = []
+        for t, s in zip(p_ts, p_step):
+            if t < wm_us:
+                ready.append((t, s))
+            else:
+                keep_ts.append(t)
+                keep_st.append(s)
+        ready.sort()
         out_rows = []
         for t, s in ready:
             if s == 0:
@@ -163,11 +174,9 @@ def stream_funnel(
                 if c is not None and c[0] < wm_us - within_us:
                     set_chain(i, [NO_CHAIN] * (i + 1))
         alive = any(get_chain(i) is not None for i in range(n - 1))
-        if keep or alive:
-            gs.update(
-                ([t for t, _ in keep], [s for _, s in keep], b_flat)
-            )
-            if keep or (within_us is not None and alive):
+        if keep_ts or alive:
+            gs.update((keep_ts, keep_st, b_flat))
+            if keep_ts or (within_us is not None and alive):
                 # pending events need finalizing when the watermark
                 # advances; with a span bound, live chains eventually
                 # die and the key's state should clear without

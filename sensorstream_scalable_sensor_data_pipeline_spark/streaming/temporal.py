@@ -346,19 +346,26 @@ def stream_asof_join(
         p_ids, p_ts, s_ts, s_v = (
             [list(x) for x in gs.get] if gs.exists else ([], [], [], [])
         )
+        new_state_rows = False
         if not gs.hasTimedOut:
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
                 # r16: same per-group pandas trim as stream_funnel —
                 # .values is the to_datetime+tz_localize(None) epoch
-                # without the two per-group calls (guide §4.5)
+                # without the two per-group calls (guide §4.5). r17:
+                # ``.tolist()`` — one C loop to Python scalars instead
+                # of interpreted genexprs of int()/float() calls.
                 us = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
                 is_state = pdf["_is_state"].to_numpy()
-                s_ts.extend(int(t) for t in us[is_state])
-                s_v.extend(float(v) for v in pdf["_sv"].to_numpy()[is_state])
-                p_ts.extend(int(t) for t in us[~is_state])
-                p_ids.extend(int(r) for r in pdf["_rid"].to_numpy()[~is_state])
+                if is_state.any():
+                    new_state_rows = True
+                    s_ts.extend(us[is_state].tolist())
+                    s_v.extend(pdf["_sv"].to_numpy()[is_state].tolist())
+                not_state = ~is_state
+                if not_state.any():
+                    p_ts.extend(us[not_state].tolist())
+                    p_ids.extend(pdf["_rid"].to_numpy()[not_state].tolist())
         wm_us = gs.getCurrentWatermarkMs() * 1000
 
         def _isnan(v):
@@ -368,12 +375,20 @@ def stream_asof_join(
         # survivor — batch asof semantics, with NULL (NaN) values
         # ordered BELOW non-null at the same instant (Spark's struct
         # ordering: nulls sort first), never compared raw (NaN in a
-        # tuple comparison is undefined ordering).
-        hist = sorted(
-            zip(s_ts, s_v),
-            key=lambda p: (p[0], 0 if _isnan(p[1]) else 1,
-                           0.0 if _isnan(p[1]) else p[1]),
-        )
+        # tuple comparison is undefined ordering). r17: the STORED
+        # history is already in this key order (``kept_hist`` below is
+        # an order-preserving filter of a sorted ``hist``, inductively
+        # from the empty state), so the O(H) per-element Python key
+        # evaluation re-runs only on invocations that actually brought
+        # new state rows.
+        if new_state_rows:
+            hist = sorted(
+                zip(s_ts, s_v),
+                key=lambda p: (p[0], 0 if _isnan(p[1]) else 1,
+                               0.0 if _isnan(p[1]) else p[1]),
+            )
+        else:
+            hist = list(zip(s_ts, s_v))
         hts = [p[0] for p in hist]
         out_ids, out_ts, out_v = [], [], []
         keep_ids, keep_ts = [], []
