@@ -2222,10 +2222,15 @@ def ingest_fuzzy_batch(
     # the exact within-batch verify; sigs feed the cross-state join
     # and the state commit (the dedup_minhash_lsh cache doctrine)
     sh = with_shingles(batch, id_col, text_col).persist()
-    sh.count()  # eager (r13 race doctrine)
     sigs = minhash_signatures(
         batch, id_col, text_col, shingle_df=sh
     ).persist()
+    # ONE eager count materializes both caches (r17): sigs → sh is a
+    # linear lineage, so this single job fills sh's cache on the way —
+    # the r13 race doctrine needs warm caches before the MULTI-branch
+    # consumers below (candidates, verify, commit join), not one job
+    # per cache. One fewer job = one fewer ~2 s whole-stage-codegen
+    # compile round per ingest (this head's measured bound, r16 §6).
     sigs.count()
     # bands are a PURE PROJECTION of the persisted sigs (md5 over the
     # band slice — no shuffle, no tokenization), so each consumer

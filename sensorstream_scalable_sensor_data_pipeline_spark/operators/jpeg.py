@@ -536,6 +536,19 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
         np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
         for c in comps
     ]
+    # r17: entropy-decode ALL blocks first (zigzag rows + positions per
+    # component), then dequantize + IDCT each component as ONE stacked
+    # matmul — removes ~6 small NumPy dispatches per 8×8 block from the
+    # hot loop. ``_A.T @ B @ _A`` over a (N,8,8) stack calls the same
+    # dgemm per 2-D slice as the old per-block expression, and the
+    # whole decode is pinned bit-equal to the per-block path (unit test
+    # over adversarial coefficient blocks + the corpus-wide equality
+    # run in OPTIMIZATION_r17.md; einsum, which DOES reassociate the
+    # sums, remains rejected — see _decode_progressive's history).
+    # Memory: 64 int64 per pending block ≈ the plane itself; bounded
+    # by the same MAX_JPEG_DECODE_PIXELS cap as the output.
+    pend_zz: list[list[list[int]]] = [[] for _ in comps]
+    pend_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
     pred = [0] * len(comps)
     reader = _BitReader(segments[0])
     seg_idx = 0
@@ -590,14 +603,24 @@ def _decode_scan(payload, start, frame, scan_tabs, qt, dc_tabs, ac_tabs, dri):
                                 else mag - (1 << s) + 1
                             )
                             k += 1
-                        coeff = np.zeros(64, np.int64)
-                        coeff[_ZIGZAG] = zz
-                        block = coeff.reshape(8, 8) * q
-                        px = _A.T @ block @ _A + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        pend_zz[ci].append(zz)
+                        pend_pos[ci].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
             mcu_count += 1
+
+    for ci, c in enumerate(comps):
+        rows = pend_zz[ci]
+        if not rows:
+            continue
+        coeff = np.zeros((len(rows), 64), np.int64)
+        coeff[:, _ZIGZAG] = np.asarray(rows, dtype=np.int64)
+        # identical op order to the old per-block path: dequantize in
+        # int64, promote in the matmul, +128.0 last
+        px = _A.T @ (coeff.reshape(-1, 8, 8) * qt[c["tq"]]) @ _A + 128.0
+        plane = planes[ci]
+        for (y0, x0), blk in zip(pend_pos[ci], px):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
 
     return _merge_planes(comps, planes, h, w, hmax, vmax)
 
@@ -760,18 +783,19 @@ def _decode_progressive(payload, pos, frame, qt, dc_tabs, ac_tabs, dri):
         by, bx = coefs[ci].shape[:2]
         nat = np.zeros((by, bx, 64), np.int64)
         nat[..., _ZIGZAG] = coefs[ci]
-        blocks = nat.reshape(by, bx, 8, 8) * q[None, None]
-        # per-block matmul in the baseline decoder's exact op order
-        # (a batched einsum sums in a different order; ULP drift at a
-        # pixel sitting exactly on .5 would break the pinned
-        # progressive==baseline pixel equality)
-        plane = np.empty((by * 8, bx * 8), np.float64)
-        for r in range(by):
-            for c in range(bx):
-                plane[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = (
-                    _A.T @ blocks[r, c].astype(np.float64) @ _A + 128.0
-                )
-        planes.append(plane)
+        blocks = nat.reshape(by * bx, 8, 8) * q
+        # r17: ONE stacked matmul over the block stack. np.matmul runs
+        # the same dgemm per 2-D slice in the baseline decoder's exact
+        # op order, so progressive==baseline pixel equality holds
+        # bit-for-bit (pinned by the fixtures and the corpus equality
+        # run); einsum — which DOES reassociate the inner sums and
+        # drifted a .5-boundary pixel when tried — stays rejected.
+        px = _A.T @ blocks.astype(np.float64) @ _A + 128.0
+        planes.append(
+            px.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
     return _merge_planes(comps, planes, h, w, hmax, vmax)
 
 

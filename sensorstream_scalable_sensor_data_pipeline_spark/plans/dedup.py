@@ -169,9 +169,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = with_shingles(docs, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh.count()  # eager: feeds bands AND the jaccard verify (r13 race doctrine)
     bands = lsh_bands(docs, "doc_id", "text", shingle_df=sh).persist()
-    bands.count()  # eager: feeds both candidate self-join sides
+    # ONE eager count materializes BOTH caches (r17): the bands
+    # lineage scans sh exactly once on its way to the band table, so
+    # this single job fills sh's cache as a side effect — the r13 race
+    # doctrine needs every cache warm before a MULTI-branch action
+    # consumes it, not one job per cache; a linear chain has no
+    # parallel branches to race. Dropping sh.count() removes one job
+    # (and its whole-stage-codegen compile round, the measured cost of
+    # every extra job at this scale — see ingest_fuzzy, r16 §6).
+    bands.count()
     cands = minhash_lsh_candidates(
         docs, "doc_id", "text", shingle_df=sh, bands_df=bands
     )
@@ -722,8 +729,16 @@ def ingest_fuzzy_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n1 = ingest_fuzzy_batch(spark, even, sdir, batch_id="h1").count()
         a2 = ingest_fuzzy_batch(spark, b2, sdir, batch_id="h2")
-        n2 = a2.count()
-        n_synth = a2.filter(F.col("doc_id") >= base).count()
+        # one aggregate job for both assertions (r17; was two separate
+        # scans of the staged batch — each extra job costs a
+        # whole-stage-codegen compile round, this head's measured
+        # bound): total accepted + how many synthetic re-delivery ids
+        # survived, in a single pass.
+        row = a2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("doc_id") >= base, 1)).alias("n_synth"),
+        ).first()
+        n2, n_synth = row["n"], row["n_synth"]
         assert n_synth == 0, f"{n_synth} re-delivered ids survived"
         total = read_accepted(spark, sdir).count()
         assert total == n1 + n2, (total, n1, n2)

@@ -661,12 +661,6 @@ def curate_training_corpus(
         .select("doc_id", "text", "n_tokens", "_tk")
         .persist()
     )
-    # eager materialization (r13 race doctrine): exact_unique feeds
-    # the shingle build, both LSH self-join sides (via sh/bands), the
-    # jaccard verify, and the final anti-join — parallel branches of
-    # one action would each recompute the exact-dedup lineage
-    exact_unique.count()
-
     # Near-dup: LSH candidates → verified pairs → component drop. The
     # shingle frame reuses the staged tokens (no re-tokenization);
     # the band table is built HERE (not inside minhash_lsh_candidates)
@@ -674,9 +668,20 @@ def curate_training_corpus(
     sh = exact_unique.select(
         "doc_id", shingle_expr(F.col("_tk")).alias("ss")
     ).persist()
-    sh.count()  # eager (r13): feeds bands AND the jaccard verify
     bands = lsh_bands(exact_unique, "doc_id", "text", shingle_df=sh).persist()
-    bands.count()  # eager (r13): feeds both candidate self-join sides
+    # ONE eager count materializes all THREE caches (r17; was one job
+    # per cache): bands → sh → exact_unique is a LINEAR lineage — the
+    # single bands.count() job scans exact_unique once (filling its
+    # cache), builds sh from it (filling that cache), then the band
+    # table. The r13 race doctrine requires caches to be warm before a
+    # MULTI-branch action consumes them (both LSH join sides, the
+    # jaccard verify, the anti-join, the final projection — all AFTER
+    # this job); it never required one job per cache, and a linear
+    # chain has no parallel branches to race. The head was measured
+    # codegen-latency-bound (its two extra eager-count stages burned
+    # 19.4 + 12.1 task-s at near-zero CPU, r17 profile) — two fewer
+    # jobs is two fewer whole-stage compile rounds.
+    bands.count()
     cands = minhash_lsh_candidates(
         exact_unique, "doc_id", "text", shingle_df=sh, bands_df=bands
     )

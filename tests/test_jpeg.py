@@ -369,3 +369,28 @@ def test_progressive_eob_runs_decode():
     out = decode_jpeg(rebuilt)
     # both blocks all-zero AC → flat image survives
     assert np.array_equal(out, decode_jpeg(payload))
+
+
+def test_batched_idct_matches_per_block_bitwise():
+    """r17: _decode_scan defers dequantize+IDCT to one stacked matmul
+    per component. The stacked ``_A.T @ B @ _A`` must be bit-identical
+    to the old per-block expression on this host's BLAS — pinned here
+    over adversarial dense/sparse coefficient stacks so a NumPy/BLAS
+    upgrade that changes the stacked kernel's summation order fails
+    loudly instead of drifting pixels (einsum, which reassociates,
+    was measured to drift a .5-boundary pixel and stays rejected)."""
+    import numpy as np
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.jpeg import _A
+
+    rng = np.random.default_rng(1234)
+    for density in (0.05, 0.5, 1.0):
+        blocks = rng.integers(
+            -2047 * 255, 2047 * 255, size=(512, 8, 8)
+        ).astype(np.int64)
+        blocks[rng.random((512, 8, 8)) >= density] = 0
+        per = np.empty((512, 8, 8))
+        for i in range(512):
+            per[i] = _A.T @ blocks[i] @ _A + 128.0
+        bat = _A.T @ blocks @ _A + 128.0
+        assert np.array_equal(per.view(np.uint64), bat.view(np.uint64))
