@@ -56,6 +56,21 @@ constant-folds COMPLETELY — one output row needs none of its inputs
 sized so driver transfer is noise. Affected heads' r1-r8 numbers
 under-measure; BENCH_r09 re-baselines them (audit table in
 COVERAGE.md).
+
+BASELINE-ERA DOCTRINE (r16 verdict item 9): ``_python_warmup`` (added
+in r16) absorbs Python-worker-pool startup in the untimed region, so
+**BENCH_r16 is the first record of the post-python-warmup era** —
+wall-clock comparisons for Python-boundary heads are valid only
+against BENCH_r16 and later; comparing against BENCH_r15 or earlier
+conflates ~2-7 s/head of absorbed startup with code changes.
+Cross-era (and cross-host-window) comparisons must use the per-head
+``cpu_seconds`` axis, which is warmup-insensitive — and even CPU is
+host-window-sensitive on this sandbox (measured ~8× CPU-seconds
+inflation at 32-way concurrency, drifting between sessions on
+identical code: the r17 session read the untouched skew pair at
+1.5-2× its r16 CPU at zero steal). Same-host same-window A/Bs
+(scripts/ab_head.py, min-steal rep) are the only change-attribution
+signal; round-over-round absolutes are host-weather.
 """
 
 from __future__ import annotations

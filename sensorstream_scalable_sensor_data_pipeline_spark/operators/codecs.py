@@ -983,6 +983,24 @@ def _decode_avi_frames_impl(
             decode_jpeg,
         )
 
+        if frame_step > 1:
+            # r17 quarantine-contract repair (r16 verdict): sampling
+            # used to skip ALL validation of unsampled frames, so a
+            # clip whose corrupt frame sat at a skipped index was
+            # silently accepted — acceptance depended on every_n. The
+            # skipped frames now get the cheap structural check (SOI
+            # header present): it can only reject payloads the full
+            # decode also rejects (decode_jpeg requires SOI), and it
+            # catches the truncation/garbage-frame class without
+            # paying the entropy decode. Entropy-level corruption
+            # BEHIND a valid SOI on a skipped frame remains the
+            # documented sampling tradeoff (full validation =
+            # frame_step=1). frame_step=1 takes no new path.
+            for j, raw in enumerate(frames):
+                if j % frame_step and bytes(raw[:2]) != b"\xff\xd8":
+                    raise ValueError(
+                        f"MJPEG frame {j} missing SOI header"
+                    )
         out = np.empty((len(sampled), height, width, 3), dtype=np.uint8)
         for j, raw in enumerate(sampled):
             img = decode_jpeg(bytes(raw), default_huffman=True)
@@ -1001,6 +1019,15 @@ def _decode_avi_frames_impl(
             f"compressed/{bitcount}-bit AVI video unsupported (needs a codec)"
         )
     stride = ((width * 3) + 3) // 4 * 4
+    if frame_step > 1:
+        # r17 quarantine-contract repair: the DIB truncation check is
+        # a len() comparison — run it for the frames sampling skips
+        # too (identical predicate to the sampled path below), so a
+        # truncated frame quarantines the clip regardless of which
+        # index it sits at. frame_step=1 takes no new path.
+        for j, raw in enumerate(frames):
+            if j % frame_step and len(raw) < stride * height:
+                raise ValueError(f"truncated frame {j}")
     out = np.empty((len(sampled), height, width, 3), dtype=np.uint8)
     for j, raw in enumerate(sampled):
         if len(raw) < stride * height:

@@ -1213,3 +1213,81 @@ def test_avi_frame_step_matches_full_decode_slice():
 
     with pytest.raises(ValueError):
         decode_avi_frames(encode_avi(frames, fps=10), frame_step=0)
+
+
+def test_avi_frame_step_validates_skipped_frames_cheaply():
+    """r17 quarantine-contract repair (r16 verdict item 8): a corrupt
+    frame at a NEVER-SAMPLED index must still quarantine the clip for
+    the cheap structural failure classes — DIB truncation (a len()
+    check) and MJPEG missing-SOI (a 2-byte check) — so acceptance no
+    longer depends on which index the corruption lands on. Entropy
+    corruption behind a valid SOI on a skipped frame remains the
+    documented sampling tradeoff."""
+    import struct
+
+    import pytest
+
+    from sensorstream_scalable_sensor_data_pipeline_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    def corrupt_nth_frame(payload: bytes, n: int, mode: str) -> bytes:
+        # walk top-level + LIST chunks, find the n-th ##db/##dc chunk
+        # and the offsets of every enclosing size field (RIFF + LISTs)
+        idx = [0]
+
+        def walk(start, end, parents):
+            i = start
+            while i + 8 <= end:
+                cid = payload[i : i + 4]
+                (size,) = struct.unpack_from("<I", payload, i + 4)
+                if cid == b"LIST":
+                    r = walk(i + 12, i + 8 + size, parents + [i + 4])
+                    if r is not None:
+                        return r
+                elif cid[2:4] in (b"db", b"dc"):
+                    if idx[0] == n:
+                        return i, size, parents
+                    idx[0] += 1
+                i += 8 + size + (size & 1)
+            return None
+
+        found = walk(12, len(payload), [4])
+        assert found is not None, "frame chunk not found"
+        at, size, parents = found
+        out = bytearray(payload)
+        if mode == "truncate":
+            # shrink the frame chunk to a 4-byte body, consistently
+            # fixing every enclosing size field so the container walk
+            # stays structurally valid — only the FRAME is too short
+            keep = 4
+            removed = (size + (size & 1)) - keep
+            struct.pack_into("<I", out, at + 4, keep)
+            del out[at + 8 + keep : at + 8 + size + (size & 1)]
+            for off in parents:
+                (psz,) = struct.unpack_from("<I", bytes(out), off)
+                struct.pack_into("<I", out, off, psz - removed)
+        else:  # kill the SOI marker bytes
+            out[at + 8] = 0
+            out[at + 9] = 0
+        return bytes(out)
+
+    frames = _frames(12, 8, 10, seed=31)
+    for codec, kwargs, mode, msg in [
+        ("dib", {}, "truncate", "truncated frame 3"),
+        ("mjpg", {"quality": 85}, "soi", "missing SOI"),
+    ]:
+        payload = encode_avi(frames, fps=10, codec=codec, **kwargs)
+        bad = corrupt_nth_frame(payload, 3, mode)
+        # frame 3 is never sampled at step 2 (samples 0,2,4,...); the
+        # pre-r17 decoder silently accepted this clip
+        with pytest.raises(ValueError, match=msg):
+            decode_avi_frames(bad, frame_step=2)
+        # sampled-index corruption still raises, as always (the full
+        # decode classifies a SOI-less frame NotImplementedError; both
+        # are MALFORMED_PAYLOAD_ERRORS, so quarantine is identical)
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_avi_frames(bad, frame_step=1)
+        # a clean clip is unaffected
+        decode_avi_frames(payload, frame_step=2)
