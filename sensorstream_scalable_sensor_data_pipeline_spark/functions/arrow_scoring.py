@@ -46,6 +46,20 @@ Arrow compute, not a row-at-a-time UDF. The §2.11 discipline still
 bans scalar ``udf``/``pandas_udf``; it has always allowed Arrow batch
 operators where they beat Catalyst, and here the measured gap is an
 order of magnitude on the suite's most CPU-expensive stage.
+
+INPUT CONTRACT (r17, per the r16 advisory): bit-exactness vs the expr
+path holds for FINITE, NON-NULL, uniform-width embedding vectors —
+which is everything the index builders can persist (embeddings come
+from the generator/normalizer chain; index lists store what the
+oracle-pinned build wrote). On data OUTSIDE that contract the paths
+deliberately diverge rather than silently agree:
+``np.floor(NaN/Inf).astype(int64)`` is platform-defined where Spark's
+non-ANSI cast yields 0, and ``_np_2d`` raises ``ValueError`` on
+null/ragged lists where Catalyst would emit a null cosine. Callers
+feeding arbitrary external vectors must use ``impl="expr"`` or
+pre-validate; an unconditional finiteness scan here would tax every
+batch of the suite's hottest stage to defend data the engine cannot
+produce.
 """
 
 from __future__ import annotations

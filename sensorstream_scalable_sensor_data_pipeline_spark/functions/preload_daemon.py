@@ -16,9 +16,19 @@ inherits them by copy-on-write — the standard preload-then-fork
 pattern. Set by ``session.get_spark`` (a static conf; external
 sessions can adopt it the same way they adopt ``ALLOCATOR_PINS``).
 
-Import-time safety: none of these imports starts threads (thread
-pools in OpenBLAS/pyarrow are created lazily on first use), so the
-fork inherits no locked mutexes.
+Import-time safety (corrected r17, per the r16 advisory): importing
+numpy DOES start OpenBLAS's thread pool immediately on this build
+(measured: 32 threads before any BLAS call), so the daemon forks from
+a multithreaded process. This is safe here because modern OpenBLAS
+registers pthread_atfork handlers that reinitialize the pool in the
+child — a dependency this module now states explicitly rather than
+assuming lazily-created pools. Pinning OPENBLAS_NUM_THREADS=1 in the
+daemon was considered and rejected: the external driver runs the
+registry queries through the DEFAULT pyspark daemon (none of our
+confs), so a thread-count pin applied only here could bitwise-diverge
+any thread-count-sensitive BLAS reduction between the bench path and
+the oracle path — the exact class of drift the engine's bit-exactness
+arguments exclude. pyarrow's pools remain lazily created.
 
 r17: the daemon also swaps ``pyspark.zip`` sys.path entries for their
 unzipped sibling directory (``$SPARK_HOME/python``) before anything

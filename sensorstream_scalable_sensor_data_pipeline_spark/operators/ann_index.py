@@ -187,7 +187,16 @@ def query_ivf_index(
     r16 stage profile put ~247 of this path's ~250 executor-CPU-
     seconds in interpreted HOF lambdas at the 300k corpus);
     ``"expr"`` keeps the fully-Catalyst expression path (the two are
-    pinned equal in tests/test_ann_index.py)."""
+    pinned equal in tests/test_ann_index.py).
+
+    EAGER-SNAPSHOT SEMANTICS of ``impl="arrow"`` (documented r17, per
+    the r16 advisory): building the returned DataFrame runs small
+    Spark jobs NOW (the probe ranking is collected and baked into the
+    ``mapInArrow`` closure), so re-executing the returned frame after
+    the index directory is appended/rebuilt replays the snapshot's
+    probes rather than re-deriving them. Callers that hold the frame
+    lazily across index mutations should use ``impl="expr"``, whose
+    fully-lazy plan recomputes probes at each execution."""
     if score not in ("auto", "int8", "dequant"):
         raise ValueError("score must be 'auto', 'int8' or 'dequant'")
     if impl not in ("arrow", "expr"):

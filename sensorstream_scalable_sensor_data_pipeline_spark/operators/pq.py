@@ -551,6 +551,14 @@ def query_ivfpq_index(
     ``grid_dot(q, c_j)`` carried on its probe row — one extra add per
     candidate, no per-dimension work.
 
+    ``impl="arrow"`` (default) carries the same EAGER-SNAPSHOT
+    semantics as ``query_ivf_index`` (documented r17, per the r16
+    advisory): probe rows and LUTs are collected at frame-construction
+    time and baked into the ``mapInArrow`` closure, so re-executing
+    the returned frame after an index append replays the snapshot;
+    hold frames lazily across index mutations only with
+    ``impl="expr"``.
+
     Returns (query_id, nbr_id, cosine, rank)."""
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
